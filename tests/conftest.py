@@ -1,0 +1,42 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (driver contract)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus_dir(tmp_path_factory):
+    """Deterministic tiny transcript corpus parquet (FIXTURES.md §1, scale=tiny)."""
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = tmp_path_factory.mktemp("tiny_corpus")
+    write_corpus(str(d), n_convs=20, max_turns=8, rows_per_file=40)
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def small_corpus_dir(tmp_path_factory):
+    """Small corpus for oracle conformance (~1k convs)."""
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = tmp_path_factory.mktemp("small_corpus")
+    write_corpus(str(d), n_convs=300, max_turns=6, rows_per_file=500)
+    return str(d)

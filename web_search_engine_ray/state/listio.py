@@ -1,0 +1,201 @@
+"""Blocked postings shard files (write / read / block-seek).
+
+Keeps the reference's *logical* per-term layout (``HW2/engine/listio.py:9-94``):
+postings of a term are split into blocks of ≤ ``block_size`` (default 128)
+``(docid, tf)`` pairs; each block stores its encoded docid segment followed by
+its encoded freq segment (``[doc_bytes][freq_bytes]`` back-to-back); docids are
+delta-gap encoded within a block against ``base = previous block's last
+docid`` (0 for the first block); a per-block directory
+``{offset, doc_bytes, freq_bytes, last_docid}`` enables O(log B) block seeks
+(``HW2/engine/lexicon.py:6-27``).
+
+Differences from the reference (documented, SURVEY.md §7.5):
+
+- the postings FILE is a *shard* — one of ``num_shards`` independent files
+  keyed by ``hash(term) % num_shards`` — so the final merge is embarrassingly
+  parallel instead of the reference's single-writer bottleneck
+  (``HW2/README.md:131``);
+- "raw" codec stores docids u64 LE (u32 caps at 4.3e9 docs; we target 10^12);
+- encode/decode are numpy-vectorized (whole-term at once) rather than
+  per-integer Python loops. Gap chaining across blocks means a term's gap
+  stream is just ``diff(docids)`` with ``gap[0] = docid[0]``, so whole-term
+  encode/decode is a single vectorized pass; the block directory only decides
+  where the byte stream is split.
+
+Rank/score parity requires identical *decoded* ``(docids, tfs, df)`` per term,
+not identical bytes — the reference's own conformance check compares decoded
+lists (``HW2/engine/testrun.py:94-99``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+
+from web_search_engine_ray.functions import codecs
+
+BLOCK_SIZE = 128  # reference default, HW2/engine/listio.py:7
+
+
+def _chunk_sums(sizes: np.ndarray, block_size: int) -> np.ndarray:
+    """Sum ``sizes`` in consecutive chunks of ``block_size``."""
+    starts = np.arange(0, sizes.size, block_size)
+    return np.add.reduceat(sizes, starts)
+
+
+class PostingsShardWriter:
+    """Append-only writer for one postings shard file.
+
+    ``add_term`` must be called in the caller's canonical term order with
+    docids strictly ascending (the ordering contract of the reference run
+    format, ``HW2/engine/runio.py:102-104``). Returns a lexicon entry.
+    """
+
+    def __init__(self, path: str, block_size: int = BLOCK_SIZE, codec: str = "varbyte"):
+        self.path = path
+        self.block_size = int(block_size)
+        self.codec = codec.lower()
+        if self.codec not in ("varbyte", "raw"):
+            raise ValueError(f"unknown codec: {codec}")
+        self.file = open(path, "wb")
+        self._offset = 0
+
+    def add_term(self, term: str, docids: np.ndarray, freqs: np.ndarray) -> dict:
+        d = np.ascontiguousarray(docids, dtype=np.uint64)
+        f = np.ascontiguousarray(freqs, dtype=np.uint64)
+        df = int(d.size)
+        if df == 0:
+            raise ValueError(f"empty postings for term {term!r}")
+        bs = self.block_size
+        nblocks = (df + bs - 1) // bs
+        start_offset = self._offset
+
+        if self.codec == "varbyte":
+            gaps = codecs.delta_encode(d, 0)
+            doc_bytes_all = codecs.vb_encode(gaps)
+            doc_sizes = codecs.vb_sizes(gaps)
+            freq_bytes_all = codecs.vb_encode(f)
+            freq_sizes = codecs.vb_sizes(f)
+            blk_doc_bytes = _chunk_sums(doc_sizes, bs)
+            blk_freq_bytes = _chunk_sums(freq_sizes, bs)
+        else:
+            doc_bytes_all = d.astype("<u8").tobytes()
+            freq_bytes_all = f.astype("<u4").tobytes()
+            counts = np.full(nblocks, bs, dtype=np.int64)
+            counts[-1] = df - bs * (nblocks - 1)
+            blk_doc_bytes = counts * 8
+            blk_freq_bytes = counts * 4
+
+        doc_ends = np.cumsum(blk_doc_bytes)
+        freq_ends = np.cumsum(blk_freq_bytes)
+        blk_offset = np.empty(nblocks, dtype=np.int64)
+        pos = start_offset
+        dmv, fmv = memoryview(doc_bytes_all), memoryview(freq_bytes_all)
+        d0 = f0 = 0
+        write = self.file.write
+        for i in range(nblocks):
+            blk_offset[i] = pos
+            d1, f1 = int(doc_ends[i]), int(freq_ends[i])
+            write(dmv[d0:d1])
+            write(fmv[f0:f1])
+            pos += (d1 - d0) + (f1 - f0)
+            d0, f0 = d1, f1
+        self._offset = pos
+
+        blk_last = d[np.minimum(np.arange(1, nblocks + 1) * bs, df) - 1]
+        return {
+            "offset": start_offset,
+            "df": df,
+            "nblocks": nblocks,
+            "codec": self.codec,
+            "blk_offset": blk_offset,
+            "blk_doc_bytes": blk_doc_bytes.astype(np.int64),
+            "blk_freq_bytes": blk_freq_bytes.astype(np.int64),
+            "blk_last_docid": blk_last.astype(np.uint64),
+        }
+
+    def close(self) -> int:
+        self.file.close()
+        return self._offset
+
+
+class PostingsShardReader:
+    """Reads a postings shard written by :class:`PostingsShardWriter`."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.file = open(path, "rb")
+
+    def close(self) -> None:
+        self.file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _read_extent(self, entry: dict) -> memoryview:
+        start = entry["offset"]
+        total = int(entry["blk_doc_bytes"].sum() + entry["blk_freq_bytes"].sum())
+        self.file.seek(start)
+        return memoryview(self.file.read(total))
+
+    def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Full postings of a term -> (docids u64, freqs u64), whole-term
+        vectorized decode (gap chaining makes concatenated doc segments one
+        valid gap stream with base 0)."""
+        buf = self._read_extent(entry)
+        db, fb = entry["blk_doc_bytes"], entry["blk_freq_bytes"]
+        rel = entry["blk_offset"] - entry["offset"]
+        if entry["codec"] == "varbyte":
+            doc_parts = [buf[int(r) : int(r + n)] for r, n in zip(rel, db)]
+            freq_parts = [buf[int(r + n) : int(r + n + m)] for r, n, m in zip(rel, db, fb)]
+            docids = codecs.decode_docids(b"".join(doc_parts), 0)
+            freqs = codecs.decode_freqs(b"".join(freq_parts))
+        else:
+            doc_parts = [buf[int(r) : int(r + n)] for r, n in zip(rel, db)]
+            freq_parts = [buf[int(r + n) : int(r + n + m)] for r, n, m in zip(rel, db, fb)]
+            docids = np.frombuffer(b"".join(doc_parts), dtype="<u8").astype(np.uint64)
+            freqs = np.frombuffer(b"".join(freq_parts), dtype="<u4").astype(np.uint64)
+        return docids, freqs
+
+    def _decode_block(self, entry: dict, bidx: int) -> tuple[np.ndarray, np.ndarray]:
+        off = int(entry["blk_offset"][bidx])
+        db = int(entry["blk_doc_bytes"][bidx])
+        fb = int(entry["blk_freq_bytes"][bidx])
+        base = int(entry["blk_last_docid"][bidx - 1]) if bidx > 0 else 0
+        self.file.seek(off)
+        raw = self.file.read(db + fb)
+        if entry["codec"] == "varbyte":
+            docids = codecs.decode_docids(raw[:db], base)
+            freqs = codecs.decode_freqs(raw[db:])
+        else:
+            docids = np.frombuffer(raw[:db], dtype="<u8").astype(np.uint64)
+            freqs = np.frombuffer(raw[db:], dtype="<u4").astype(np.uint64)
+        if docids.size != freqs.size:
+            raise ValueError("corrupt block: docid/freq length mismatch")
+        return docids, freqs
+
+    def iter_blocks(self, entry: dict) -> Iterator[tuple[int, np.ndarray, np.ndarray]]:
+        """Yield ``(last_docid, docids, freqs)`` per block in order."""
+        for b in range(entry["nblocks"]):
+            docids, freqs = self._decode_block(entry, b)
+            yield int(entry["blk_last_docid"][b]), docids, freqs
+
+    def seek_block_ge(self, entry: dict, target_docid: int):
+        """First block whose ``last_docid >= target`` (binary search on the
+        block directory — ``HW2/engine/listio.py:179-226`` semantics).
+        Returns ``(block_index, last_docid, docids, freqs)`` or ``None``."""
+        last = entry["blk_last_docid"]
+        bidx = int(np.searchsorted(last, max(target_docid, 0), side="left"))
+        if bidx >= entry["nblocks"]:
+            return None
+        docids, freqs = self._decode_block(entry, bidx)
+        return bidx, int(last[bidx]), docids, freqs
+
+
+def shard_path(index_dir: str, shard: int, kind: str) -> str:
+    return os.path.join(index_dir, f"shard_{shard:05d}.{kind}")
