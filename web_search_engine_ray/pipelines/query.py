@@ -1,0 +1,460 @@
+"""Query engine: shard-backed Searcher + DAAT/TAAT BM25 + boolean + actor pool.
+
+API surface mirrors the reference's ``Searcher`` (``HW2/engine/searcher.py``):
+
+- ``search(query, mode, topk)``      — TAAT BM25 with AND/OR allowed-set filter
+- ``search_topk_daat(query, topk, mode)`` — DAAT BM25 top-k (cursor loop,
+  the reference algorithm transliterated: ``HW2/engine/daat_ranker.py:47-141``)
+- ``search_boolean_daat(query, mode)``   — DAAT set ops (``HW2/engine/daat.py``)
+- ``boolean(query, mode)``           — full-postings set intersection/union
+- ``bm25_topk(query, topk, mode)``   — vectorized scorer, float-identical to
+  the DAAT loop (same per-doc accumulation order: terms ascending-df), used by
+  the serving path / benches. Tested equal to ``search_topk_daat``.
+
+Semantics preserved exactly (SURVEY.md §7.6-7.7): query tokenization is
+``query.lower().split()`` (NOT the corpus tokenizer); unknown terms silently
+dropped; terms sorted by ascending df (stable) before scoring; dl=0 docs are
+never scored; duplicate query terms contribute once per occurrence; AND mode
+requires presence in every (known-term) stream.
+
+State layout: each Searcher lazily loads lexicon shards, opens postings shard
+files, and range-loads doc-length shards — once per process/actor, reused
+across queries (the reference loads its single lexicon/doc_lengths pickles
+once per Searcher, ``searcher.py:18-39``; ours shard so a 10^12-doc index
+serves from a pool of actors each holding O(1/num_actors) of the state).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from web_search_engine_ray.functions.tokenize import query_terms
+from web_search_engine_ray.state.docstats import DocLengths
+from web_search_engine_ray.state.lexicon import LexiconShard, term_shard
+from web_search_engine_ray.state.listio import PostingsShardReader
+
+K1 = 1.2
+B = 0.75
+
+
+class PostingsCursor:
+    """Block-aware cursor over one term's postings: ``docid() / advance() /
+    next_ge()`` (the reference's cursor contract,
+    ``HW2/engine/postings_cursor.py``; block seeks via the lexicon directory)."""
+
+    __slots__ = ("reader", "entry", "term", "bidx", "block_last", "docids", "freqs", "j", "exhausted")
+
+    def __init__(self, reader: PostingsShardReader, term: str, entry: dict):
+        self.reader = reader
+        self.entry = entry
+        self.term = term
+        self.bidx = -1
+        self.block_last = -1
+        self.docids = np.empty(0, dtype=np.uint64)
+        self.freqs = np.empty(0, dtype=np.uint64)
+        self.j = 0
+        self.exhausted = entry["df"] == 0
+        if not self.exhausted:
+            hit = reader.seek_block_ge(entry, -1)
+            if hit is None:
+                self.exhausted = True
+            else:
+                self.bidx, self.block_last, self.docids, self.freqs = hit
+
+    def _load_block(self, bidx: int) -> bool:
+        if bidx < 0 or bidx >= self.entry["nblocks"]:
+            return False
+        d, f = self.reader._decode_block(self.entry, bidx)
+        self.bidx = bidx
+        self.block_last = int(self.entry["blk_last_docid"][bidx])
+        self.docids, self.freqs = d, f
+        self.j = 0
+        return True
+
+    def docid(self) -> int | None:
+        if self.exhausted or self.j >= self.docids.size:
+            return None
+        return int(self.docids[self.j])
+
+    def tf(self) -> int:
+        return int(self.freqs[self.j])
+
+    def advance(self) -> int | None:
+        if self.exhausted:
+            return None
+        self.j += 1
+        if self.j < self.docids.size:
+            return int(self.docids[self.j])
+        if not self._load_block(self.bidx + 1):
+            self.exhausted = True
+            return None
+        return int(self.docids[self.j])
+
+    def next_ge(self, target: int) -> int | None:
+        if self.exhausted:
+            return None
+        if target <= self.block_last:
+            j = int(np.searchsorted(self.docids[self.j :], np.uint64(target))) + self.j
+            if j < self.docids.size:
+                self.j = j
+                return int(self.docids[j])
+            if not self._load_block(self.bidx + 1):
+                self.exhausted = True
+                return None
+            return int(self.docids[self.j])
+        hit = self.reader.seek_block_ge(self.entry, target)
+        if hit is None:
+            self.exhausted = True
+            return None
+        self.bidx, self.block_last, self.docids, self.freqs = hit
+        j = int(np.searchsorted(self.docids, np.uint64(target)))
+        if j >= self.docids.size:
+            if not self._load_block(self.bidx + 1):
+                self.exhausted = True
+                return None
+            return int(self.docids[self.j])
+        self.j = j
+        return int(self.docids[j])
+
+
+class Searcher:
+    """Query-time state over a built index directory (one per process/actor)."""
+
+    def __init__(self, index_dir: str, k1: float = K1, b: float = B):
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "build.json")) as f:
+            self.build = json.load(f)
+        self.k1, self.b = k1, b
+        self.num_shards = int(self.build["num_shards"])
+        self.heavy = {t: self.num_shards + i for i, t in enumerate(self.build["heavy_terms"])}
+        self.doclens = DocLengths(os.path.join(index_dir, "doclens"))
+        self.N = self.doclens.N
+        self.avgdl = self.doclens.avgdl
+        self._lex: dict[int, LexiconShard | None] = {}
+        self._readers: dict[int, PostingsShardReader] = {}
+
+    # -- shard plumbing -------------------------------------------------
+    def _shard_of(self, term: str) -> int:
+        return self.heavy.get(term, term_shard(term, self.num_shards))
+
+    def _lexicon(self, sid: int) -> LexiconShard | None:
+        if sid not in self._lex:
+            path = os.path.join(self.dir, "index", f"shard_{sid:05d}.lexicon")
+            self._lex[sid] = LexiconShard.load(path) if os.path.exists(path) else None
+        return self._lex[sid]
+
+    def _reader(self, sid: int) -> PostingsShardReader:
+        r = self._readers.get(sid)
+        if r is None:
+            path = os.path.join(self.dir, "index", f"shard_{sid:05d}.postings")
+            r = PostingsShardReader(path)
+            self._readers[sid] = r
+        return r
+
+    def lookup(self, term: str) -> tuple[dict, PostingsShardReader] | None:
+        sid = self._shard_of(term)
+        lex = self._lexicon(sid)
+        if lex is None:
+            return None
+        entry = lex.get(term)
+        if entry is None:
+            return None
+        return entry, self._reader(sid)
+
+    def df(self, term: str) -> int:
+        hit = self.lookup(term)
+        return 0 if hit is None else hit[0]["df"]
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        hit = self.lookup(term)
+        if hit is None:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        entry, reader = hit
+        return reader.read_postings(entry)
+
+    def close(self) -> None:
+        for r in self._readers.values():
+            r.close()
+        self._readers.clear()
+
+    # -- scoring helpers ------------------------------------------------
+    def _idf(self, df: int) -> float:
+        return math.log((self.N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def _contrib_daat(self, tf: np.ndarray, df: int, dl: np.ndarray) -> np.ndarray:
+        """Vectorized BM25 term contribution with the DAAT ranker's float
+        association ``(idf * num) / den`` (``daat_ranker.py:40-44``)."""
+        idf = self._idf(df)
+        tf = tf.astype(np.float64)
+        den = tf + self.k1 * (1.0 - self.b + self.b * (dl.astype(np.float64) / self.avgdl))
+        return (idf * (tf * (self.k1 + 1.0))) / den
+
+    def _contrib_taat(self, tf: np.ndarray, df: int, dl: np.ndarray) -> np.ndarray:
+        """TAAT ranker association ``idf * (num / den)`` (``ranker.py:45-48``)."""
+        idf = self._idf(df)
+        tf = tf.astype(np.float64)
+        den = tf + self.k1 * (1.0 - self.b + self.b * (dl.astype(np.float64) / self.avgdl))
+        return idf * ((tf * (self.k1 + 1.0)) / den)
+
+    def _known_terms(self, query: str) -> list[str]:
+        return [t for t in query_terms(query) if self.lookup(t) is not None]
+
+    # -- ranked: vectorized (serving path) ------------------------------
+    def bm25_topk(self, query: str, topk: int = 10, mode: str = "AND"):
+        """Vectorized DAAT-equivalent BM25 top-k; identical results (docids,
+        scores bit-for-bit) to ``search_topk_daat`` — per-doc accumulation
+        runs over terms in ascending-df order, matching the tied-cursor pop
+        order of the reference loop (SURVEY.md §7.7)."""
+        terms = self._known_terms(query)
+        if not terms or self.N == 0:
+            return []
+        terms.sort(key=self.df)
+        plists = [self.postings(t) for t in terms]
+        cand = np.unique(np.concatenate([d for d, _ in plists]))
+        if mode.upper() == "AND" and len(plists) > 1:
+            cnt = np.zeros(cand.size, dtype=np.int32)
+            for d, _ in plists:
+                cnt[np.searchsorted(cand, d)] += 1
+            cand = cand[cnt == len(plists)]
+            if cand.size == 0:
+                return []
+        dl_all = self.doclens.get_many(cand)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t, (d, f) in zip(terms, plists):
+            if mode.upper() == "AND" and len(plists) > 1:
+                pos = np.searchsorted(cand, d)
+                sel = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == d)
+                pos, fsel = pos[sel], f[sel]
+            else:
+                pos = np.searchsorted(cand, d)
+                fsel = f
+            dl = dl_all[pos]
+            contrib = self._contrib_daat(fsel, int(d.size), dl)
+            contrib[dl == 0] = 0.0
+            scores[pos] += contrib
+        order = np.lexsort((cand, -scores))[:topk]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
+    # -- ranked: TAAT (reference `search`) ------------------------------
+    def search(self, query: str, mode: str = "AND", topk: int | None = None):
+        """TAAT BM25 with allowed-set filtering (``searcher.py:52-90``).
+        Duplicate query terms contribute per occurrence; accumulation per doc
+        follows query-token order. Result sorted by (-score, docid)."""
+        q = query_terms(query)
+        infos = []
+        doc_sets = []
+        seen: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in q:
+            if t not in seen:
+                d, f = self.postings(t)
+                if d.size:
+                    seen[t] = (d, f)
+                    doc_sets.append(d)
+            if t in seen:
+                infos.append((t, *seen[t]))
+        if not infos:
+            return []
+        if mode.upper() == "AND":
+            allowed = doc_sets[0]
+            for s in doc_sets[1:]:
+                allowed = np.intersect1d(allowed, s, assume_unique=True)
+            if allowed.size == 0:
+                return []
+        else:
+            allowed = np.unique(np.concatenate(doc_sets))
+        cand = np.unique(np.concatenate([d for _, d, _ in infos]))
+        dl_all = self.doclens.get_many(cand)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t, d, f in infos:
+            pos = np.searchsorted(cand, d)
+            scores[pos] += self._contrib_taat(f, int(d.size), dl_all[pos])
+        keep = np.searchsorted(cand, allowed)
+        order = np.lexsort((allowed, -scores[keep]))
+        out = [(int(allowed[i]), float(scores[keep][i])) for i in order]
+        return out[:topk] if topk else out
+
+    # -- ranked: exact DAAT cursor loop ---------------------------------
+    def search_topk_daat(self, query: str, topk: int = 10, mode: str = "AND"):
+        """Transliteration of the reference DAAT+BM25 loop
+        (``daat_ranker.py:47-141``): k-way docid heap over per-term cursors,
+        tied-cursor accumulation in pop order, size-k min-heap, dl=0 guard."""
+        terms = self._known_terms(query)
+        if not terms or self.N == 0:
+            return []
+        terms.sort(key=self.df)
+        cursors = []
+        for t in terms:
+            entry, reader = self.lookup(t)
+            cursors.append(PostingsCursor(reader, t, entry))
+        heap = [(c.docid(), i) for i, c in enumerate(cursors) if c.docid() is not None]
+        heapq.heapify(heap)
+        if not heap:
+            return []
+        dfs = [c.entry["df"] for c in cursors]
+        scores: defaultdict[int, float] = defaultdict(float)
+        top: list[tuple[float, int]] = []
+        want_and = mode.upper() == "AND"
+        while heap:
+            d, i = heapq.heappop(heap)
+            tied = [i]
+            while heap and heap[0][0] == d:
+                _, j = heapq.heappop(heap)
+                tied.append(j)
+            if want_and and len(tied) < len(cursors):
+                for idx in tied:
+                    nxt = cursors[idx].advance()
+                    if nxt is not None:
+                        heapq.heappush(heap, (nxt, idx))
+                continue
+            dl = self.doclens.get(d)
+            for idx in tied:
+                if dl > 0:
+                    c = cursors[idx]
+                    scores[d] += self._contrib_daat(
+                        np.array([c.tf()], np.uint64), dfs[idx], np.array([dl], np.uint64)
+                    )[0]
+            sc = scores[d]
+            if len(top) < topk:
+                heapq.heappush(top, (sc, d))
+            elif sc > top[0][0]:
+                heapq.heapreplace(top, (sc, d))
+            for idx in tied:
+                nxt = cursors[idx].advance()
+                if nxt is not None:
+                    heapq.heappush(heap, (nxt, idx))
+        top.sort(key=lambda x: (-x[0], x[1]))
+        return [(d, s) for (s, d) in top]
+
+    # -- boolean ---------------------------------------------------------
+    def boolean(self, query: str, mode: str = "AND") -> set[int]:
+        """Full-postings set ops; unknown terms silently dropped
+        (``searcher.py:92-109``)."""
+        arrays = []
+        for t in query_terms(query):
+            d, _ = self.postings(t)
+            if d.size:
+                arrays.append(d)
+        if not arrays:
+            return set()
+        if mode.upper() == "AND":
+            out = arrays[0]
+            for a in arrays[1:]:
+                out = np.intersect1d(out, a, assume_unique=True)
+        else:
+            out = np.unique(np.concatenate(arrays))
+        return set(int(x) for x in out)
+
+    def search_boolean_daat(self, query: str, mode: str = "AND") -> set[int]:
+        """Cursor-based DAAT set ops (``HW2/engine/daat.py:21-91``)."""
+        terms = self._known_terms(query)
+        if not terms:
+            return set()
+        cursors = []
+        for t in terms:
+            entry, reader = self.lookup(t)
+            cursors.append(PostingsCursor(reader, t, entry))
+        if mode.upper() == "AND":
+            return set(_and_daat(cursors))
+        return set(_or_daat(cursors))
+
+
+def _and_daat(cursors):
+    heads = [c.docid() for c in cursors]
+    if any(h is None for h in heads):
+        return
+    while True:
+        target = max(heads)
+        aligned = True
+        for i, c in enumerate(cursors):
+            if heads[i] < target:
+                nxt = c.next_ge(target)
+                if nxt is None:
+                    return
+                heads[i] = nxt
+                aligned = False
+        if aligned:
+            yield target
+            for i, c in enumerate(cursors):
+                nxt = c.advance()
+                if nxt is None:
+                    return
+                heads[i] = nxt
+
+
+def _or_daat(cursors):
+    heap = [(c.docid(), i) for i, c in enumerate(cursors) if c.docid() is not None]
+    heapq.heapify(heap)
+    while heap:
+        d, i = heapq.heappop(heap)
+        yield d
+        nxt = cursors[i].advance()
+        if nxt is not None:
+            heapq.heappush(heap, (nxt, i))
+        while heap and heap[0][0] == d:
+            _, j = heapq.heappop(heap)
+            nxt = cursors[j].advance()
+            if nxt is not None:
+                heapq.heappush(heap, (nxt, j))
+
+
+class SearcherActor:
+    """Actor-pool stage: score a Dataset of queries against a built index.
+
+    Pass as a CLASS to ``map_batches(SearcherActor, fn_constructor_args=
+    (index_dir,), concurrency=N)`` — index state loads once per actor
+    (``__init__``), every batch reuses it (SURVEY.md §2.3 T2)."""
+
+    def __init__(self, index_dir: str, topk: int = 10, mode: str = "OR"):
+        self.searcher = Searcher(index_dir)
+        self.topk = topk
+        self.mode = mode
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        qids, queries = batch["query_id"].to_pylist(), batch["query"].to_pylist()
+        out_qid, out_rank, out_docid, out_score = [], [], [], []
+        for qid, q in zip(qids, queries):
+            for rank, (docid, score) in enumerate(
+                self.searcher.bm25_topk(q, self.topk, self.mode), 1
+            ):
+                out_qid.append(qid)
+                out_rank.append(rank)
+                out_docid.append(docid)
+                out_score.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid),
+                "rank": pa.array(out_rank, pa.int32()),
+                "docid": pa.array(out_docid, pa.uint64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+
+def run_queries(
+    index_dir: str,
+    queries: list[str],
+    topk: int = 10,
+    mode: str = "OR",
+    concurrency: int = 2,
+):
+    """Score a list of queries with a SearcherActor pool; returns a Dataset
+    of (query_id, rank, docid, score)."""
+    import ray.data
+
+    items = [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, min(len(items), 64)))
+    return ds.map_batches(
+        SearcherActor,
+        fn_constructor_args=(index_dir, topk, mode),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )

@@ -57,6 +57,7 @@ class LexiconShard:
         self.blk_doc_bytes = np.empty(0, dtype=np.int64)
         self.blk_freq_bytes = np.empty(0, dtype=np.int64)
         self.blk_last_docid = np.empty(0, dtype=np.uint64)
+        self.blk_max_tf = np.empty(0, dtype=np.uint64)
         self.codec = "varbyte"
 
     @classmethod
@@ -76,6 +77,12 @@ class LexiconShard:
             shard.blk_doc_bytes = np.concatenate([e["blk_doc_bytes"] for e in entries])
             shard.blk_freq_bytes = np.concatenate([e["blk_freq_bytes"] for e in entries])
             shard.blk_last_docid = np.concatenate([e["blk_last_docid"] for e in entries])
+            shard.blk_max_tf = np.concatenate(
+                [
+                    e.get("blk_max_tf", np.zeros(e["nblocks"], dtype=np.uint64))
+                    for e in entries
+                ]
+            )
         return shard
 
     def __len__(self) -> int:
@@ -107,6 +114,9 @@ class LexiconShard:
             "blk_doc_bytes": self.blk_doc_bytes[s:e],
             "blk_freq_bytes": self.blk_freq_bytes[s:e],
             "blk_last_docid": self.blk_last_docid[s:e],
+            "blk_max_tf": self.blk_max_tf[s:e]
+            if self.blk_max_tf.size >= e
+            else np.zeros(e - s, dtype=np.uint64),
         }
 
     def save(self, path: str) -> None:

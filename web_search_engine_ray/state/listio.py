@@ -62,18 +62,17 @@ class PostingsShardWriter:
         self.file = open(path, "wb")
         self._offset = 0
 
-    def add_term(self, term: str, docids: np.ndarray, freqs: np.ndarray) -> dict:
-        d = np.ascontiguousarray(docids, dtype=np.uint64)
-        f = np.ascontiguousarray(freqs, dtype=np.uint64)
-        df = int(d.size)
-        if df == 0:
-            raise ValueError(f"empty postings for term {term!r}")
+    def _encode_write_blocks(
+        self, d: np.ndarray, f: np.ndarray, base: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Encode ``(d, f)`` (a whole number of blocks, except possibly the
+        final partial one) starting from gap base ``base`` and append to the
+        file. Returns per-block (offset, doc_bytes, freq_bytes, last, max_tf)."""
         bs = self.block_size
+        df = int(d.size)
         nblocks = (df + bs - 1) // bs
-        start_offset = self._offset
-
         if self.codec == "varbyte":
-            gaps = codecs.delta_encode(d, 0)
+            gaps = codecs.delta_encode(d, base)
             doc_bytes_all = codecs.vb_encode(gaps)
             doc_sizes = codecs.vb_sizes(gaps)
             freq_bytes_all = codecs.vb_encode(f)
@@ -91,7 +90,7 @@ class PostingsShardWriter:
         doc_ends = np.cumsum(blk_doc_bytes)
         freq_ends = np.cumsum(blk_freq_bytes)
         blk_offset = np.empty(nblocks, dtype=np.int64)
-        pos = start_offset
+        pos = self._offset
         dmv, fmv = memoryview(doc_bytes_all), memoryview(freq_bytes_all)
         d0 = f0 = 0
         write = self.file.write
@@ -103,8 +102,30 @@ class PostingsShardWriter:
             pos += (d1 - d0) + (f1 - f0)
             d0, f0 = d1, f1
         self._offset = pos
+        starts = np.arange(0, df, bs)
+        blk_last = d[np.minimum(starts + bs, df) - 1]
+        blk_max_tf = np.maximum.reduceat(f, starts)
+        return (
+            blk_offset,
+            blk_doc_bytes.astype(np.int64),
+            blk_freq_bytes.astype(np.int64),
+            blk_last.astype(np.uint64),
+            blk_max_tf.astype(np.uint64),
+        )
 
-        blk_last = d[np.minimum(np.arange(1, nblocks + 1) * bs, df) - 1]
+    def add_term(self, term: str, docids: np.ndarray, freqs: np.ndarray) -> dict:
+        d = np.ascontiguousarray(docids, dtype=np.uint64)
+        f = np.ascontiguousarray(freqs, dtype=np.uint64)
+        df = int(d.size)
+        if df == 0:
+            raise ValueError(f"empty postings for term {term!r}")
+        start_offset = self._offset
+        blk_offset, blk_doc_bytes, blk_freq_bytes, blk_last, blk_max_tf = (
+            self._encode_write_blocks(d, f, 0)
+        )
+        nblocks = blk_offset.size
+        # blk_max_tf powers score-safe block-max WAND pruning at query
+        # time (an extension; the reference has none, HW2/README.md:132-133)
         return {
             "offset": start_offset,
             "df": df,
@@ -114,6 +135,56 @@ class PostingsShardWriter:
             "blk_doc_bytes": blk_doc_bytes.astype(np.int64),
             "blk_freq_bytes": blk_freq_bytes.astype(np.int64),
             "blk_last_docid": blk_last.astype(np.uint64),
+            "blk_max_tf": blk_max_tf.astype(np.uint64),
+        }
+
+    def add_term_stream(self, term: str, chunks) -> dict:
+        """Encode one term's postings from an iterator of ``(docids, freqs)``
+        chunks WITHOUT ever materializing the full list — O(block_size +
+        chunk) memory. This is how a 10^12-doc stopword list is encoded
+        (SURVEY.md §7.6.3); chunks must be docid-ascending across the whole
+        stream (salt buckets arrive in docid-range order)."""
+        bs = self.block_size
+        start_offset = self._offset
+        parts = {k: [] for k in ("off", "db", "fb", "last", "mtf")}
+        buf_d = np.empty(0, dtype=np.uint64)
+        buf_f = np.empty(0, dtype=np.uint64)
+        prev_last = 0
+        df = 0
+
+        def _flush(d, f, base):
+            off, db, fb, last, mtf = self._encode_write_blocks(d, f, base)
+            parts["off"].append(off)
+            parts["db"].append(db)
+            parts["fb"].append(fb)
+            parts["last"].append(last)
+            parts["mtf"].append(mtf)
+            return int(last[-1])
+
+        for d, f in chunks:
+            d = np.ascontiguousarray(d, dtype=np.uint64)
+            f = np.ascontiguousarray(f, dtype=np.uint64)
+            df += int(d.size)
+            buf_d = np.concatenate([buf_d, d]) if buf_d.size else d
+            buf_f = np.concatenate([buf_f, f]) if buf_f.size else f
+            nfull = (buf_d.size // bs) * bs
+            if nfull:
+                prev_last = _flush(buf_d[:nfull], buf_f[:nfull], prev_last)
+                buf_d, buf_f = buf_d[nfull:], buf_f[nfull:]
+        if buf_d.size:
+            prev_last = _flush(buf_d, buf_f, prev_last)
+        if df == 0:
+            raise ValueError(f"empty postings for term {term!r}")
+        return {
+            "offset": start_offset,
+            "df": df,
+            "nblocks": int(sum(a.size for a in parts["off"])),
+            "codec": self.codec,
+            "blk_offset": np.concatenate(parts["off"]),
+            "blk_doc_bytes": np.concatenate(parts["db"]),
+            "blk_freq_bytes": np.concatenate(parts["fb"]),
+            "blk_last_docid": np.concatenate(parts["last"]),
+            "blk_max_tf": np.concatenate(parts["mtf"]),
         }
 
     def close(self) -> int:
