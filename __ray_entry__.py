@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(nor in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes each implemented operator/pipeline from SURVEY.md §2
+over the driver's parquet tables (``documents``/``embeddings`` stand in as the
+corpus; ``doc_id`` is the docid). ``oracle_sql()`` gives the exact DuckDB twin
+where SQL can express the op; probabilistic / model-ish ops (LSH candidates,
+simhash, langid, index internals) are rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +15,216 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# The reference token pattern (HW2/engine/parser.py:78); RE2 (DuckDB), Rust
+# regex (polars) and CPython `re` agree on it — property-tested in
+# tests/test_tokenizer.py.
+PAT = "[a-z0-9]+(?:[.-][a-z0-9]+)*"
+TOK = f"regexp_extract_all(lower(text), '{PAT}')"
+
+STOP_SQL = "('the','a','and','of','to','in','is')"
+
+TOPK = 10
+N_KNN_QUERIES = 3
+
+
+def _q_values() -> str:
+    """The fixed query set as SQL VALUES rows (query_id, term) — query-side
+    tokenization is lower().split(), preserved here."""
+    from web_search_engine_ray.functions.tokenize import query_terms
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+    rows = []
+    for qid, q in enumerate(FIXED_QUERIES):
+        for t in query_terms(q):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: build the inverted index (runs -> salted
+    shuffle merge -> blocked varbyte shards) over the documents corpus, then
+    serve the fixed BM25 query set through a searcher actor pool."""
+    from web_search_engine_ray.pipelines.query import run_queries
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES, documents_index
+
+    idx = documents_index("/root/testdata/sf0.001")
+    return run_queries(idx, FIXED_QUERIES, topk=TOPK, mode="OR", concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_search_engine_ray.pipelines import (
+        analysis,
+        corpus,
+        dedup,
+        serving,
+        similarity,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- inverted index relations (SURVEY.md §2.1-2.5) ----
+        "postings": corpus.postings_ds,
+        "doc_lengths": corpus.doc_lengths_ds,
+        "term_stats": corpus.term_stats_ds,
+        "corpus_stats": corpus.corpus_stats_table,
+        # ---- ranked + boolean search (§2.6-2.8) ----
+        "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
+        "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
+        "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
+        "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
+        # ---- dedup family ----
+        "dedup_exact": dedup.exact_dedup_ds,
+        "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
+        "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
+        "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
+        "embedding_dups": lambda sf: dedup.embedding_dups(sf, tau=0.45),
+        # ---- similarity search ----
+        "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
+        "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
+        # ---- text analysis ----
+        "text_stats": analysis.text_stats_ds,
+        "quality": analysis.quality_ds,
+        "langid": analysis.langid_ds,
+        "rolling_fingerprint": analysis.rolling_fingerprint_ds,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qv = _q_values()
+    tok_cte = f"tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)"
+    tf_cte = "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)"
+    dl_cte = f"dl AS (SELECT doc_id, len({TOK}) AS dl FROM documents)"
+    df_cte = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+
+    bm25_core = f"""
+WITH {tok_cte},
+ {tf_cte},
+ {dl_cte},
+ {df_cte},
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(dl::DOUBLE) FROM dl) AS avgdl),
+ q(query_id, term) AS (VALUES {qv}),
+ scored AS (
+   SELECT q.query_id, tf.doc_id AS docid,
+          sum( ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2*(0.25 + 0.75*dl.dl::DOUBLE/s.avgdl)) ) AS score,
+          count(*) AS nmatch
+   FROM q
+   JOIN df ON df.term = q.term
+   JOIN tf ON tf.term = q.term
+   JOIN dl ON dl.doc_id = tf.doc_id
+   CROSS JOIN stats s
+   GROUP BY q.query_id, tf.doc_id
+ ),
+ need AS (SELECT q.query_id, count(*) AS need
+          FROM q JOIN df ON df.term = q.term GROUP BY q.query_id)
+"""
+
+    shingle_cte = f"""
+ t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ sh AS (SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              for i in range(1, len(ws)-1)]) AS s
+        FROM t WHERE len(ws) >= 3)
+"""
+
+    return {
+        "postings": f"""
+WITH {tok_cte}
+SELECT term, doc_id AS docid, count(*)::BIGINT AS tf
+FROM tok GROUP BY term, doc_id
+""",
+        "doc_lengths": f"SELECT doc_id AS docid, len({TOK})::BIGINT AS dl FROM documents",
+        "term_stats": f"""
+WITH {tok_cte}, {tf_cte}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+""",
+        "corpus_stats": f"""
+WITH {tok_cte}, {tf_cte}, {dl_cte}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       ROUND((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl
+""",
+        "bm25_topk_or": bm25_core
+        + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
+        "bm25_topk_and": bm25_core
+        + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT s.*, row_number() OVER (PARTITION BY s.query_id
+                                     ORDER BY s.score DESC, s.docid) AS rn
+      FROM scored s JOIN need n ON n.query_id = s.query_id AND s.nmatch = n.need)
+WHERE rn <= {TOPK}
+""",
+        "boolean_and": f"""
+WITH {tok_cte}, {tf_cte}, {df_cte},
+ q(query_id, term) AS (VALUES {qv}),
+ m AS (SELECT q.query_id, tf.doc_id, count(DISTINCT q.term) AS nt
+       FROM q JOIN tf ON tf.term = q.term GROUP BY q.query_id, tf.doc_id),
+ need AS (SELECT q.query_id, count(DISTINCT q.term) AS need
+          FROM q JOIN df ON df.term = q.term GROUP BY q.query_id)
+SELECT m.query_id::BIGINT AS query_id, m.doc_id AS docid
+FROM m JOIN need ON need.query_id = m.query_id AND m.nt = need.need
+""",
+        "boolean_or": f"""
+WITH {tok_cte}, {tf_cte},
+ q(query_id, term) AS (VALUES {qv})
+SELECT DISTINCT q.query_id::BIGINT AS query_id, tf.doc_id AS docid
+FROM q JOIN tf ON tf.term = q.term
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS docid
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard_dups": f"""
+WITH {shingle_cte}
+SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+""",
+        "knn_cosine": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),
+ sims AS (SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.emb) AS cos
+          FROM q JOIN e ON e.vec_id != q.query_id)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn FROM sims)
+WHERE rn <= {TOPK}
+""",
+        "text_stats": f"""
+SELECT doc_id AS docid,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_uniq,
+       length(text)::BIGINT AS n_chars,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE ROUND(len(list_filter(toks, t -> t IN {STOP_SQL}))::DOUBLE
+                       / len(toks), 6) END AS stop_ratio,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE ROUND(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                       / len(toks), 6) END AS mean_token_len,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM (SELECT doc_id, text, {TOK} AS toks FROM documents)
+""",
+        "quality": f"""
+SELECT doc_id AS docid,
+       (len(toks) >= 5 AND
+        (CASE WHEN len(toks) = 0 THEN 1.0
+              ELSE len(list_filter(toks, t -> t IN {STOP_SQL}))::DOUBLE / len(toks)
+         END) <= 0.6) AS quality_ok
+FROM (SELECT doc_id, {TOK} AS toks FROM documents)
+""",
+        # rows-only (no SQL twin): minhash_lsh_candidates, simhash_dups,
+        # embedding_dups, knn_lsh, langid, rolling_fingerprint
+    }

@@ -1,0 +1,130 @@
+"""Dataset-native postings/statistics pipelines over the ``documents`` table.
+
+These are the pure Ray-Data (no index files) expressions of the engine's
+transforms, used by the driver correctness gate (``__ray_entry__``): each has
+an exact DuckDB-SQL twin over the same parquet. ``doc_id`` serves as the docid
+(the table is dense + sorted, so row rank == doc_id — the same positional
+contract as the transcript corpus).
+
+All driver-facing outputs use int64/float64/string columns so Ray and DuckDB
+schemas agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from web_search_engine_ray.functions.tokenize import batch_postings, token_lists
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+
+def _to_postings(batch: pa.Table) -> pa.Table:
+    docids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    postings, _dl = batch_postings(docids, batch["text"])
+    return pa.table(
+        {
+            "term": postings["term"],
+            "docid": postings["docid"].cast(pa.int64()),
+            "tf": postings["tf"].cast(pa.int64()),
+        }
+    )
+
+
+def postings_ds(sf_dir: str):
+    """(term, docid, tf) — the exploded inverted-index relation."""
+    return _read_docs(sf_dir).map_batches(_to_postings, batch_format="pyarrow")
+
+
+def doc_lengths_ds(sf_dir: str):
+    """(docid, dl) token counts, including dl=0 docs."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        dl = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "docid": batch["doc_id"].cast(pa.int64()),
+                "dl": pa.array(dl, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def term_stats_ds(sf_dir: str):
+    """(term, df, cf): document frequency + collection frequency per term.
+
+    Partial-aggregated inside map_batches (one row per term per batch), then a
+    small groupby-sum — the pre-aggregation pattern that keeps the shuffle
+    tiny at scale."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = _to_postings(batch)
+        g = (
+            pl.from_arrow(p)
+            .group_by("term")
+            .agg(pl.len().alias("df_p"), pl.col("tf").sum().alias("cf_p"))
+        )
+        return g.to_arrow()
+
+    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("term").sum(["df_p", "cf_p"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": batch["term"],
+                "df": batch["sum(df_p)"].cast(pa.int64()),
+                "cf": batch["sum(cf_p)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def corpus_stats_table(sf_dir: str) -> pa.Table:
+    """One row: n_docs, n_terms, n_postings, total_tokens, avgdl (round 6)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = _to_postings(batch)
+        toks = token_lists(batch["text"])
+        dl = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_postings": pa.array([p.num_rows], pa.int64()),
+                "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n_terms = term_stats_ds(sf_dir).count()
+    n_docs = int(parts["n_docs"])
+    total = int(parts["total_tokens"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_terms": pa.array([int(n_terms)], pa.int64()),
+            "n_postings": pa.array([int(parts["n_postings"])], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "avgdl": pa.array([round(total / n_docs, 6)], pa.float64()),
+        }
+    )

@@ -1,0 +1,333 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline extensions (beyond the reference's
+operator set — it has only exact ``(term, docid)`` collapse,
+``HW2/engine/merger.py:114-132``):
+
+- :func:`exact_dedup_ds` — content-hash groupby, keep min docid. Scale path:
+  hash is computed vectorized per batch; the shuffle moves one (hash, docid)
+  row per doc, never the text.
+- :func:`minhash_lsh_candidates_ds` — shingle -> minhash signature -> banded
+  LSH buckets -> candidate pairs. All hashing is deterministic splitmix64.
+- :func:`ngram_jaccard_dups` — LSH candidates verified by exact 3-gram
+  Jaccard >= tau. Band config (r=2, b=32) puts the miss probability for a
+  true tau=0.8 pair below 1e-14, so the result equals the exact all-pairs
+  answer (the DuckDB oracle computes all-pairs).
+- :func:`simhash_dups` — 64-bit simhash, pairs within Hamming distance k
+  (verified exactly on candidates from table-chunked comparison).
+- :func:`embedding_dups` — cosine near-dup pairs over ``embeddings``.
+
+Pair outputs are (docid_a < docid_b) int64 pairs, deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from web_search_engine_ray.functions.tokenize import token_lists
+
+MINHASH_PERMS = 64
+LSH_ROWS = 2  # rows per band
+LSH_BANDS = 32
+SHINGLE_K = 3
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_ds(sf_dir: str):
+    """(text_hash, docid): md5 of raw text -> min doc_id survivor per group."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_hash": pa.array(hashes, pa.string()),
+                "docid_p": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    agg = ds.groupby("text_hash").min("docid_p")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_hash": batch["text_hash"],
+                "docid": batch["min(docid_p)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
+    """Deterministic u64 hash per distinct k-token shingle."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    shingles = {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    return out
+
+
+def _minhash_sig(sh: np.ndarray, nperm: int = MINHASH_PERMS) -> np.ndarray:
+    """nperm minhashes: min over splitmix(sh ^ seed_p) per permutation."""
+    if sh.size == 0:
+        return np.full(nperm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    seeds = _splitmix(np.arange(1, nperm + 1, dtype=np.uint64))
+    # (nperm, nshingles) — vectorized over both axes
+    m = _splitmix(sh[None, :] ^ seeds[:, None])
+    return m.min(axis=1)
+
+
+def _band_rows(doc_id: int, sig: np.ndarray):
+    for band in range(LSH_BANDS):
+        chunk = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        yield band, h, doc_id
+
+
+def minhash_lsh_candidates_ds(sf_dir: str):
+    """Candidate near-dup pairs (docid_a, docid_b) from banded minhash LSH.
+
+    shingle -> minhash -> band -> ``groupby(band, band_hash)`` -> pairs within
+    bucket -> distinct. The shuffle moves (band, hash, docid) rows only."""
+    import ray.data
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        ids = batch["doc_id"].to_pylist()
+        band_l, hash_l, doc_l = [], [], []
+        for did, tl in zip(ids, toks):
+            sig = _minhash_sig(_shingle_hashes(tl or []))
+            for band, h, d in _band_rows(did, sig):
+                band_l.append(band)
+                hash_l.append(h)
+                doc_l.append(d)
+        return pa.table(
+            {
+                "band": pa.array(band_l, pa.int32()),
+                "bhash": pa.array(hash_l, pa.string()),
+                "docid": pa.array(doc_l, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        ids = sorted(batch["docid"].to_pylist())
+        a_l, b_l = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_l.append(ids[i])
+                b_l.append(ids[j])
+        return pa.table(
+            {"docid_a": pa.array(a_l, pa.int64()), "docid_b": pa.array(b_l, pa.int64())}
+        )
+
+    ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
+    pairs = ds.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # distinct pairs
+    return pairs.groupby(["docid_a", "docid_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8) -> pa.Table:
+    """Pairs with exact 3-gram Jaccard >= tau, via LSH candidates + exact
+    verification (broadcast shingle sets for the candidate docs only)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cand = minhash_lsh_candidates_ds(sf_dir).to_pandas()
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    need = set(cand["docid_a"]) | set(cand["docid_b"])
+    toks = token_lists(docs["text"]).to_list()
+    ids = docs["doc_id"].to_pylist()
+    sh = {
+        d: {
+            " ".join((tl or [])[i : i + SHINGLE_K])
+            for i in range(len(tl or []) - SHINGLE_K + 1)
+        }
+        for d, tl in zip(ids, toks)
+        if d in need
+    }
+    a_l, b_l, j_l = [], [], []
+    for a, b in sorted(zip(cand["docid_a"], cand["docid_b"])):
+        j = _jaccard(sh.get(a, set()), sh.get(b, set()))
+        if j >= tau:
+            a_l.append(int(a))
+            b_l.append(int(b))
+            j_l.append(round(j, 6))
+    return pa.table(
+        {
+            "docid_a": pa.array(a_l, pa.int64()),
+            "docid_b": pa.array(b_l, pa.int64()),
+            "jaccard": pa.array(j_l, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def _simhash(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    vote = bits.sum(axis=0) * 2 - len(tokens)
+    out = np.uint64(0)
+    for i in range(64):
+        if vote[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def simhash_ds(sf_dir: str):
+    """(docid, simhash) per document (hex string for portability)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        sh = [f"{_simhash(t or []):016x}" for t in toks]
+        return pa.table(
+            {
+                "docid": batch["doc_id"].cast(pa.int64()),
+                "simhash": pa.array(sh, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def simhash_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Pairs within Hamming distance <= max_hamming of 64-bit simhash.
+
+    Candidate generation by 4-way band blocking (a pair within distance 3
+    shares at least one of 4 16-bit bands), then exact popcount verify."""
+    t = simhash_ds(sf_dir).to_pandas()
+    ids = t["docid"].to_numpy()
+    hs = np.array([int(x, 16) for x in t["simhash"]], dtype=np.uint64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, h in enumerate(hs):
+        for band in range(4):
+            key = (band, int((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)))
+            buckets.setdefault(key, []).append(i)
+    seen = set()
+    a_l, b_l, d_l = [], [], []
+    for idxs in buckets.values():
+        for x in range(len(idxs)):
+            for y in range(x + 1, len(idxs)):
+                i, j = idxs[x], idxs[y]
+                if (i, j) in seen:
+                    continue
+                seen.add((i, j))
+                ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if ham <= max_hamming:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    a_l.append(a)
+                    b_l.append(b)
+                    d_l.append(ham)
+    order = np.lexsort((b_l, a_l)) if a_l else []
+    return pa.table(
+        {
+            "docid_a": pa.array([a_l[i] for i in order], pa.int64()),
+            "docid_b": pa.array([b_l[i] for i in order], pa.int64()),
+            "hamming": pa.array([d_l[i] for i in order], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- embedding
+
+
+def embedding_dups(sf_dir: str, tau: float = 0.45) -> pa.Table:
+    """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b, cos >= tau).
+
+    Test-scale path: broadcast the normalized matrix once (``ray.put``) and
+    compare each batch against it (blocked matmul). The 100 TB path replaces
+    the broadcast with LSH bucketing (random hyperplanes) — same verify step.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, Mn))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ mat.T
+        bi, ai = np.nonzero(sims >= tau)
+        keep = ids_b[bi] < ids_a[ai]
+        a = ids_b[bi][keep]
+        b = ids_a[ai][keep]
+        s = sims[bi, ai][keep]
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a, pa.int64()),
+                "vec_id_b": pa.array(b, pa.int64()),
+                "cos": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

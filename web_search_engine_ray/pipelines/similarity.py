@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- :func:`knn_cosine` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one float64 matmul against
+  it and emits only its per-batch top-k (pre-aggregation), the driver merges
+  the tiny partials. Scale path: the same stage behind an IVF/LSH bucket
+  router (see :func:`lsh_bucketed_knn`).
+- :func:`lsh_bucketed_knn` — random-hyperplane LSH variant: vectors are
+  routed to sign-pattern buckets; queries probe only their own bucket (plus
+  optional multi-probe neighbors). Approximate by construction; exists to
+  exercise the partitioned layout the 100 TB path needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.flatnonzero(ids < n_queries)
+    Q = np.array(t["embedding"].take(pa.array(sel)).to_pylist(), dtype=np.float64)
+    return ids[sel], _norm_rows(Q)
+
+
+def knn_cosine(sf_dir: str, n_queries: int = 3, topk: int = 10) -> pa.Table:
+    """Top-k cosine neighbors of query vectors (vec_id < n_queries), excluding
+    self. Columns: (query_id, vec_id, cos) — cos rounded to 6."""
+    import ray
+    import ray.data
+
+    qids, Qn = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((qids, Qn))
+
+    def f(batch: pa.Table) -> pa.Table:
+        q_ids, qm = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = qm @ V.T  # (nq, batch)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_ids.size):
+            mask = ids != q_ids[qi]
+            s = sims[qi][mask]
+            vid = ids[mask]
+            k = min(topk, s.size)
+            if k == 0:
+                continue
+            part = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            out_v.append(vid[part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk)
+        out_rows.append(grp)
+    import pandas as pd
+
+    merged = pd.concat(out_rows).reset_index(drop=True)
+    merged["cos"] = merged["cos"].round(6)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def lsh_bucketed_knn(
+    sf_dir: str, n_queries: int = 3, topk: int = 10, n_planes: int = 8
+) -> pa.Table:
+    """Approximate top-k via random-hyperplane LSH bucket probing.
+
+    Deterministic hyperplanes (splitmix-seeded Gaussian via Box-Muller on
+    counter-based uniforms). A query only scans vectors whose sign pattern
+    matches its own bucket — the partition-pruned scan pattern the 100 TB
+    layout relies on (bucket = parquet partition key there)."""
+    import ray
+    import ray.data
+
+    qids, Qn = _query_matrix(sf_dir, n_queries)
+    t = pq.read_table(_emb_path(sf_dir), columns=["embedding"])
+    dim = len(t["embedding"][0])
+    rng = np.random.Generator(np.random.Philox(key=12345))
+    planes = rng.standard_normal((n_planes, dim))
+    qbuck = (Qn @ planes.T > 0) @ (1 << np.arange(n_planes))
+    qref = ray.put((qids, Qn, planes, qbuck))
+
+    def f(batch: pa.Table) -> pa.Table:
+        q_ids, qm, pl_, qb = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        vb = (V @ pl_.T > 0) @ (1 << np.arange(pl_.shape[0]))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_ids.size):
+            mask = (vb == qb[qi]) & (ids != q_ids[qi])
+            if not mask.any():
+                continue
+            s = qm[qi] @ V[mask].T
+            vid = ids[mask]
+            k = min(topk, s.size)
+            part = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            out_v.append(vid[part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
+    if not out:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    merged = pd.concat(out).reset_index(drop=True)
+    merged["cos"] = merged["cos"].round(6)
+    return pa.Table.from_pandas(merged, preserve_index=False)
