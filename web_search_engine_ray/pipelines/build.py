@@ -13,29 +13,40 @@ Ray-Data-native replacement for the reference's three-stage external sort
   come from the metadata offset plan (``sources.transcripts``), never from
   task completion order.
 
-- **Phase 2 (merge)**: ONE hash shuffle replaces the reference's layered heap
-  merge + single-writer final merge (its stated bottleneck,
-  ``HW2/README.md:131``). Runs are read back (only a term-routing pass — the
-  explicit repartition required by the north rule), every posting gets a group
-  key ``gkey``:
+- **Phase 2 (merge)**: ONE partitioned exchange replaces the reference's
+  layered heap merge + single-writer final merge (its stated bottleneck,
+  ``HW2/README.md:131``). Every posting gets a group key ``gkey`` — the
+  explicit repartition required by the north rule:
 
     * normal term  -> ``gkey = hash(term) % num_shards``
     * heavy term i -> ``gkey = num_shards + i * n_salts + docid // bucket_width``
       (salted partitioning: a stopword's postings spread over ``n_salts``
-      docid-range buckets so no single group materializes the full list)
+      docid-range buckets so no single group ever materializes the full list)
 
-  then ``groupby("gkey").map_groups`` encodes each group: normal groups sort
-  ``(term, docid)`` and write a blocked/varbyte postings shard + lexicon
-  shard; heavy groups write docid-sorted parquet partials.
+  Two interchangeable exchange strategies (byte-identical output, tested):
 
-- **Phase 3 (heavy reconcile)**: one small task per heavy term streams its
-  salt buckets in docid order through ``add_term_stream`` (O(block) memory —
-  a 10^12-posting list is never materialized, unlike the reference's per-term
-  dict at ``merger.py:101``) into a dedicated heavy shard + lexicon.
+    * ``merge_strategy="mapside"`` (default): phase 1 sorts each partition's
+      postings by ``(gkey, term, docid)`` and writes ONE PARQUET ROW GROUP
+      PER GKEY, recording the gkey -> row-group map in the run manifest. The
+      merge is then embarrassingly parallel: one task per normal gkey reads
+      exactly its row groups from each run (a map-side-partitioned shuffle,
+      MapReduce-style — no sort all-to-all; no task reads a row it doesn't
+      own) and encodes the blocked/varbyte shard + lexicon shard. One task
+      per HEAVY term streams its salt gkeys in docid-range order through the
+      incremental block encoder — O(block) memory, a 10^12-posting stopword
+      list is never materialized (unlike the reference's per-term dict,
+      ``merger.py:101``).
+    * ``merge_strategy="groupby"``: the Ray-native all-to-all —
+      ``groupby("gkey").map_groups`` over the runs Dataset; heavy groups
+      write docid-sorted bucket partials reconciled by a per-term streaming
+      pass. Prefer this when the partition count is so large (~10^6+ per
+      job) that mapside's per-gkey row-group fan-in reads would dominate;
+      below that, mapside wins outright by deleting the sort shuffle.
 
-Heavy terms are detected from phase-1 manifests: each run manifest carries its
-top-``manifest_top_terms`` per-partition df partials; the driver sums them —
-no extra pass over the data.
+Heavy terms are detected BEFORE phase 1 by a deterministic sample pre-pass
+over a fixed, partitioning-independent subset of input files (so the run
+layout — and every output byte — is invariant to partition size and task
+order; missing a true heavy term only costs balance, never correctness).
 
 All shard/run/manifest writes are atomic (tmp + rename) with deterministic
 names, so a rerun after a crash reuses finished partitions and rewrites only
@@ -80,8 +91,14 @@ class BuildConfig:
     partition_rows: int = 100_000
     resume: bool = True
     text_column: str = "text"
-    # a term is "heavy" when its df exceeds this fraction of N (None = auto)
+    # "mapside" (default: map-side-partitioned runs, no sort all-to-all) or
+    # "groupby" (Ray-native sort shuffle) — identical output bytes
+    merge_strategy: str = "mapside"
+    # a term is "heavy" (salted) when its sampled df fraction exceeds this
     heavy_df_frac: float = 0.05
+    # heavy-detection sample: fixed, partitioning-independent file subset
+    heavy_sample_files: int = 8
+    heavy_sample_rows: int = 200_000
     manifest_top_terms: int = 64
     # map_batches knobs for the run phase
     run_concurrency: int | None = None
@@ -121,16 +138,115 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+# ---------------------------------------------------- heavy-term detection
+
+
+def detect_heavy_sample(files: list[str], cfg: BuildConfig) -> list[str]:
+    """Pre-phase-1 heavy-hitter detection over a deterministic sample.
+
+    Reads up to ``heavy_sample_rows`` rows from up to ``heavy_sample_files``
+    evenly-spaced input FILES (files are stable across partition sizes, so
+    the resulting heavy set — and hence the whole run/shard layout — is
+    partitioning-invariant). A term is heavy when its sampled df fraction is
+    >= ``heavy_df_frac``. Misses only cost group balance, never correctness.
+    """
+    if cfg.heavy_df_frac is None or cfg.heavy_df_frac <= 0:
+        return []
+    import polars as pl
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+
+    k = min(cfg.heavy_sample_files, len(files))
+    stride = max(1, len(files) // k)
+    sample_files = files[::stride][:k]
+    per_file_rows = max(1, cfg.heavy_sample_rows // len(sample_files))
+
+    def _sample_one(path: str) -> tuple[int, dict[str, int]]:
+        t = pq.ParquetFile(path).read_row_group(0, columns=[cfg.text_column])
+        t = t.slice(0, per_file_rows)
+        toks = token_lists(t[cfg.text_column])
+        dfp = (
+            pl.DataFrame({"term": toks})
+            .with_row_index("rid")
+            .explode("term", empty_as_null=True)
+            .drop_nulls("term")
+            .unique(subset=["rid", "term"])
+            .group_by("term")
+            .len(name="df")
+        )
+        return t.num_rows, dict(zip(dfp["term"].to_list(), (int(x) for x in dfp["df"].to_list())))
+
+    results: list[tuple[int, dict[str, int]]]
+    try:
+        import ray
+
+        if ray.is_initialized() and len(sample_files) > 1:
+            f = ray.remote(num_cpus=1)(_sample_one)
+            results = ray.get([f.remote(p) for p in sample_files])
+        else:
+            results = [_sample_one(p) for p in sample_files]
+    except ImportError:  # pragma: no cover
+        results = [_sample_one(p) for p in sample_files]
+
+    acc: dict[str, int] = {}
+    n_sampled = 0
+    for n_rows, dfs in results:
+        n_sampled += n_rows
+        for term, df in dfs.items():
+            acc[term] = acc.get(term, 0) + df
+    if n_sampled == 0:
+        return []
+    thresh = cfg.heavy_df_frac * n_sampled
+    return sorted(t for t, c in acc.items() if c >= thresh)
+
+
+def make_layout(heavy_terms: list[str], n_docs: int, cfg: BuildConfig) -> dict:
+    """The gkey routing contract shared by phase 1 and both merge paths."""
+    layout = {
+        "S": cfg.num_shards,
+        "n_salts": cfg.n_salts,
+        "bucket_width": max(1, math.ceil(n_docs / cfg.n_salts)),
+        "heavy": list(heavy_terms),
+    }
+    layout["fp"] = hashlib.sha256(
+        json.dumps(layout, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    return layout
+
+
+def assign_gkeys(
+    terms: pa.ChunkedArray | pa.Array, docids: np.ndarray, layout: dict
+) -> np.ndarray:
+    """Row-level group keys: hash shard for normal terms, per-docid-range
+    salt buckets for heavy terms (the salted repartition)."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    S, nsalts = layout["S"], layout["n_salts"]
+    heavy_idx = {t: i for i, t in enumerate(layout["heavy"])}
+    enc = terms.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    shard_of = term_shard_array(uniq, S).astype(np.int64)
+    hv = np.array([heavy_idx.get(t, -1) for t in uniq], dtype=np.int64)
+    gkey = shard_of[indices]
+    hrow = hv[indices]
+    mask = hrow >= 0
+    if mask.any():
+        salt = (docids[mask] // np.uint64(layout["bucket_width"])).astype(np.int64)
+        gkey[mask] = S + hrow[mask] * nsalts + salt
+    return gkey
+
+
 # ---------------------------------------------------------------- phase 1
 
 
-def _build_one_partition(desc: dict, cfg: BuildConfig) -> dict:
+def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
     t0 = time.perf_counter()
     pid = desc["pid"]
     run_path = os.path.join(cfg.runs_dir, f"run_{pid:06d}.parquet")
     dl_path = os.path.join(cfg.doclens_dir, f"doclen_{pid:06d}.parquet")
     man_path = os.path.join(cfg.manifests_dir, f"run_{pid:06d}.json")
-    fp = mf.descriptor_fingerprint(desc)
+    fp = mf.descriptor_fingerprint(desc) + ":" + layout["fp"]
 
     if cfg.resume and mf.partition_done(man_path, fp, [run_path, dl_path]):
         m = mf.read_manifest(man_path)
@@ -141,8 +257,25 @@ def _build_one_partition(desc: dict, cfg: BuildConfig) -> dict:
     docids = partition_docids(desc)
     postings, dl = batch_postings(docids, tbl[cfg.text_column])
 
+    # group-key routing + stable sort by gkey: rows within a gkey keep their
+    # (term, docid) order (heavy salts are docid-monotonic), giving the
+    # (gkey, term, docid) order the map-side shuffle layout needs
+    pdoc = _np(postings["docid"], np.uint64)
+    gkey = assign_gkeys(postings["term"], pdoc, layout)
+    order = np.argsort(gkey, kind="stable")
+    postings = postings.take(pa.array(order, pa.int64()))
+    gsorted = gkey[order]
+    bounds = np.flatnonzero(np.diff(gsorted, prepend=gsorted[0] - 1)) if gsorted.size else np.array([], dtype=np.int64)
+    bounds = np.append(bounds, gsorted.size)
+    gkeys_present = [int(gsorted[int(b)]) for b in bounds[:-1]]
+
+    # one parquet row group per gkey — the map-side partitioned run layout
     tmp = run_path + ".tmp"
-    pq.write_table(postings, tmp)
+    writer = pq.ParquetWriter(tmp, postings.schema)
+    for i in range(len(gkeys_present)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        writer.write_table(postings.slice(lo, hi - lo))
+    writer.close()
     os.replace(tmp, run_path)
 
     dl_tbl = pa.table(
@@ -174,6 +307,7 @@ def _build_one_partition(desc: dict, cfg: BuildConfig) -> dict:
         "n_terms": int(len(vals)),
         "sum_dl": int(dl.sum()),
         "top_terms": top_terms,
+        "gkeys": gkeys_present,
         "run_sha256": _sha256_file(run_path),
         "wall_s": round(time.perf_counter() - t0, 4),
         "skipped": False,
@@ -182,7 +316,7 @@ def _build_one_partition(desc: dict, cfg: BuildConfig) -> dict:
     return m
 
 
-def build_runs(descs: list[dict], cfg: BuildConfig) -> list[dict]:
+def build_runs(descs: list[dict], cfg: BuildConfig, layout: dict) -> list[dict]:
     """Phase 1 over Ray Data; returns the per-partition manifests."""
     import ray.data
 
@@ -190,7 +324,7 @@ def build_runs(descs: list[dict], cfg: BuildConfig) -> list[dict]:
         os.makedirs(d, exist_ok=True)
 
     def _build_partitions(batch: pa.Table) -> pa.Table:
-        out = [_build_one_partition(row, cfg) for row in batch.to_pylist()]
+        out = [_build_one_partition(row, cfg, layout) for row in batch.to_pylist()]
         return pa.table({"manifest": pa.array([json.dumps(m) for m in out], pa.string())})
 
     ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
@@ -202,22 +336,6 @@ def build_runs(descs: list[dict], cfg: BuildConfig) -> list[dict]:
 
 
 # ---------------------------------------------------------------- phase 2
-
-
-def detect_heavy_terms(run_manifests: list[dict], n_docs: int, cfg: BuildConfig) -> list[str]:
-    """Aggregate per-partition df partials; heavy = df ≳ heavy_df_frac * N.
-
-    Partials only cover each partition's top terms, so the estimate is a lower
-    bound — exactly what we want (false negatives only make a group bigger,
-    never incorrect)."""
-    if cfg.heavy_df_frac is None or cfg.heavy_df_frac <= 0:
-        return []
-    acc: dict[str, int] = {}
-    for m in run_manifests:
-        for t, c in m.get("top_terms", {}).items():
-            acc[t] = acc.get(t, 0) + c
-    thresh = max(int(cfg.heavy_df_frac * n_docs), 2 * cfg.block_size)
-    return sorted(t for t, c in acc.items() if c >= thresh)
 
 
 def _encode_normal_shard(batch: pa.Table, sid: int, cfg: BuildConfig, build_fp: str) -> dict:
@@ -292,34 +410,21 @@ def _write_heavy_bucket(batch: pa.Table, term_idx: int, salt: int, cfg: BuildCon
     }
 
 
-def merge_runs(
-    cfg: BuildConfig, n_docs: int, heavy_terms: list[str], build_fp: str
+def merge_runs_groupby(
+    cfg: BuildConfig, layout: dict, heavy_terms: list[str], build_fp: str
 ) -> list[dict]:
-    """Phase 2: the one hash shuffle (groupby gkey) + per-group encode."""
+    """Phase 2, Ray-native strategy: groupby(gkey) sort shuffle + per-group
+    encode; heavy groups write bucket partials (reconciled in phase 3)."""
     import ray.data
 
     os.makedirs(cfg.index_dir, exist_ok=True)
     os.makedirs(cfg.heavy_dir, exist_ok=True)
-    S, nsalts = cfg.num_shards, cfg.n_salts
-    bucket_width = max(1, math.ceil(n_docs / nsalts))
-    heavy_idx = {t: i for i, t in enumerate(heavy_terms)}
+    S, nsalts = layout["S"], layout["n_salts"]
 
     def _assign_gkey(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("gkey", pa.array([], pa.int64()))
-        terms = batch["term"].combine_chunks()
-        enc = terms.dictionary_encode()
-        uniq = enc.dictionary.to_pylist()
-        indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        shard_of = term_shard_array(uniq, S).astype(np.int64)
-        hv = np.array([heavy_idx.get(t, -1) for t in uniq], dtype=np.int64)
-        gkey = shard_of[indices]
-        hrow = hv[indices]
-        mask = hrow >= 0
-        if mask.any():
-            docid = _np(batch["docid"], np.uint64)
-            salt = (docid[mask] // np.uint64(bucket_width)).astype(np.int64)
-            gkey[mask] = S + hrow[mask] * nsalts + salt
+        gkey = assign_gkeys(batch["term"], _np(batch["docid"], np.uint64), layout)
         return batch.append_column("gkey", pa.array(gkey, pa.int64()))
 
     def _encode_group(batch: pa.Table) -> pa.Table:
@@ -340,6 +445,95 @@ def merge_runs(
     ds = ray.data.read_parquet(run_files)
     ds = ds.map_batches(_assign_gkey, batch_format="pyarrow")
     res = ds.groupby("gkey").map_groups(_encode_group, batch_format="pyarrow")
+    ms = [json.loads(s) for s in res.to_pandas()["manifest"]]
+    ms = [m for m in ms if m["kind"] == "normal"]
+    ms += reconcile_heavy(cfg, heavy_terms, build_fp)
+    return ms
+
+
+def merge_runs_mapside(
+    cfg: BuildConfig, run_manifests: list[dict], layout: dict, build_fp: str
+) -> list[dict]:
+    """Phase 2, map-side strategy: the runs are already partitioned by gkey
+    (one parquet row group per gkey); one task per normal gkey gathers and
+    encodes its shard, one task per heavy term streams its salt gkeys in
+    docid-range order (runs visited in pid order => globally docid-ascending,
+    so no sort and O(block) memory)."""
+    import ray.data
+
+    os.makedirs(cfg.index_dir, exist_ok=True)
+    S, nsalts = layout["S"], layout["n_salts"]
+    heavy_terms = layout["heavy"]
+
+    # gkey -> [(run_path, row_group_ordinal)], runs in pid order
+    sources: dict[int, list[tuple[str, int]]] = {}
+    for m in sorted(run_manifests, key=lambda x: x["pid"]):
+        path = os.path.join(cfg.runs_dir, f"run_{m['pid']:06d}.parquet")
+        for ordinal, g in enumerate(m["gkeys"]):
+            sources.setdefault(int(g), []).append((path, ordinal))
+
+    items = []
+    for g in sorted(k for k in sources if k < S):
+        items.append({"kind": "normal", "gkey": g, "srcs": json.dumps(sources[g])})
+    for i, term in enumerate(heavy_terms):
+        salt_srcs = [sources.get(S + i * nsalts + s, []) for s in range(nsalts)]
+        if any(salt_srcs):
+            items.append(
+                {"kind": "heavy", "idx": i, "term": term, "srcs": json.dumps(salt_srcs)}
+            )
+
+    def _read_rg(path: str, ordinal: int, columns) -> pa.Table:
+        return pq.ParquetFile(path).read_row_group(ordinal, columns=columns)
+
+    def _one(item: dict) -> dict:
+        if item["kind"] == "normal":
+            srcs = json.loads(item["srcs"])
+            parts = [_read_rg(p, o, ["term", "docid", "tf"]) for p, o in srcs]
+            batch = pa.concat_tables(parts)
+            return _encode_normal_shard(batch, int(item["gkey"]), cfg, build_fp)
+        # heavy: stream salts in order; each salt's runs arrive docid-ascending
+        t0 = time.perf_counter()
+        idx, term = int(item["idx"]), item["term"]
+        salt_srcs = json.loads(item["srcs"])
+        sid = cfg.num_shards + idx
+        post_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.postings")
+        lex_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.lexicon")
+        w = PostingsShardWriter(post_path + ".tmp", cfg.block_size, cfg.codec)
+
+        def chunks():
+            for srcs in salt_srcs:
+                for p, o in srcs:
+                    t = _read_rg(p, o, ["docid", "tf"])
+                    yield (
+                        _np(t["docid"], np.uint64),
+                        _np(t["tf"], np.uint64),
+                    )
+
+        entry = w.add_term_stream(term, chunks())
+        size = w.close()
+        lex = LexiconShard.from_entries([term], [entry])
+        lex.save(lex_path + ".tmp")
+        os.replace(post_path + ".tmp", post_path)
+        os.replace(lex_path + ".tmp", lex_path)
+        m = {
+            "shard": sid,
+            "kind": "heavy",
+            "term": term,
+            "build_fp": build_fp,
+            "n_terms": 1,
+            "n_postings": entry["df"],
+            "postings_bytes": size,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        mf.write_manifest(os.path.join(cfg.manifests_dir, f"shard_{sid:05d}.json"), m)
+        return m
+
+    def _run(batch: pa.Table) -> pa.Table:
+        out = [_one(r) for r in batch.to_pylist()]
+        return pa.table({"manifest": pa.array([json.dumps(m) for m in out], pa.string())})
+
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    res = ds.map_batches(_run, batch_format="pyarrow", batch_size=None)
     return [json.loads(s) for s in res.to_pandas()["manifest"]]
 
 
@@ -417,22 +611,22 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
 
     files = corpus_files(input_path_or_dir)
     descs, n_docs = plan_partitions(files, cfg.partition_rows)
-    run_ms = build_runs(descs, cfg)
+    heavy = detect_heavy_sample(files, cfg)
+    layout = make_layout(heavy, n_docs, cfg)
+    t_plan = time.perf_counter()
+    run_ms = build_runs(descs, cfg, layout)
     run_ms.sort(key=lambda m: m["pid"])
     total_tokens = sum(m["sum_dl"] for m in run_ms)
     stats = write_stats(cfg.doclens_dir, n_docs, total_tokens)
     t_runs = time.perf_counter()
 
-    heavy = detect_heavy_terms(run_ms, n_docs, cfg)
     build_fp = hashlib.sha256(
         json.dumps(
             {
                 "runs": [m["run_sha256"] for m in run_ms],
                 "codec": cfg.codec,
                 "block_size": cfg.block_size,
-                "num_shards": cfg.num_shards,
-                "n_salts": cfg.n_salts,
-                "heavy": heavy,
+                "layout": layout["fp"],
             },
             sort_keys=True,
         ).encode()
@@ -452,9 +646,12 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
         if ok:
             shard_ms = prev["shards"]
     if shard_ms is None:
-        group_ms = merge_runs(cfg, n_docs, heavy, build_fp)
-        shard_ms = [m for m in group_ms if m["kind"] == "normal"]
-        shard_ms += reconcile_heavy(cfg, heavy, build_fp)
+        if cfg.merge_strategy == "mapside":
+            shard_ms = merge_runs_mapside(cfg, run_ms, layout, build_fp)
+        elif cfg.merge_strategy == "groupby":
+            shard_ms = merge_runs_groupby(cfg, layout, heavy, build_fp)
+        else:
+            raise ValueError(f"unknown merge_strategy: {cfg.merge_strategy}")
     t_merge = time.perf_counter()
 
     build = {
@@ -470,7 +667,8 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
         "num_shards": cfg.num_shards,
         "shards": sorted(shard_ms, key=lambda m: m["shard"]),
         "timings": {
-            "runs_s": round(t_runs - t0, 3),
+            "plan_s": round(t_plan - t0, 3),
+            "runs_s": round(t_runs - t_plan, 3),
             "merge_s": round(t_merge - t_runs, 3),
             "total_s": round(t_merge - t0, 3),
         },
