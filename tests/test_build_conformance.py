@@ -132,6 +132,22 @@ def test_vectorized_equals_daat_loop(built):
                 assert fs == ss or math.isclose(fs, ss, rel_tol=1e-12), (q, mode)
 
 
+def test_wand_equals_exhaustive_daat(built):
+    """Block-max WAND must return IDENTICAL top-k (docids and scores) to the
+    exhaustive DAAT loop — the score-safety contract (SURVEY.md §7.1.6)."""
+    out, _ = built
+    s = Searcher(out)
+    for q in QUERIES:
+        for topk in (1, 3, 10, 50):
+            wand = s.search_topk_wand(q, topk=topk)
+            daat = sorted(
+                s.search_topk_daat(q, topk=topk, mode="OR"),
+                key=lambda x: (-x[1], x[0]),
+            )
+            assert [d for d, _ in wand] == [d for d, _ in daat], (q, topk)
+            assert [sc for _, sc in wand] == [sc for _, sc in daat], (q, topk)
+
+
 def test_taat_matches_oracle(built, oracle):
     out, _ = built
     s = Searcher(out)

@@ -331,6 +331,122 @@ class Searcher:
         top.sort(key=lambda x: (-x[0], x[1]))
         return [(d, s) for (s, d) in top]
 
+    # -- ranked: block-max WAND (score-safe pruning) ---------------------
+    def search_topk_wand(self, query: str, topk: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND top-k (OR semantics), score-safe: returns results
+        identical to the exhaustive DAAT loop (tested), but skips blocks whose
+        max-possible contribution cannot beat the current threshold.
+
+        The reference has no pruning (``HW2/README.md:132-133``, "no
+        impact-ordered or pruning-aware query processing"), so correctness is
+        judged against our exhaustive DAAT (SURVEY.md §7.1.6). Upper bounds
+        use the per-block ``blk_max_tf`` directory with dl=1 (BM25 term score
+        is monotone up in tf and down in dl, so ``bm25(max_tf, dl=1)`` bounds
+        every posting in the block). Full evaluations accumulate per-doc
+        contributions in ascending-df cursor order — float-identical to DAAT.
+        """
+        terms = self._known_terms(query)
+        if not terms or self.N == 0:
+            return []
+        terms.sort(key=self.df)
+        cursors = []
+        for t in terms:
+            entry, reader = self.lookup(t)
+            cursors.append(PostingsCursor(reader, t, entry))
+        k1, b = self.k1, self.b
+        dl1 = np.array([1], np.uint64)
+
+        def _ub_term(c: PostingsCursor) -> float:
+            mtf = int(c.entry["blk_max_tf"].max()) if c.entry["nblocks"] else 0
+            return self._contrib_daat(np.array([mtf], np.uint64), c.entry["df"], dl1)[0]
+
+        def _ub_block(c: PostingsCursor) -> float:
+            mtf = int(c.entry["blk_max_tf"][c.bidx])
+            return self._contrib_daat(np.array([mtf], np.uint64), c.entry["df"], dl1)[0]
+
+        ubs = [_ub_term(c) for c in cursors]
+        n = len(cursors)
+        live = [i for i in range(n) if not cursors[i].exhausted]
+        top: list[tuple[float, int]] = []
+        theta = -1.0
+
+        while live:
+            # order live cursors by current docid (stable on cursor index)
+            live.sort(key=lambda i: (cursors[i].docid(), i))
+            # find pivot: first prefix whose term-UB sum can beat theta
+            acc = 0.0
+            pivot = -1
+            for pos, i in enumerate(live):
+                acc += ubs[i]
+                if acc > theta:
+                    pivot = pos
+                    break
+            if pivot < 0:
+                break
+            pivot_doc = cursors[live[pivot]].docid()
+            if cursors[live[0]].docid() == pivot_doc:
+                # block-max refinement: tighter bound from the current blocks.
+                # The bound must cover EVERY cursor positioned at pivot_doc —
+                # including ones past the pivot position that are tied on it
+                # (e.g. a duplicate query term's twin cursor) — or the skip
+                # would discard their contribution.
+                prefix = list(live[: pivot + 1]) + [
+                    i for i in live[pivot + 1 :] if cursors[i].docid() == pivot_doc
+                ]
+                block_acc = 0.0
+                for i in prefix:
+                    c = cursors[i]
+                    if c.docid() == pivot_doc or c.block_last >= pivot_doc:
+                        block_acc += _ub_block(c)
+                    else:
+                        block_acc += ubs[i]
+                if block_acc <= theta:
+                    # no doc in these blocks can win: skip past the pivot doc
+                    self._wand_advance(cursors, live, pivot_doc + 1)
+                    live = [i for i in live if not cursors[i].exhausted]
+                    continue
+                # full evaluation, ascending-df (original cursor) order
+                dl = self.doclens.get(pivot_doc)
+                score = 0.0
+                matched = [i for i in range(n) if not cursors[i].exhausted and cursors[i].docid() == pivot_doc]
+                if dl > 0:
+                    for i in matched:
+                        c = cursors[i]
+                        score += self._contrib_daat(
+                            np.array([c.tf()], np.uint64),
+                            c.entry["df"],
+                            np.array([dl], np.uint64),
+                        )[0]
+                if len(top) < topk:
+                    heapq.heappush(top, (score, pivot_doc))
+                    if len(top) == topk:
+                        theta = top[0][0]
+                elif score > theta:
+                    heapq.heapreplace(top, (score, pivot_doc))
+                    theta = top[0][0]
+                for i in matched:
+                    cursors[i].advance()
+                live = [i for i in live if not cursors[i].exhausted]
+            else:
+                # every doc below the pivot is reachable only through the
+                # pre-pivot cursors, whose UB sum is <= theta — advance them
+                # ALL to the pivot doc (also keeps duplicate-term twin
+                # cursors in lockstep, which per-cursor advancing would break)
+                for i in live:
+                    d = cursors[i].docid()
+                    if d is not None and d < pivot_doc:
+                        cursors[i].next_ge(pivot_doc)
+                live = [i for i in live if not cursors[i].exhausted]
+
+        top.sort(key=lambda x: (-x[0], x[1]))
+        return [(d, s) for (s, d) in top]
+
+    @staticmethod
+    def _wand_advance(cursors, live, target: int) -> None:
+        for i in live:
+            if cursors[i].docid() is not None and cursors[i].docid() < target:
+                cursors[i].next_ge(target)
+
     # -- boolean ---------------------------------------------------------
     def boolean(self, query: str, mode: str = "AND") -> set[int]:
         """Full-postings set ops; unknown terms silently dropped
