@@ -1,0 +1,82 @@
+"""Multimodal actor-stage plumbing + HTTP serving surface tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from web_search_engine_ray.pipelines import multimodal as mm
+
+
+def test_fake_codec_roundtrip():
+    img = mm.fake_image(7, 12, 10, 3)
+    arr = mm.decode_fake_image(img)
+    assert arr.shape == (12, 10, 3) and arr.dtype == np.uint8
+    # deterministic
+    assert mm.decode_fake_image(mm.fake_image(7, 12, 10, 3)).tobytes() == arr.tobytes()
+    vid = mm.fake_video(3, 4, 8, 8)
+    frames = mm.decode_fake_video(vid)
+    assert len(frames) == 4 and frames[0].shape == (8, 8, 3)
+
+
+def test_real_codec_stubbed():
+    if not mm.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.decode_fake_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_stages_direct():
+    t = mm.make_media_table(12)
+    dec = mm.DecodeStage()(t)
+    assert dec.column_names == ["media_id", "height", "width", "channels", "pixels"]
+    assert dec.num_rows == 12
+    rs = mm.ResizeStage(8, 8)(dec)
+    assert set(rs["height"].to_pylist()) == {8}
+    ft = mm.FeatureStage()(rs)
+    feats = ft["feature"].to_pylist()
+    assert all(len(f) == 3 + 3 + mm.FeatureStage.BINS for f in feats)
+    fs = mm.FrameSampleStage(stride=2)(t)
+    assert fs.num_rows > 0
+    assert all(i % 2 == 0 for i in fs["frame_idx"].to_pylist())
+
+
+def test_media_pipeline_over_ray(ray_session):
+    t = mm.make_media_table(24)
+    out = mm.media_features(t, concurrency=2).to_pandas()
+    assert len(out) == 24
+    assert sorted(out["media_id"]) == list(range(24))
+    # deterministic across runs
+    out2 = mm.media_features(t, concurrency=2).to_pandas()
+    a = sorted(map(tuple, zip(out["media_id"], map(tuple, out["feature"]))))
+    b = sorted(map(tuple, zip(out2["media_id"], map(tuple, out2["feature"]))))
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def served_index(ray_session, small_corpus_dir, tmp_path_factory):
+    from web_search_engine_ray.pipelines.build import build_index
+
+    out = str(tmp_path_factory.mktemp("serve_idx"))
+    build_index(small_corpus_dir, out, partition_rows=700, num_shards=4, n_salts=3)
+    return out
+
+
+def test_flask_search_api(served_index):
+    from web_search_engine_ray.serve import create_app
+
+    app = create_app(served_index)
+    client = app.test_client()
+
+    r = client.get("/health")
+    assert r.status_code == 200 and r.get_json()["status"] == "ok"
+
+    r = client.post("/search", json={"query": "the data", "mode": "OR"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["totalResults"] == len(body["results"]) > 0
+    assert {"docid", "score"} <= set(body["results"][0])
+    assert body["mode"] == "OR" and body["query"] == "the data"
+    assert body["searchTime"] >= 0
+
+    assert client.post("/search", json={"query": ""}).status_code == 400
+    assert client.post("/search", json={"query": "x", "mode": "XOR"}).status_code == 400

@@ -1,0 +1,270 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool ``map_batches`` stages.
+
+A 100 TB training-data pipeline carries images/audio/video as ``binary``
+columns. The Ray-side plumbing here is REAL and tested — schema, actor-pool
+stage shape, per-stage ``batch_size`` sizing, output layout — while the
+codec-touching step is stubbed: this container ships no image/audio libraries,
+so ``DecodeStage`` decodes only the deterministic in-repo ``FAKE`` format and
+raises ``NotImplementedError`` for real formats unless PIL/soundfile are
+importable (import-gated, never required).
+
+Sizing note: with wide binary rows keep ``batch_size`` small (decoded pixels
+are ~H*W*C bytes/row; batch_size * concurrency * row_bytes must fit in worker
+heap) and let blocks stay coarse via ``DataContext.target_max_block_size`` —
+see the module constants.
+
+Fake payload format (deterministic, seeded — FIXTURES.md spirit):
+``b"FAKE" + u16 height + u16 width + u8 channels + pixel bytes`` for images;
+videos are ``b"FAKV" + u16 n_frames + one FAKE image per frame``.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not installed here
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+# recommended map_batches sizing for decoded-image stages
+MEDIA_BATCH_SIZE = 16
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "video"
+        ("payload", pa.binary()),
+        ("meta", pa.string()),  # JSON: {"h":..,"w":..,"c":..} / {"frames":..}
+    ]
+)
+
+
+def _splitmix_bytes(seed: int, n: int) -> np.ndarray:
+    x = (np.arange(n, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (z ^ (z >> np.uint64(31))).astype(np.uint8)
+
+
+def fake_image(seed: int, h: int, w: int, c: int = 3) -> bytes:
+    header = b"FAKE" + struct.pack("<HHB", h, w, c)
+    return header + _splitmix_bytes(seed, h * w * c).tobytes()
+
+
+def fake_video(seed: int, n_frames: int, h: int, w: int, c: int = 3) -> bytes:
+    out = b"FAKV" + struct.pack("<H", n_frames)
+    for i in range(n_frames):
+        out += fake_image(seed * 131 + i, h, w, c)
+    return out
+
+
+def make_media_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic fixture media table (images + short videos)."""
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 4 == 3:
+            frames, h, w = 2 + i % 3, 8 + (i % 3) * 4, 8
+            kinds.append("video")
+            payloads.append(fake_video(seed + i, frames, h, w))
+            metas.append(json.dumps({"frames": frames, "h": h, "w": w, "c": 3}))
+        else:
+            h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+            kinds.append("image")
+            payloads.append(fake_image(seed + i, h, w))
+            metas.append(json.dumps({"h": h, "w": w, "c": 3}))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
+def decode_fake_image(buf: bytes) -> np.ndarray:
+    if buf[:4] != b"FAKE":
+        if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(buf)))
+        raise NotImplementedError(
+            "real image codecs unavailable in this container; only the FAKE "
+            "format decodes (install pillow for JPEG/PNG)"
+        )
+    h, w, c = struct.unpack("<HHB", buf[4:9])
+    return np.frombuffer(buf[9:], dtype=np.uint8)[: h * w * c].reshape(h, w, c)
+
+
+def decode_fake_video(buf: bytes) -> list[np.ndarray]:
+    if buf[:4] != b"FAKV":
+        raise NotImplementedError("real video codecs unavailable; FAKV only")
+    (n_frames,) = struct.unpack("<H", buf[4:6])
+    frames = []
+    off = 6
+    for _ in range(n_frames):
+        h, w, c = struct.unpack("<HHB", buf[off + 4 : off + 9])
+        end = off + 9 + h * w * c
+        frames.append(decode_fake_image(bytes(buf[off:end])))
+        off = end
+    return frames
+
+
+class DecodeStage:
+    """Actor-pool stage: payload binary -> decoded dims + flat pixel column.
+
+    Stateful-stage shape: a real deployment loads codec contexts / GPU
+    decoders once here in ``__init__``."""
+
+    def __init__(self):
+        self.decode_image = decode_fake_image
+        self.decode_video = decode_fake_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, heights, widths, chans, pixels = [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind == "video":
+                arr = self.decode_video(payload)[0]  # first frame
+            else:
+                arr = self.decode_image(payload)
+            ids.append(mid)
+            heights.append(arr.shape[0])
+            widths.append(arr.shape[1])
+            chans.append(arr.shape[2])
+            pixels.append(arr.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "pixels": pa.array(pixels, pa.binary()),
+            }
+        )
+
+
+class ResizeStage:
+    """Nearest-neighbour resize on decoded pixel buffers (pure numpy, real)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pix = []
+        for h, w, c, buf in zip(
+            batch["height"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["channels"].to_pylist(),
+            batch["pixels"].to_pylist(),
+        ):
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+            yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
+            xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
+            out_pix.append(arr[yi][:, xi].tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "height": pa.array([self.out_h] * batch.num_rows, pa.int32()),
+                "width": pa.array([self.out_w] * batch.num_rows, pa.int32()),
+                "channels": batch["channels"],
+                "pixels": pa.array(out_pix, pa.binary()),
+            }
+        )
+
+
+class FeatureStage:
+    """Per-channel mean/std + luminance histogram -> fixed-length feature
+    vector (list<float>) per item (pure numpy, real)."""
+
+    BINS = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for h, w, c, buf in zip(
+            batch["height"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["channels"].to_pylist(),
+            batch["pixels"].to_pylist(),
+        ):
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+            mean = arr.mean(axis=(0, 1))
+            std = arr.std(axis=(0, 1))
+            lum = arr.mean(axis=2)
+            hist, _ = np.histogram(lum, bins=self.BINS, range=(0, 255))
+            hist = hist / max(1, lum.size)
+            feats.append(np.concatenate([mean, std, hist]).round(6).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video payload -> every ``stride``-th frame as its own row."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+        self.decode_video = decode_fake_video
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, heights, widths, chans, pixels = [], [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            for j, arr in enumerate(self.decode_video(payload)):
+                if j % self.stride:
+                    continue
+                ids.append(mid)
+                fidx.append(j)
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
+                chans.append(arr.shape[2])
+                pixels.append(arr.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "pixels": pa.array(pixels, pa.binary()),
+            }
+        )
+
+
+def media_features(media_table: pa.Table, concurrency: int = 2):
+    """decode -> resize -> features over an in-memory media table; the stage
+    wiring a parquet-backed media corpus would use unchanged."""
+    import ray.data
+
+    ds = ray.data.from_arrow(media_table)
+    ds = ds.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+    )
+    ds = ds.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+    )
+    return ds.map_batches(
+        FeatureStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+    )

@@ -1,0 +1,76 @@
+"""HTTP serving surface — parity with the reference Flask API.
+
+Mirrors ``HW2/app.py:56-116``: ``POST /search {query, mode}`` ->
+``{results: [{docid, score}], searchTime, totalResults, query, mode}`` and
+``GET /health`` (``app.py:157-163``). The handler scores with the vectorized
+DAAT-equivalent ranker (bit-identical to the cursor loop) through a
+:class:`~web_search_engine_ray.pipelines.query.Searcher` loaded once at app
+creation — the same load-once-serve-many state model as the reference.
+
+Run standalone: ``python -m web_search_engine_ray.serve --index <dir> [--port]``
+(owns its own ``ray``-free process — the Searcher only reads local shard
+files, so serving needs no Ray at all; scale-out = N replicas behind a load
+balancer, or Ray Serve deployments wrapping the same Searcher class).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from flask import Flask, jsonify, request
+
+from web_search_engine_ray.pipelines.query import Searcher
+
+
+def create_app(index_dir: str) -> Flask:
+    app = Flask(__name__)
+    searcher = Searcher(index_dir)
+
+    @app.route("/search", methods=["POST"])
+    def search():
+        data = request.get_json(silent=True) or {}
+        query = (data.get("query") or "").strip()
+        mode = (data.get("mode") or "AND").upper()
+        topk = int(data.get("topk") or 10)
+        if not query:
+            return jsonify({"error": "Empty query"}), 400
+        if mode not in ("AND", "OR"):
+            return jsonify({"error": "Invalid mode. Must be AND or OR"}), 400
+        t0 = time.perf_counter()
+        results = searcher.bm25_topk(query, topk=topk, mode=mode)
+        search_ms = (time.perf_counter() - t0) * 1000
+        return jsonify(
+            {
+                "results": [{"docid": d, "score": s} for d, s in results],
+                "searchTime": search_ms,
+                "totalResults": len(results),
+                "query": query,
+                "mode": mode,
+            }
+        )
+
+    @app.route("/health")
+    def health():
+        return jsonify(
+            {
+                "status": "ok",
+                "n_docs": searcher.N,
+                "n_terms": int(searcher.build.get("n_terms", 0)),
+            }
+        )
+
+    return app
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5001)
+    args = ap.parse_args()
+    create_app(args.index).run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
