@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analysis,
         corpus,
         dedup,
+        events,
         serving,
         similarity,
     )
@@ -64,8 +65,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- inverted index relations (SURVEY.md §2.1-2.5) ----
         "postings": corpus.postings_ds,
         "doc_lengths": corpus.doc_lengths_ds,
+        "dl_from_postings": corpus.dl_from_postings_ds,
         "term_stats": corpus.term_stats_ds,
+        "top_terms": lambda sf: corpus.top_terms_ds(sf, 20),
+        "subset_first_n": lambda sf: corpus.subset_first_n_ds(sf, 100),
         "corpus_stats": corpus.corpus_stats_table,
+        # ---- stream-shaped ops over events ----
+        "events_window": lambda sf: events.window_agg_ds(sf),
+        "events_sessionize": lambda sf: events.sessionize_ds(sf),
         # ---- ranked + boolean search (§2.6-2.8) ----
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
@@ -135,6 +142,40 @@ SELECT term, doc_id AS docid, count(*)::BIGINT AS tf
 FROM tok GROUP BY term, doc_id
 """,
         "doc_lengths": f"SELECT doc_id AS docid, len({TOK})::BIGINT AS dl FROM documents",
+        "dl_from_postings": f"""
+WITH {tok_cte}
+SELECT doc_id AS docid, count(*)::BIGINT AS dl_sum FROM tok GROUP BY doc_id
+""",
+        "top_terms": f"""
+WITH {tok_cte}, {tf_cte}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY cf DESC, term LIMIT 20
+""",
+        "subset_first_n": "SELECT doc_id AS docid, text FROM documents WHERE doc_id < 100",
+        "events_window": f"""
+SELECT event_type,
+       ((epoch_us(ts) // 1000000) // {3600}) * {3600} AS window_start,
+       count(*)::BIGINT AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_start
+""",
+        "events_sessionize": f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ep, event_id,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ep,
+         sum(CASE WHEN prev IS NULL OR ep - prev > {1800} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       min(ep)::BIGINT AS start_epoch, max(ep)::BIGINT AS end_epoch
+FROM s GROUP BY user_id, session_idx
+""",
         "term_stats": f"""
 WITH {tok_cte}, {tf_cte}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term

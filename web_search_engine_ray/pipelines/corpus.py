@@ -95,6 +95,50 @@ def term_stats_ds(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def dl_from_postings_ds(sf_dir: str):
+    """(docid, dl_sum): reconstruct doc length as sum(tf) over the postings —
+    the reference's doc_lengths verification tool
+    (``HW2/engine/tools/build_doc_lengths_from_runs.py:31-50``,
+    ``HW2/verify_length.py:39-54``). Docs with zero tokens are absent."""
+    agg = postings_ds(sf_dir).groupby("docid").sum("tf")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "docid": batch["docid"].cast(pa.int64()),
+                "dl_sum": batch["sum(tf)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def top_terms_ds(sf_dir: str, k: int = 20):
+    """Top-k terms by collection frequency (ties broken by term):
+    sort + limit over the pre-aggregated term stats."""
+    ds = term_stats_ds(sf_dir)
+    return ds.sort(["cf", "term"], descending=[True, False]).limit(k)
+
+
+def subset_first_n_ds(sf_dir: str, n: int = 100):
+    """First-n corpus slice (the reference's subset extractor,
+    ``HW2/extract_subset.py:15-32``) — expressed as a pushed-down row filter
+    (docid is the dense row rank, so ``doc_id < n`` == first n rows)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir),
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < n),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"docid": batch["doc_id"].cast(pa.int64()), "text": batch["text"]})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def corpus_stats_table(sf_dir: str) -> pa.Table:
     """One row: n_docs, n_terms, n_postings, total_tokens, avgdl (round 6)."""
 
