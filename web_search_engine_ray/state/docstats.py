@@ -51,13 +51,21 @@ class DocLengths:
         self._n = np.array([s[1] for s in spans], dtype=np.int64)
         self._paths = [s[2] for s in spans]
         self._cache: dict[int, np.ndarray] = {}
+        # bound resident dl shards (LRU) — at 10^12 docs the full table can't
+        # live in one process; 4096 shards x 100k rows x 4B ≈ 1.6 GB cap
+        self.max_cached_shards = 4096
 
     def _shard_dl(self, si: int) -> np.ndarray:
         arr = self._cache.get(si)
         if arr is None:
             t = pq.read_table(self._paths[si], columns=["dl"])
             arr = t["dl"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint32)
+            if len(self._cache) >= self.max_cached_shards:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[si] = arr
+        else:
+            # refresh LRU position
+            self._cache[si] = self._cache.pop(si)
         return arr
 
     def get_many(self, docids: np.ndarray) -> np.ndarray:
