@@ -123,6 +123,36 @@ class PostingsCursor:
         return int(self.docids[j])
 
 
+def _heap_topk_select(docids: np.ndarray, scores: np.ndarray, k: int) -> list[int]:
+    """Top-k selection with the reference's exact tie semantics.
+
+    The reference keeps a size-k min-heap of ``(score, docid)`` tuples over
+    docs in ascending-docid order and only replaces on strictly-greater score
+    (``daat_ranker.py:125-131``). For docs tied at the final threshold this
+    keeps a specific docid subset that a plain ``(-score, docid)`` sort does
+    NOT reproduce (the heap evicts smallest-docid ties first). Docs scoring
+    below the k-th largest score can neither enter nor influence the final
+    heap, so emulating the heap over only the ``score >= theta*`` subsequence
+    (ascending docid) yields the identical final set at O(m log k).
+    Returns candidate indices ordered by (-score, docid)."""
+    n = scores.size
+    if n <= k:
+        order = np.lexsort((docids, -scores))
+        return list(order)
+    theta = np.partition(scores, n - k)[n - k]
+    idx = np.flatnonzero(scores >= theta)  # ascending docid
+    top: list[tuple[float, int, int]] = []  # (score, docid, cand_index)
+    for i in idx:
+        sc = float(scores[i])
+        d = int(docids[i])
+        if len(top) < k:
+            heapq.heappush(top, (sc, d, int(i)))
+        elif sc > top[0][0]:
+            heapq.heapreplace(top, (sc, d, int(i)))
+    top.sort(key=lambda x: (-x[0], x[1]))
+    return [i for _, _, i in top]
+
+
 class Searcher:
     """Query-time state over a built index directory (one per process/actor)."""
 
@@ -238,8 +268,8 @@ class Searcher:
             contrib = self._contrib_daat(fsel, int(d.size), dl)
             contrib[dl == 0] = 0.0
             scores[pos] += contrib
-        order = np.lexsort((cand, -scores))[:topk]
-        return [(int(cand[i]), float(scores[i])) for i in order]
+        keep = _heap_topk_select(cand, scores, topk)
+        return [(int(cand[i]), float(scores[i])) for i in keep]
 
     # -- ranked: TAAT (reference `search`) ------------------------------
     def search(self, query: str, mode: str = "AND", topk: int | None = None):
