@@ -87,20 +87,35 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Deterministic u64 per token (blake2b), memoized — the corpus
+    vocabulary is tiny relative to the token stream."""
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
-    """Deterministic u64 hash per distinct k-token shingle."""
+    """Deterministic u64 hash per distinct k-token shingle, vectorized:
+    position-weighted combine of the token hashes, then one splitmix pass."""
     if len(tokens) < k:
         return np.empty(0, dtype=np.uint64)
-    shingles = {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
-    return out
+    th = _token_hashes(tokens)
+    acc = np.zeros(len(tokens) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += th[j : len(tokens) - k + 1 + j] * np.uint64(0x100000001B3) ** np.uint64(j)
+    return np.unique(_splitmix(acc))
 
 
 def _minhash_sig(sh: np.ndarray, nperm: int = MINHASH_PERMS) -> np.ndarray:
@@ -113,55 +128,118 @@ def _minhash_sig(sh: np.ndarray, nperm: int = MINHASH_PERMS) -> np.ndarray:
     return m.min(axis=1)
 
 
-def _band_rows(doc_id: int, sig: np.ndarray):
-    for band in range(LSH_BANDS):
-        chunk = sig[band * LSH_ROWS : (band + 1) * LSH_ROWS]
-        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-        yield band, h, doc_id
+def _batch_signatures(toks: list[list[str] | None], nperm: int = MINHASH_PERMS) -> np.ndarray:
+    """(n_docs, nperm) minhash matrix for a whole batch in one vectorized
+    pass: concatenate every doc's shingle hashes, hash all perms at once,
+    reduce per doc with ``np.minimum.reduceat``."""
+    sh_per_doc = [_shingle_hashes(t or []) for t in toks]
+    lens = np.array([s.size for s in sh_per_doc], dtype=np.int64)
+    sigs = np.full((len(toks), nperm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if nz.size == 0:
+        return sigs
+    allsh = np.concatenate([sh_per_doc[i] for i in nz])
+    seeds = _splitmix(np.arange(1, nperm + 1, dtype=np.uint64))
+    m = _splitmix(allsh[None, :] ^ seeds[:, None])  # (nperm, total_shingles)
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    sigs[nz] = np.minimum.reduceat(m, starts, axis=1).T
+    return sigs
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, LSH_BANDS) u64 bucket hash per band (combine the band's rows
+    with a position-weighted splitmix)."""
+    n = sigs.shape[0]
+    bands = sigs.reshape(n, LSH_BANDS, LSH_ROWS)
+    acc = np.zeros((n, LSH_BANDS), dtype=np.uint64)
+    for j in range(LSH_ROWS):
+        acc += bands[:, :, j] * np.uint64(0x9E3779B1) ** np.uint64(j + 1)
+    return _splitmix(acc)
 
 
 def minhash_lsh_candidates_ds(sf_dir: str):
     """Candidate near-dup pairs (docid_a, docid_b) from banded minhash LSH.
 
     shingle -> minhash -> band -> ``groupby(band, band_hash)`` -> pairs within
-    bucket -> distinct. The shuffle moves (band, hash, docid) rows only."""
+    bucket -> distinct. The shuffle moves (band, hash, docid) rows only; the
+    signature computation is one vectorized pass per batch."""
     import ray.data
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
-        ids = batch["doc_id"].to_pylist()
-        band_l, hash_l, doc_l = [], [], []
-        for did, tl in zip(ids, toks):
-            sig = _minhash_sig(_shingle_hashes(tl or []))
-            for band, h, d in _band_rows(did, sig):
-                band_l.append(band)
-                hash_l.append(h)
-                doc_l.append(d)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sigs = _batch_signatures(toks)
+        bh = _band_hashes(sigs)
+        n = ids.size
         return pa.table(
             {
-                "band": pa.array(band_l, pa.int32()),
-                "bhash": pa.array(hash_l, pa.string()),
-                "docid": pa.array(doc_l, pa.int64()),
+                "band": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
+                "bhash": pa.array((bh.reshape(-1) >> np.uint64(1)).astype(np.int64)),
+                "docid": pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
             }
         )
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        ids = sorted(batch["docid"].to_pylist())
+    N_PARTS = 64
+
+    def partition_pairs(batch: pa.Table) -> pa.Table:
+        """All rows of one hash partition: find (band, bhash) buckets with
+        >= 2 docs vectorized (lexsort + boundaries), emit intra-bucket pairs.
+        Grouping by a coarse partition instead of per-bucket keeps the group
+        count at N_PARTS (per-group dispatch overhead), while the within-task
+        work stays vectorized."""
+        band = np.asarray(batch["band"].to_pylist(), dtype=np.int64)
+        bhash = np.asarray(batch["bhash"].to_pylist(), dtype=np.int64)
+        doc = np.asarray(batch["docid"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((doc, bhash, band))
+        band, bhash, doc = band[order], bhash[order], doc[order]
+        key_change = np.flatnonzero(
+            np.diff(band, prepend=band[0] - 1) | np.diff(bhash, prepend=bhash[0] - 1)
+        ) if band.size else np.array([], dtype=np.int64)
+        bounds = np.append(key_change, band.size)
         a_l, b_l = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_l.append(ids[i])
-                b_l.append(ids[j])
+        for bi in range(len(bounds) - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            if hi - lo < 2:
+                continue
+            ids = doc[lo:hi]
+            for i in range(ids.size):
+                for j in range(i + 1, ids.size):
+                    a_l.append(int(ids[i]))
+                    b_l.append(int(ids[j]))
         return pa.table(
             {"docid_a": pa.array(a_l, pa.int64()), "docid_b": pa.array(b_l, pa.int64())}
         )
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = (
+            np.asarray(batch["bhash"].to_pylist(), dtype=np.int64) % N_PARTS
+        ).astype(np.int64)
+        return batch.append_column("p", pa.array(p, pa.int64()))
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["docid_b"].to_pylist(), dtype=np.int64)
+        u = np.unique(np.stack([a, b], axis=1), axis=0) if a.size else np.empty((0, 2), np.int64)
+        return pa.table(
+            {"docid_a": pa.array(u[:, 0], pa.int64()), "docid_b": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        pp = (
+            np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64) % N_PARTS
+        ).astype(np.int64)
+        return batch.append_column("pp", pa.array(pp, pa.int64()))
+
     ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
-    pairs = ds.groupby(["band", "bhash"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    # distinct pairs
-    return pairs.groupby(["docid_a", "docid_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    pairs = ds.groupby("p").map_groups(partition_pairs, batch_format="pyarrow")
+    # the same pair can surface from several bands (different bhash -> maybe
+    # a different partition): dedupe in a second coarse exchange keyed on
+    # docid_a ranges, vectorized within each group
+    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
+    out = pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
+    return out
 
 
 def _jaccard(a: set, b: set) -> float:
@@ -214,14 +292,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8) -> pa.Table:
 def _simhash(tokens: list[str]) -> int:
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in tokens
-        ),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+    hs = _token_hashes(tokens)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
