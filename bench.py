@@ -124,6 +124,16 @@ def run_bench() -> dict:
     timings["bm25_query_avg_ms"] = round(float(lat_ms.mean()), 3)
     timings["bm25_query_p95_ms"] = round(float(np.percentile(lat_ms, 95)), 3)
 
+    # actor-pool throughput: the same 200 queries through a SearcherActor pool
+    from web_search_engine_ray.pipelines.query import run_queries
+
+    run_queries(idx_dir, queries[:8], concurrency=2).count()  # warm actors
+    t0 = time.perf_counter()
+    run_queries(idx_dir, queries, topk=10, mode="OR", concurrency=max(2, NCPU // 4)).count()
+    pool_s = time.perf_counter() - t0
+    timings["bm25_actor_pool_200"] = round(pool_s, 3)
+    timings["bm25_actor_pool_qps"] = round(len(queries) / pool_s, 1)
+
     # aux pipelines over the driver sf dir
     t0 = time.perf_counter()
     corpus_p.postings_ds(SF_DIR).count()

@@ -240,11 +240,18 @@ class Searcher:
         """Vectorized DAAT-equivalent BM25 top-k; identical results (docids,
         scores bit-for-bit) to ``search_topk_daat`` — per-doc accumulation
         runs over terms in ascending-df order, matching the tied-cursor pop
-        order of the reference loop (SURVEY.md §7.7)."""
+        order of the reference loop (SURVEY.md §7.7). OR-mode queries mixing
+        rare terms with stopwords route through a score-exact MaxScore path
+        (prune heavy-term-only candidates when their upper bound provably
+        cannot reach the top-k threshold; automatic fallback otherwise)."""
         terms = self._known_terms(query)
         if not terms or self.N == 0:
             return []
         terms.sort(key=self.df)
+        if mode.upper() != "AND" and len(terms) > 1:
+            res = self._bm25_topk_maxscore(terms, topk)
+            if res is not None:
+                return res
         plists = [self.postings(t) for t in terms]
         cand = np.unique(np.concatenate([d for d, _ in plists]))
         if mode.upper() == "AND" and len(plists) > 1:
@@ -269,6 +276,71 @@ class Searcher:
             contrib[dl == 0] = 0.0
             scores[pos] += contrib
         keep = _heap_topk_select(cand, scores, topk)
+        return [(int(cand[i]), float(scores[i])) for i in keep]
+
+    def _bm25_topk_maxscore(self, terms: list[str], topk: int):
+        """MaxScore candidate pruning, score-exact or bail.
+
+        Terms are split into *essential* (df below a cutoff) and
+        *non-essential* (stopword-grade). Candidates = union of essential
+        postings only; every candidate's EXACT full score is computed (the
+        non-essential tf comes from a block-targeted directory lookup, so a
+        stopword's list is never fully decoded). A doc matched ONLY by
+        non-essential terms scores at most the sum of their upper bounds
+        (``bm25(max blk tf, dl=1)``); when that bound is STRICTLY below the
+        candidate top-k threshold, such docs can neither enter nor perturb
+        the reference heap (same >=theta* argument as ``_heap_topk_select``),
+        so the candidate-only answer is exact. Returns ``None`` (caller falls
+        back to exhaustive scoring) whenever the bound doesn't separate.
+        """
+        hits = [self.lookup(t) for t in terms]
+        dfs = [h[0]["df"] for h in hits]
+        cutoff = max(50 * topk, self.N // 20)
+        ess = [i for i in range(len(terms)) if dfs[i] <= cutoff]
+        non = [i for i in range(len(terms)) if dfs[i] > cutoff]
+        if not non:
+            return None  # nothing to prune
+        if not ess:
+            ess = [0]  # smallest-df term seeds candidates
+            non = list(range(1, len(terms)))
+        # only profitable when the candidate set is much smaller than the
+        # pruned lists; otherwise the targeted lookups touch most blocks and
+        # the plain full scan wins (measured on the 1M-turn index)
+        if sum(dfs[i] for i in ess) > max(10_000, self.N // 10):
+            return None
+        dl1 = np.array([1], np.uint64)
+        ub_non = 0.0
+        for i in non:
+            entry = hits[i][0]
+            mtf = int(entry["blk_max_tf"].max()) if entry["nblocks"] else 0
+            ub_non += float(
+                self._contrib_daat(np.array([mtf], np.uint64), dfs[i], dl1)[0]
+            )
+        ess_lists = {i: hits[i][1].read_postings(hits[i][0]) for i in ess}
+        cand = np.unique(np.concatenate([ess_lists[i][0] for i in ess]))
+        if cand.size < topk:
+            return None  # non-essential-only docs could still place
+        dl_all = self.doclens.get_many(cand)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for i in range(len(terms)):  # ascending df = reference accumulation order
+            if i in ess_lists:
+                d, f = ess_lists[i]
+                pos = np.searchsorted(cand, d)
+            else:
+                entry, reader = hits[i]
+                tf = reader.read_tfs_for(entry, cand)
+                sel = tf > 0
+                pos = np.flatnonzero(sel)
+                d = cand[sel]
+                f = tf[sel]
+            dl = dl_all[pos]
+            contrib = self._contrib_daat(f, dfs[i], dl)
+            contrib[dl == 0] = 0.0
+            scores[pos] += contrib
+        keep = _heap_topk_select(cand, scores, topk)
+        theta = float(scores[keep[-1]])
+        if not (ub_non < theta):
+            return None
         return [(int(cand[i]), float(scores[i])) for i in keep]
 
     # -- ranked: TAAT (reference `search`) ------------------------------

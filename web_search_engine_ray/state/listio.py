@@ -193,13 +193,28 @@ class PostingsShardWriter:
 
 
 class PostingsShardReader:
-    """Reads a postings shard written by :class:`PostingsShardWriter`."""
+    """Reads a postings shard written by :class:`PostingsShardWriter`.
+
+    The shard file is memory-mapped read-only: block decodes slice the map
+    directly (zero syscalls per block, OS page cache shared across query
+    actors on a node — the serving model the reference approximates with one
+    open fd per Searcher, ``HW2/engine/searcher.py:28``)."""
 
     def __init__(self, path: str):
+        import mmap
+
         self.path = path
         self.file = open(path, "rb")
+        size = os.fstat(self.file.fileno()).st_size
+        self._mm = (
+            mmap.mmap(self.file.fileno(), 0, access=mmap.ACCESS_READ) if size else None
+        )
+        self._view = memoryview(self._mm) if self._mm is not None else memoryview(b"")
 
     def close(self) -> None:
+        self._view.release()
+        if self._mm is not None:
+            self._mm.close()
         self.file.close()
 
     def __enter__(self):
@@ -209,10 +224,9 @@ class PostingsShardReader:
         self.close()
 
     def _read_extent(self, entry: dict) -> memoryview:
-        start = entry["offset"]
+        start = int(entry["offset"])
         total = int(entry["blk_doc_bytes"].sum() + entry["blk_freq_bytes"].sum())
-        self.file.seek(start)
-        return memoryview(self.file.read(total))
+        return self._view[start : start + total]
 
     def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
         """Full postings of a term -> (docids u64, freqs u64), whole-term
@@ -238,8 +252,7 @@ class PostingsShardReader:
         db = int(entry["blk_doc_bytes"][bidx])
         fb = int(entry["blk_freq_bytes"][bidx])
         base = int(entry["blk_last_docid"][bidx - 1]) if bidx > 0 else 0
-        self.file.seek(off)
-        raw = self.file.read(db + fb)
+        raw = self._view[off : off + db + fb]
         if entry["codec"] == "varbyte":
             docids = codecs.decode_docids(raw[:db], base)
             freqs = codecs.decode_freqs(raw[db:])
@@ -249,6 +262,34 @@ class PostingsShardReader:
         if docids.size != freqs.size:
             raise ValueError("corrupt block: docid/freq length mismatch")
         return docids, freqs
+
+    def read_tfs_for(self, entry: dict, targets: np.ndarray) -> np.ndarray:
+        """tf lookup for a sorted docid array: decode ONLY the blocks that can
+        contain a target (block directory seek), 0 where absent. Falls back to
+        a full-list read when the targets touch most blocks anyway."""
+        t = np.ascontiguousarray(targets, dtype=np.uint64)
+        out = np.zeros(t.size, dtype=np.uint64)
+        if t.size == 0 or entry["df"] == 0:
+            return out
+        last = entry["blk_last_docid"]
+        blk = np.searchsorted(last, t, side="left")
+        valid = blk < entry["nblocks"]
+        blocks = np.unique(blk[valid])
+        if blocks.size > max(8, entry["nblocks"] // 2):
+            d_all, f_all = self.read_postings(entry)
+            pos = np.searchsorted(d_all, t)
+            ok = pos < d_all.size
+            ok[ok] = d_all[pos[ok]] == t[ok]
+            out[ok] = f_all[pos[ok]]
+            return out
+        for b in blocks:
+            d, f = self._decode_block(entry, int(b))
+            sel = np.flatnonzero(valid & (blk == b))
+            pos = np.searchsorted(d, t[sel])
+            ok = pos < d.size
+            ok[ok] &= d[pos[ok]] == t[sel][ok]
+            out[sel[ok]] = f[pos[ok]]
+        return out
 
     def iter_blocks(self, entry: dict) -> Iterator[tuple[int, np.ndarray, np.ndarray]]:
         """Yield ``(last_docid, docids, freqs)`` per block in order."""
