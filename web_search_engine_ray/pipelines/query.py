@@ -236,19 +236,26 @@ class Searcher:
         return [t for t in query_terms(query) if self.lookup(t) is not None]
 
     # -- ranked: vectorized (serving path) ------------------------------
-    def bm25_topk(self, query: str, topk: int = 10, mode: str = "AND"):
+    def bm25_topk(
+        self, query: str, topk: int = 10, mode: str = "AND", tie_semantics: str = "heap"
+    ):
         """Vectorized DAAT-equivalent BM25 top-k; identical results (docids,
         scores bit-for-bit) to ``search_topk_daat`` — per-doc accumulation
         runs over terms in ascending-df order, matching the tied-cursor pop
         order of the reference loop (SURVEY.md §7.7). OR-mode queries mixing
         rare terms with stopwords route through a score-exact MaxScore path
         (prune heavy-term-only candidates when their upper bound provably
-        cannot reach the top-k threshold; automatic fallback otherwise)."""
+        cannot reach the top-k threshold; automatic fallback otherwise).
+
+        ``tie_semantics``: "heap" (default) reproduces the reference's size-k
+        min-heap boundary-tie membership exactly; "sorted" uses the
+        normalized (-score, docid) cut — SQL-expressible (``ORDER BY score
+        DESC, docid LIMIT k``), used by the driver oracle queries."""
         terms = self._known_terms(query)
         if not terms or self.N == 0:
             return []
         terms.sort(key=self.df)
-        if mode.upper() != "AND" and len(terms) > 1:
+        if mode.upper() != "AND" and len(terms) > 1 and tie_semantics == "heap":
             res = self._bm25_topk_maxscore(terms, topk)
             if res is not None:
                 return res
@@ -275,7 +282,10 @@ class Searcher:
             contrib = self._contrib_daat(fsel, int(d.size), dl)
             contrib[dl == 0] = 0.0
             scores[pos] += contrib
-        keep = _heap_topk_select(cand, scores, topk)
+        if tie_semantics == "sorted":
+            keep = np.lexsort((cand, -scores))[:topk]
+        else:
+            keep = _heap_topk_select(cand, scores, topk)
         return [(int(cand[i]), float(scores[i])) for i in keep]
 
     def _bm25_topk_maxscore(self, terms: list[str], topk: int):

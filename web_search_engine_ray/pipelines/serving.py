@@ -72,7 +72,9 @@ def bm25_topk_table(
     queries = queries if queries is not None else FIXED_QUERIES
     q_l, d_l, s_l = [], [], []
     for qid, q in enumerate(queries):
-        for docid, score in s.bm25_topk(q, topk=topk, mode=mode):
+        # "sorted" tie semantics = the SQL-expressible (-score, docid) cut,
+        # matching the oracle's ORDER BY score DESC, docid LIMIT k
+        for docid, score in s.bm25_topk(q, topk=topk, mode=mode, tie_semantics="sorted"):
             q_l.append(qid)
             d_l.append(int(docid))
             s_l.append(float(np.round(score, round_to)))
