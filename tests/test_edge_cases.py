@@ -1,0 +1,82 @@
+"""Degenerate inputs: all-empty partitions, salting disabled, unknown-only
+queries, empty query strings."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from web_search_engine_ray.pipelines.build import build_index
+from web_search_engine_ray.pipelines.query import Searcher
+
+
+def _write_corpus(path, texts):
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"conv{i:08d}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "role": pa.array(["user"] * len(texts)),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * len(texts)),
+            "ts": pa.array(list(range(len(texts))), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(path))
+
+
+def test_all_empty_corpus(ray_session, tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    _write_corpus(d / "t.parquet", ["", "   ", "...", "!!!"])
+    out = str(tmp_path / "idx")
+    build = build_index(str(d), out, partition_rows=2, num_shards=2, n_salts=2)
+    assert build["n_docs"] == 4
+    assert build["n_postings"] == 0
+    assert build["n_terms"] == 0
+    s = Searcher(out)
+    assert s.N == 4 and s.avgdl == 0.0
+    assert s.bm25_topk("anything", 10, "OR") == []
+    assert s.boolean("anything", "AND") == set()
+
+
+def test_mixed_empty_partitions(ray_session, tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    # first partition entirely token-less, second has content
+    _write_corpus(d / "t0.parquet", ["", "  "])
+    _write_corpus(d / "t1.parquet", ["alpha beta", "beta gamma beta"])
+    out = str(tmp_path / "idx")
+    build = build_index(str(d), out, partition_rows=2, num_shards=2, n_salts=2)
+    assert build["n_docs"] == 4
+    s = Searcher(out)
+    # docids 0,1 are the empty docs; alpha lives in doc 2
+    d_, f_ = s.postings("beta")
+    assert d_.tolist() == [2, 3] and f_.tolist() == [1, 2]
+    assert s.doclens.dense().tolist() == [0, 0, 2, 3]
+    # empty docs count toward N/avgdl (reference MP-path rule)
+    assert s.avgdl == pytest.approx(5 / 4)
+
+
+def test_salting_disabled(ray_session, small_corpus_dir, tmp_path):
+    out = str(tmp_path / "idx")
+    build = build_index(
+        small_corpus_dir, out, partition_rows=500, num_shards=4, n_salts=2,
+        heavy_df_frac=0,  # disables heavy detection entirely
+    )
+    assert build["heavy_terms"] == []
+    s = Searcher(out)
+    assert s.df("the") > 0  # stopword lives in a normal hash shard
+    assert len(s.bm25_topk("the data", 5, "OR")) == 5
+
+
+def test_query_edges(ray_session, small_corpus_dir, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(small_corpus_dir, out, partition_rows=500, num_shards=4, n_salts=2)
+    s = Searcher(out)
+    assert s.bm25_topk("", 10, "OR") == []
+    assert s.search("", "AND") == []
+    assert s.search_topk_wand("", 10) == []
+    assert s.boolean("", "OR") == set()
+    assert s.search_boolean_daat("zzz qqq", "AND") == set()
+    # topk larger than result count
+    res = s.bm25_topk("uq0x0 uq1x0", topk=1000, mode="OR")
+    assert 0 < len(res) < 1000 or res == []

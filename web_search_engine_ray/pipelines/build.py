@@ -482,6 +482,9 @@ def merge_runs_mapside(
                 {"kind": "heavy", "idx": i, "term": term, "srcs": json.dumps(salt_srcs)}
             )
 
+    if not items:  # corpus produced no postings at all (all docs token-less)
+        return []
+
     def _read_rg(path: str, ordinal: int, columns) -> pa.Table:
         return pq.ParquetFile(path).read_row_group(ordinal, columns=columns)
 
