@@ -155,6 +155,40 @@ def conv_batch_rows(conv_lo: int, conv_hi: int, max_turns: int) -> pa.Table:
     )
 
 
+def write_corpus_ray(
+    out_dir: str,
+    n_convs: int,
+    max_turns: int = 8,
+    convs_per_file: int = 20_000,
+    skip_existing: bool = True,
+) -> list[str]:
+    """Ray-parallel corpus writer for big benches: one task per conv range,
+    each writing its own (deterministic) sorted file. Content of a given
+    (n_convs, max_turns, convs_per_file) triple is bit-stable; file
+    boundaries follow conv ranges (unlike :func:`write_corpus`'s fixed row
+    count, which is what the small-fixture tests pin down)."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    ranges = [
+        (i, lo, min(lo + convs_per_file, n_convs))
+        for i, lo in enumerate(range(0, n_convs, convs_per_file))
+    ]
+
+    @ray.remote(num_cpus=1)
+    def gen(i: int, lo: int, hi: int) -> str:
+        path = os.path.join(out_dir, f"transcripts_{i:05d}.parquet")
+        if skip_existing and os.path.exists(path):
+            return path
+        t = conv_batch_rows(lo, hi, max_turns)
+        tmp = path + f".tmp{i}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return path
+
+    return sorted(ray.get([gen.remote(*r) for r in ranges]))
+
+
 def write_corpus(
     out_dir: str,
     n_convs: int,
