@@ -26,7 +26,14 @@ vs oracle comparisons never depend on ftfy availability (FIXTURES.md §1.1).
 from __future__ import annotations
 
 import html
+import os
 import re
+
+# One CPU per Ray task: polars sizes its thread pool at import time, and 32
+# tasks x 32 threads thrashes a node. Workers import this module (the UDF's
+# home) before polars, so the default lands in time; an explicit
+# POLARS_MAX_THREADS in the environment still wins.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 import numpy as np
 import polars as pl
