@@ -255,7 +255,22 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
 
     tbl = read_partition(desc, columns=[cfg.text_column])
     docids = partition_docids(desc)
-    postings, dl = batch_postings(docids, tbl[cfg.text_column])
+    # tokenize in ~8k-row chunks: large polars string pipelines degrade
+    # super-linearly under many-way concurrency (allocator/bandwidth churn);
+    # chunking halves the 24-way wall time (measured). Chunk concat keeps
+    # docid order ascending per term because chunk docid ranges are disjoint.
+    CHUNK = 8192
+    if tbl.num_rows <= CHUNK + CHUNK // 2:
+        postings, dl = batch_postings(docids, tbl[cfg.text_column])
+    else:
+        parts, dls = [], []
+        for lo in range(0, tbl.num_rows, CHUNK):
+            n = min(CHUNK, tbl.num_rows - lo)
+            p, d = batch_postings(docids[lo : lo + n], tbl[cfg.text_column].slice(lo, n))
+            parts.append(p)
+            dls.append(d)
+        postings = pa.concat_tables(parts)
+        dl = np.concatenate(dls)
 
     # group-key routing + stable sort by gkey: rows within a gkey keep their
     # (term, docid) order (heavy salts are docid-monotonic), giving the
