@@ -94,7 +94,7 @@ def test_crawl_deterministic_and_policy(tmp_path):
     assert rows == rows2, "crawl must be deterministic"
     assert 0 < len(rows) <= 40
     urls = [r["url"] for r in rows]
-    assert len(set(urls)) == len(urls), "no duplicate fetoch accounting"
+    assert len(set(urls)) == len(urls), "no duplicate fetch accounting"
     assert all("/private/" not in u for u in urls), "robots must gate"
     assert all("cgi" not in u for u in urls)
     assert all(not looks_binary_by_suffix(u) for u in urls)
@@ -121,3 +121,26 @@ def test_crawl_ray_parallel_waves(ray_session):
     rows2 = crawl(seeds, web.fetch, max_pages=30, max_depth=2,
                   robots_fetch_text=web.fetch_text, parallelism=4, use_ray=True)
     assert rows == rows2
+
+
+def test_seed_from_query_parsing():
+    from web_search_engine_ray.crawl.seeds import get_seeds_from_query
+
+    page = """
+    <html><body>
+      <a class="result__a" href="//duckduckgo.com/l/?uddg=https%3A%2F%2Fexample.com%2Fa&x=1">A</a>
+      <a class="result__a" href="https://direct.example.org/b">B</a>
+      <a class="other" href="https://nope.example/c">C</a>
+      <a class="result__a" href="//duckduckgo.com/l/?other=1">D</a>
+      <a class="result__a" href="//duckduckgo.com/l/?notuddg=1">E</a>
+    </body></html>"""
+    seeds = get_seeds_from_query("q", lambda url, params: page, num_results=10)
+    assert seeds == [
+        "https://example.com/a",
+        "https://direct.example.org/b",
+        "//duckduckgo.com/l/?other=1",           # no redirect wrapper: raw href
+        "https://duckduckgo.com/l/?notuddg=1",   # uddg= substring, param absent
+    ]
+    assert get_seeds_from_query("q", lambda u, p: page, num_results=1) == [
+        "https://example.com/a"
+    ]
