@@ -460,7 +460,8 @@ def merge_runs_groupby(
     ds = ray.data.read_parquet(run_files)
     ds = ds.map_batches(_assign_gkey, batch_format="pyarrow")
     res = ds.groupby("gkey").map_groups(_encode_group, batch_format="pyarrow")
-    ms = [json.loads(s) for s in res.to_pandas()["manifest"]]
+    df = res.to_pandas()
+    ms = [json.loads(s) for s in df["manifest"]] if "manifest" in df.columns else []
     ms = [m for m in ms if m["kind"] == "normal"]
     ms += reconcile_heavy(cfg, heavy_terms, build_fp)
     return ms
