@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,
+        "lm_score": analysis.lm_score_ds,
         "langid": analysis.langid_ds,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
     }
@@ -257,6 +258,24 @@ SELECT doc_id AS docid,
                        / len(toks), 6) END AS mean_token_len,
        md5(array_to_string(toks, ' ')) AS fingerprint
 FROM (SELECT doc_id, text, {TOK} AS toks FROM documents)
+""",
+        "lm_score": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
+           FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+                 FROM t WHERE len(ws) >= 2)),
+ bc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM pairs GROUP BY w1, w2),
+ uc AS (SELECT w1, count(*)::DOUBLE AS c1 FROM pairs GROUP BY w1),
+ v AS (SELECT count(DISTINCT term)::DOUBLE AS v
+       FROM (SELECT unnest(ws) AS term FROM t))
+SELECT p.doc_id AS docid,
+       ROUND(avg(ln((bc.c2 + 1.0) / (uc.c1 + v.v))), 6) AS lm_score
+FROM pairs p JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+             JOIN uc ON uc.w1 = p.w1
+             CROSS JOIN v
+GROUP BY p.doc_id
+UNION ALL
+SELECT doc_id AS docid, 0.0 AS lm_score FROM t WHERE len(ws) < 2
 """,
         "quality": f"""
 SELECT doc_id AS docid,

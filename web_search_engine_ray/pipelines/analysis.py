@@ -122,6 +122,75 @@ def langid_ds(sf_dir: str, concurrency: int = 2):
     )
 
 
+def lm_score_ds(sf_dir: str):
+    """(docid, lm_score): corpus-self bigram language-model quality score —
+    the classic LM-based training-data filter shape.
+
+    Model: bigram counts over the whole corpus (pairs within a doc, no BOS);
+    per-doc score = mean over its bigrams of
+    ``ln((C(w1,w2) + 1) / (C(w1·) + V))`` (add-1 smoothing, V = distinct
+    unigram count, C(w1·) = bigram-prefix count). Docs with < 2 tokens score
+    0.0. Scale shape: counts are per-batch partials merged by a small
+    groupby, the finished model is broadcast once (``ray.put``) and the
+    scoring pass streams. At this corpus size the model collection happens
+    driver-side; the SQL oracle computes the identical quantity."""
+    import ray
+    import ray.data
+
+    def partial_counts(batch: pa.Table):
+        toks = token_lists(batch["text"]).to_list()
+        bi: dict[tuple[str, str], int] = {}
+        uni: set[str] = set()
+        for tl in toks:
+            tl = tl or []
+            uni.update(tl)
+            for a, b in zip(tl, tl[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return bi, uni
+
+    # pass 1: model (driver-merged partials; small relative to the corpus)
+    bi_counts: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    ds = _read_docs(sf_dir)
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        bi, uni = partial_counts(batch)
+        vocab.update(uni)
+        for k, v in bi.items():
+            bi_counts[k] = bi_counts.get(k, 0) + v
+    prefix: dict[str, int] = {}
+    for (a, _b), c in bi_counts.items():
+        prefix[a] = prefix.get(a, 0) + c
+    V = float(len(vocab))
+    model_ref = ray.put((bi_counts, prefix, V))
+
+    # pass 2: streaming score
+    def score(batch: pa.Table) -> pa.Table:
+        import math
+
+        bi, pre, v = ray.get(model_ref)
+        toks = token_lists(batch["text"]).to_list()
+        out = []
+        for tl in toks:
+            tl = tl or []
+            if len(tl) < 2:
+                out.append(0.0)
+                continue
+            s = 0.0
+            n = 0
+            for a, b in zip(tl, tl[1:]):
+                s += math.log((bi.get((a, b), 0) + 1.0) / (pre.get(a, 0) + v))
+                n += 1
+            out.append(round(s / n, 6))
+        return pa.table(
+            {
+                "docid": batch["doc_id"].cast(pa.int64()),
+                "lm_score": pa.array(out, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
 def rolling_fingerprint_ds(sf_dir: str, window: int = 8):
     """(docid, window_idx, whash): rolling window hashes over the token
     stream — document fingerprinting for containment/overlap detection."""
