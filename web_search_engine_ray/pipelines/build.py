@@ -91,6 +91,9 @@ class BuildConfig:
     partition_rows: int = 100_000
     resume: bool = True
     text_column: str = "text"
+    # docid shift for doc-range-partitioned builds (this corpus slice is one
+    # range of a larger corpus; see pipelines/distributed.py)
+    docid_offset: int = 0
     # "mapside" (default: map-side-partitioned runs, no sort all-to-all) or
     # "groupby" (Ray-native sort shuffle) — identical output bytes
     merge_strategy: str = "mapside"
@@ -629,9 +632,9 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
     t0 = time.perf_counter()
 
     files = corpus_files(input_path_or_dir)
-    descs, n_docs = plan_partitions(files, cfg.partition_rows)
+    descs, n_docs = plan_partitions(files, cfg.partition_rows, cfg.docid_offset)
     heavy = detect_heavy_sample(files, cfg)
-    layout = make_layout(heavy, n_docs, cfg)
+    layout = make_layout(heavy, cfg.docid_offset + n_docs, cfg)
     t_plan = time.perf_counter()
     run_ms = build_runs(descs, cfg, layout)
     run_ms.sort(key=lambda m: m["pid"])

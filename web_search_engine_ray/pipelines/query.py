@@ -166,8 +166,18 @@ class Searcher:
         self.doclens = DocLengths(os.path.join(index_dir, "doclens"))
         self.N = self.doclens.N
         self.avgdl = self.doclens.avgdl
+        self._df_override: dict[str, int] = {}
         self._lex: dict[int, LexiconShard | None] = {}
         self._readers: dict[int, PostingsShardReader] = {}
+
+    def set_global_stats(self, n: int, avgdl: float, df_override: dict[str, int]) -> None:
+        """Override corpus stats for doc-range-partitioned serving: this index
+        holds one docid range of a larger corpus, but BM25 must score with
+        CORPUS-GLOBAL N / avgdl / df (SURVEY.md §2.5 A4). df lookups for the
+        given terms use the override; everything else stays shard-local."""
+        self.N = int(n)
+        self.avgdl = float(avgdl)
+        self._df_override = dict(df_override)
 
     # -- shard plumbing -------------------------------------------------
     def _shard_of(self, term: str) -> int:
@@ -198,6 +208,8 @@ class Searcher:
         return entry, self._reader(sid)
 
     def df(self, term: str) -> int:
+        if term in self._df_override:
+            return self._df_override[term]
         hit = self.lookup(term)
         return 0 if hit is None else hit[0]["df"]
 
@@ -279,7 +291,7 @@ class Searcher:
                 pos = np.searchsorted(cand, d)
                 fsel = f
             dl = dl_all[pos]
-            contrib = self._contrib_daat(fsel, int(d.size), dl)
+            contrib = self._contrib_daat(fsel, self.df(t), dl)
             contrib[dl == 0] = 0.0
             scores[pos] += contrib
         if tie_semantics == "sorted":
@@ -304,7 +316,7 @@ class Searcher:
         back to exhaustive scoring) whenever the bound doesn't separate.
         """
         hits = [self.lookup(t) for t in terms]
-        dfs = [h[0]["df"] for h in hits]
+        dfs = [self.df(t) for t in terms]
         cutoff = max(50 * topk, self.N // 20)
         ess = [i for i in range(len(terms)) if dfs[i] <= cutoff]
         non = [i for i in range(len(terms)) if dfs[i] > cutoff]
@@ -385,7 +397,7 @@ class Searcher:
         scores = np.zeros(cand.size, dtype=np.float64)
         for t, d, f in infos:
             pos = np.searchsorted(cand, d)
-            scores[pos] += self._contrib_taat(f, int(d.size), dl_all[pos])
+            scores[pos] += self._contrib_taat(f, self.df(t), dl_all[pos])
         keep = np.searchsorted(cand, allowed)
         order = np.lexsort((allowed, -scores[keep]))
         out = [(int(allowed[i]), float(scores[keep][i])) for i in order]
@@ -408,7 +420,7 @@ class Searcher:
         heapq.heapify(heap)
         if not heap:
             return []
-        dfs = [c.entry["df"] for c in cursors]
+        dfs = [self.df(t) for t in terms]
         scores: defaultdict[int, float] = defaultdict(float)
         top: list[tuple[float, int]] = []
         want_and = mode.upper() == "AND"
@@ -470,11 +482,11 @@ class Searcher:
 
         def _ub_term(c: PostingsCursor) -> float:
             mtf = int(c.entry["blk_max_tf"].max()) if c.entry["nblocks"] else 0
-            return self._contrib_daat(np.array([mtf], np.uint64), c.entry["df"], dl1)[0]
+            return self._contrib_daat(np.array([mtf], np.uint64), self.df(c.term), dl1)[0]
 
         def _ub_block(c: PostingsCursor) -> float:
             mtf = int(c.entry["blk_max_tf"][c.bidx])
-            return self._contrib_daat(np.array([mtf], np.uint64), c.entry["df"], dl1)[0]
+            return self._contrib_daat(np.array([mtf], np.uint64), self.df(c.term), dl1)[0]
 
         ubs = [_ub_term(c) for c in cursors]
         n = len(cursors)
@@ -526,7 +538,7 @@ class Searcher:
                         c = cursors[i]
                         score += self._contrib_daat(
                             np.array([c.tf()], np.uint64),
-                            c.entry["df"],
+                            self.df(c.term),
                             np.array([dl], np.uint64),
                         )[0]
                 if len(top) < topk:

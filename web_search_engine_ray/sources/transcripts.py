@@ -38,17 +38,19 @@ def corpus_files(path_or_dir: str | list[str]) -> list[str]:
 
 
 def plan_partitions(
-    files: list[str], partition_rows: int = 100_000
+    files: list[str], partition_rows: int = 100_000, docid_offset: int = 0
 ) -> tuple[list[dict], int]:
     """Metadata-only partition plan. Returns (descriptors, total_rows).
 
     Each descriptor: ``{pid, path, row_groups: [lo, hi), n_rows, base_docid}``.
     Row groups are never split; partitions close once they reach
     ``partition_rows`` rows. base_docid is the cumulative row offset — the
-    docid of the partition's first row.
+    docid of the partition's first row. ``docid_offset`` shifts all docids:
+    used by doc-range-partitioned builds where this file set is one range of
+    a larger corpus (``pipelines/distributed.py``).
     """
     descs: list[dict] = []
-    base = 0
+    base = docid_offset
     pid = 0
     for path in files:
         meta = pq.read_metadata(path)
@@ -72,7 +74,7 @@ def plan_partitions(
             base += n
             pid += 1
             lo = hi
-    return descs, base
+    return descs, base - docid_offset
 
 
 def read_partition(desc: dict, columns: list[str] | None = None) -> pa.Table:

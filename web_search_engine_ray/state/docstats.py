@@ -87,11 +87,13 @@ class DocLengths:
         return int(self.get_many(np.array([docid], dtype=np.uint64))[0])
 
     def dense(self) -> np.ndarray:
-        """Full dense dl array (test/small-scale convenience only)."""
+        """Full dense dl array indexed from this store's first docid
+        (test/small-scale convenience only)."""
         out = np.zeros(self.N, dtype=np.uint32)
+        base = int(self._lo[0]) if self._lo.size else 0
         for si in range(len(self._paths)):
             dl = self._shard_dl(si)
-            lo = int(self._lo[si])
+            lo = int(self._lo[si]) - base
             out[lo : lo + dl.size] = dl
         return out
 
