@@ -80,3 +80,37 @@ def test_flask_search_api(served_index):
 
     assert client.post("/search", json={"query": ""}).status_code == 400
     assert client.post("/search", json={"query": "x", "mode": "XOR"}).status_code == 400
+
+
+def test_docstore_and_snippets(served_index, small_corpus_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.state.docstore import DocStore, create_snippet
+
+    store = DocStore(small_corpus_dir)
+    texts = []
+    for f in sorted(glob.glob(small_corpus_dir + "/*.parquet")):
+        texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+    assert store.n_docs == len(texts)
+    for docid in (0, 1, len(texts) // 2, len(texts) - 1):
+        assert store.get_text(docid) == texts[docid]
+    assert store.get(len(texts)) is None
+
+    # snippet semantics (reference HW2/app.py:118-155)
+    content = "aaa " * 30 + "needle in the haystack " + "bbb " * 80
+    snip = create_snippet(content, "needle haystack")
+    assert "needle" in snip and snip.startswith("...") and snip.endswith("...")
+    assert create_snippet("", "q") == ""
+    long_no_hit = "x" * 300
+    s2 = create_snippet(long_no_hit, "absent")
+    assert len(s2) <= 203
+
+    # served snippets
+    from web_search_engine_ray.serve import create_app
+
+    app = create_app(served_index, corpus_dir=small_corpus_dir)
+    r = app.test_client().post("/search", json={"query": "the data", "mode": "OR"})
+    body = r.get_json()
+    assert body["results"] and "snippet" in body["results"][0]

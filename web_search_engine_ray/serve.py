@@ -23,12 +23,22 @@ from flask import Flask, jsonify, request
 from web_search_engine_ray.pipelines.query import Searcher
 
 
-def create_app(index_dir: str) -> Flask:
+def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
+    """``corpus_dir`` (optional) enables text + snippet in responses — a
+    capability the reference stubs (its snippet helper is dead code because
+    nothing maps docids back to content, ``HW2/app.py:85-104``)."""
     app = Flask(__name__)
     searcher = Searcher(index_dir)
+    docstore = None
+    if corpus_dir is not None:
+        from web_search_engine_ray.state.docstore import DocStore
+
+        docstore = DocStore(corpus_dir, columns=["text"])
 
     @app.route("/search", methods=["POST"])
     def search():
+        from web_search_engine_ray.state.docstore import create_snippet
+
         data = request.get_json(silent=True) or {}
         query = (data.get("query") or "").strip()
         mode = (data.get("mode") or "AND").upper()
@@ -40,11 +50,18 @@ def create_app(index_dir: str) -> Flask:
         t0 = time.perf_counter()
         results = searcher.bm25_topk(query, topk=topk, mode=mode)
         search_ms = (time.perf_counter() - t0) * 1000
+        out = []
+        for d, s in results:
+            item = {"docid": d, "score": s}
+            if docstore is not None:
+                text = docstore.get_text(d)
+                item["snippet"] = create_snippet(text, query)
+            out.append(item)
         return jsonify(
             {
-                "results": [{"docid": d, "score": s} for d, s in results],
+                "results": out,
                 "searchTime": search_ms,
-                "totalResults": len(results),
+                "totalResults": len(out),
                 "query": query,
                 "mode": mode,
             }
@@ -66,10 +83,11 @@ def create_app(index_dir: str) -> Flask:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
+    ap.add_argument("--corpus", default=None, help="corpus dir for text/snippets")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5001)
     args = ap.parse_args()
-    create_app(args.index).run(host=args.host, port=args.port)
+    create_app(args.index, args.corpus).run(host=args.host, port=args.port)
 
 
 if __name__ == "__main__":
