@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- ranked + boolean search (§2.6-2.8) ----
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
+        "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
         # ---- dedup family ----
@@ -190,6 +191,16 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
        ROUND((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl
 """,
         "bm25_topk_or": bm25_core
+        + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # the doc-range-partitioned actor pool must reproduce the exact same
+        # answer as the single index — same oracle
+        "bm25_partitioned": bm25_core
         + f"""
 SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
