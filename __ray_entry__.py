@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_search_engine_ray.pipelines import (
         analysis,
         corpus,
+        curate,
         dedup,
         events,
         serving,
@@ -79,8 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
-        # ---- dedup family ----
+        # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
+        "curated_docs": curate.curated_docs_ds,
+        "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
         "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
         "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
@@ -235,6 +238,31 @@ FROM q JOIN tf ON tf.term = q.term
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS docid
 FROM documents GROUP BY md5(text)
+""",
+        "curated_docs": f"""
+WITH q AS (SELECT doc_id, md5(text) AS h,
+                  (len(toks) >= 5 AND
+                   (CASE WHEN len(toks) = 0 THEN 1.0
+                         ELSE len(list_filter(toks, t -> t IN {STOP_SQL}))::DOUBLE
+                              / len(toks) END) <= 0.6) AS ok
+           FROM (SELECT doc_id, text, {TOK} AS toks FROM documents)),
+ m AS (SELECT h, min(doc_id) AS d FROM q GROUP BY h)
+SELECT q.doc_id AS docid FROM q JOIN m ON q.doc_id = m.d WHERE q.ok
+""",
+        "curation_stats": f"""
+WITH q AS (SELECT doc_id, md5(text) AS h, len(toks) AS n_tokens,
+                  (len(toks) >= 5 AND
+                   (CASE WHEN len(toks) = 0 THEN 1.0
+                         ELSE len(list_filter(toks, t -> t IN {STOP_SQL}))::DOUBLE
+                              / len(toks) END) <= 0.6) AS ok
+           FROM (SELECT doc_id, text, {TOK} AS toks FROM documents)),
+ m AS (SELECT h, min(doc_id) AS d FROM q GROUP BY h),
+ s AS (SELECT q.* FROM q JOIN m ON q.doc_id = m.d)
+SELECT (SELECT count(*) FROM q)::BIGINT AS n_input,
+       (SELECT count(*) FROM q WHERE ok)::BIGINT AS n_quality,
+       (SELECT count(*) FROM s)::BIGINT AS n_unique,
+       (SELECT count(*) FROM s WHERE ok)::BIGINT AS n_survivors,
+       (SELECT coalesce(sum(n_tokens), 0) FROM s WHERE ok)::BIGINT AS survivor_tokens
 """,
         "ngram_jaccard_dups": f"""
 WITH {shingle_cte}
