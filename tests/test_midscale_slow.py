@@ -1,0 +1,50 @@
+"""Mid-scale oracle conformance (~15k turns, default block size) — opt-in via
+``WSE_SLOW=1`` so the default suite stays fast. Catches scale-dependent
+regressions (multi-block heavy lists, salt-bucket chaining) between rounds."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WSE_SLOW"), reason="set WSE_SLOW=1 to run mid-scale conformance"
+)
+
+
+@pytest.fixture(scope="module")
+def mid_corpus(tmp_path_factory):
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = tmp_path_factory.mktemp("mid_corpus")
+    write_corpus(str(d), n_convs=3500, max_turns=8, rows_per_file=2000)
+    return str(d)
+
+
+def test_midscale_conformance(ray_session, mid_corpus, tmp_path_factory):
+    from web_search_engine_ray.oracle import OracleIndex
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.pipelines.query import Searcher
+
+    out = str(tmp_path_factory.mktemp("mid_idx"))
+    build = build_index(mid_corpus, out, partition_rows=2000, num_shards=8, n_salts=4)
+    rows = []
+    for f in sorted(glob.glob(mid_corpus + "/*.parquet")):
+        rows.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+    oracle = OracleIndex.build(list(enumerate(rows)))
+    assert build["n_docs"] == oracle.N
+    assert build["n_postings"] == sum(len(p) for p in oracle.index.values())
+    s = Searcher(out)
+    # heavy terms fully decoded vs oracle
+    for t in build["heavy_terms"]:
+        d, f = s.postings(t)
+        wd, wf = oracle.postings(t)
+        assert d.tolist() == wd and f.tolist() == wf, t
+    # rank identity on mixed queries
+    for q in ["the data", "w0001 w0002", "data data", "u.s 3.14"]:
+        got = sorted(s.bm25_topk(q, 10, "OR"), key=lambda x: (-x[1], x[0]))
+        want = sorted(oracle.ranked_daat(q, 10, "OR"), key=lambda x: (-x[1], x[0]))
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (wd_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
