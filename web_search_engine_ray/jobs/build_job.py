@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--codec", default="varbyte", choices=["varbyte", "raw"])
     ap.add_argument("--merge-strategy", default="mapside", choices=["mapside", "groupby"])
     ap.add_argument("--heavy-df-frac", type=float, default=0.05)
+    ap.add_argument("--text-column", default="text")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -52,6 +53,7 @@ def main() -> None:
         codec=args.codec,
         merge_strategy=args.merge_strategy,
         heavy_df_frac=args.heavy_df_frac,
+        text_column=args.text_column,
         resume=not args.no_resume,
     )
     print(

@@ -632,6 +632,17 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
     t0 = time.perf_counter()
 
     files = corpus_files(input_path_or_dir)
+    if not files:
+        raise ValueError(f"no parquet files found under {input_path_or_dir!r}")
+    for f in (files[0], files[-1]):
+        names = pq.read_schema(f).names
+        if cfg.text_column not in names:
+            raise ValueError(
+                f"corpus file {f!r} has no {cfg.text_column!r} column "
+                f"(columns: {names}); point --input at the transcript corpus "
+                "(a dir of transcript parquet files or a single file), not a "
+                "directory of mixed tables"
+            )
     descs, n_docs = plan_partitions(files, cfg.partition_rows, cfg.docid_offset)
     heavy = detect_heavy_sample(files, cfg)
     layout = make_layout(heavy, cfg.docid_offset + n_docs, cfg)
