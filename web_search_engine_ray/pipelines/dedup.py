@@ -90,6 +90,9 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
+_TOKEN_CACHE_MAX = 1_000_000  # bound resident vocab in long-lived workers
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """Deterministic u64 per token (blake2b), memoized — the corpus
     vocabulary is tiny relative to the token stream."""
@@ -101,6 +104,8 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
             h = int.from_bytes(
                 hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
             )
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
             cache[t] = h
         out[i] = h
     return out
