@@ -188,7 +188,9 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            WSE_BENCH_CONVS=os.environ.get("WSE_SCALE_CONVS", "222000"),
+            # ~2M turns: fixed startup is <5% of the 4N leg, so the measured
+            # efficiency reflects the pipeline, not session overhead
+            WSE_BENCH_CONVS=os.environ.get("WSE_SCALE_CONVS", "444000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
