@@ -80,3 +80,24 @@ def test_query_edges(ray_session, small_corpus_dir, tmp_path):
     # topk larger than result count
     res = s.bm25_topk("uq0x0 uq1x0", topk=1000, mode="OR")
     assert 0 < len(res) < 1000 or res == []
+
+
+def test_doclengths_below_first_span(tmp_path):
+    """Docids below the first span's start clamp to dl=0 (public lookup API
+    must not wrap-index the last shard) — range-offset index scenario."""
+    import json
+
+    import numpy as np
+
+    from web_search_engine_ray.state.docstats import DocLengths
+
+    d = tmp_path / "dl"
+    d.mkdir()
+    t = pa.table({"docid": pa.array([100, 101, 102], pa.uint64()),
+                  "dl": pa.array([7, 8, 9], pa.uint32())})
+    pq.write_table(t.replace_schema_metadata({"docid_lo": "100"}),
+                   str(d / "doclen_000.parquet"))
+    (d / "stats.json").write_text(json.dumps({"N": 3, "total_tokens": 24, "avgdl": 8.0}))
+    dls = DocLengths(str(d))
+    got = dls.get_many(np.array([5, 100, 102, 99, 103], dtype=np.uint64))
+    assert got.tolist() == [0, 7, 9, 0, 0]

@@ -46,6 +46,22 @@ def test_tsv_to_corpus_positional(tsv_file, tmp_path):
     assert rows[4]["text"] == ""
 
 
+def test_blank_line_semantics(tsv_file, tmp_path):
+    """Pin the deliberate divergence from the reference MP path
+    (build_runs_mp.py:82-84): a whitespace-only line keeps its docid as a
+    dl=0 row and COUNTS in N/avgdl here, whereas the reference skips it
+    (docid consumed, excluded from doc_lengths)."""
+    import pyarrow.parquet as pq
+
+    paths = tsv_to_corpus(tsv_file, str(tmp_path / "c2"))
+    rows = []
+    for p in paths:
+        rows.extend(pq.read_table(p).to_pylist())
+    # every input line — including the whitespace-only one — yields a row
+    assert len(rows) == len(LINES)
+    assert rows[4]["text"] == ""  # the "   " line: dl will be 0, N includes it
+
+
 def test_tsv_index_matches_oracle(ray_session, tsv_file, tmp_path):
     build = build_index_from_tsv(
         tsv_file, str(tmp_path / "idx"), partition_rows=3, num_shards=2, n_salts=2

@@ -399,8 +399,9 @@ class Searcher:
             pos = np.searchsorted(cand, d)
             scores[pos] += self._contrib_taat(f, self.df(t), dl_all[pos])
         keep = np.searchsorted(cand, allowed)
-        order = np.lexsort((allowed, -scores[keep]))
-        out = [(int(allowed[i]), float(scores[keep][i])) for i in order]
+        sk = scores[keep]
+        order = np.lexsort((allowed, -sk))
+        out = [(int(allowed[i]), float(sk[i])) for i in order]
         return out[:topk] if topk else out
 
     # -- ranked: exact DAAT cursor loop ---------------------------------

@@ -24,6 +24,18 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_det(s: np.ndarray, vid: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the deterministic (-cos, vec_id) top-k cut: O(n)
+    argpartition to the score threshold, then a lexsort over the (small)
+    boundary-tie candidate set — exact-cosine ties at the k boundary resolve
+    to the smallest vec_id, matching the oracle's ORDER BY cos DESC, vec_id."""
+    part = np.argpartition(-s, k - 1)[:k]
+    thresh = s[part].min()
+    cand = np.flatnonzero(s >= thresh)
+    order = np.lexsort((vid[cand], -s[cand]))[:k]
+    return cand[order]
+
+
 def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
@@ -58,8 +70,8 @@ def knn_cosine(sf_dir: str, n_queries: int = 3, topk: int = 10) -> pa.Table:
             k = min(topk, s.size)
             if k == 0:
                 continue
-            part = np.argpartition(-s, k - 1)[:k]
-            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            part = _topk_det(s, vid, k)
+            out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
         if not out_q:
@@ -124,8 +136,8 @@ def lsh_bucketed_knn(
             s = qm[qi] @ V[mask].T
             vid = ids[mask]
             k = min(topk, s.size)
-            part = np.argpartition(-s, k - 1)[:k]
-            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            part = _topk_det(s, vid, k)
+            out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
         if not out_q:

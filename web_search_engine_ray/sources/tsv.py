@@ -5,16 +5,22 @@ A reference user's corpus is a TSV of ``<docid>\t<text>`` lines
 corpus into the engine's canonical sorted-Parquet transcript layout so every
 pipeline here (build, queries, analysis) runs on it unchanged.
 
-Semantics mirror the reference's production MP path exactly:
+Semantics follow the reference's production MP path, with ONE deliberate
+divergence on blank lines:
 
 - **positional docids**: docid = line number (a driver counter in the
   reference, ``build_runs_mp.py:144-151``); the first TSV column is IGNORED,
   the LAST tab field is the text (``parts[-1]``, ``:87``);
 - a line with *no tab at all* still indexes — the whole line is its own
   ``parts[-1]``;
-- a whitespace-only line consumes a docid and stays dl=0 (our engine rule
-  gives every row a docid; SURVEY.md §2.2 M2 documents the reference's
-  blank-line quirk, which has no Parquet analog).
+- a whitespace-only line consumes a docid and becomes a dl=0 row that
+  **counts in N/avgdl**. The reference MP path (``build_runs_mp.py:82-84``)
+  instead skips blank lines entirely — the docid is consumed but the row is
+  excluded from doc_lengths, so its N/avgdl (and hence BM25 scores) differ
+  on corpora containing blank lines. We keep the every-row-has-a-docid rule
+  because the engine's dense range-sharded dl store has no notion of a
+  docid hole; the divergence is pinned by
+  ``tests/test_tsv_source.py::test_blank_line_semantics``.
 
 The conversion runs as Ray tasks over byte-range-planned chunks? No — TSV
 has no row-group metadata, so chunking must honor line boundaries: the

@@ -74,6 +74,8 @@ class DocLengths:
         out = np.zeros(d.size, dtype=np.uint32)
         si = np.searchsorted(self._lo, d, side="right") - 1
         for s in np.unique(si):
+            if s < 0:  # docid below the first span: dl = 0 (mirrors the
+                continue  # out-of-range-high handling below)
             mask = si == s
             dl = self._shard_dl(int(s))
             idx = (d[mask] - self._lo[s]).astype(np.int64)
