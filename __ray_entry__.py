@@ -77,9 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- ranked + boolean search (§2.6-2.8) ----
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
+        "bm25_taat": lambda sf: serving.bm25_taat_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
+        "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
+        # ---- crawl (HW1 pipeline over the injected fake web) ----
+        "crawl_log": lambda sf: serving.crawl_log_table(sf),
         # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
         "curated_docs": curate.curated_docs_ds,
@@ -88,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
         "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
         "embedding_dups": lambda sf: dedup.embedding_dups(sf, tau=0.45),
+        "embedding_dups_lsh": lambda sf: dedup.embedding_dups_lsh(sf, tau=0.45),
         # ---- similarity search ----
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
@@ -219,6 +224,16 @@ FROM (SELECT s.*, row_number() OVER (PARTITION BY s.query_id
       FROM scored s JOIN need n ON n.query_id = s.query_id AND s.nmatch = n.need)
 WHERE rn <= {TOPK}
 """,
+        # the TAAT ranker path (different float association, same values
+        # after ROUND(4)) must reproduce the same answer as the DAAT path
+        "bm25_taat": bm25_core
+        + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
         "boolean_and": f"""
 WITH {tok_cte}, {tf_cte}, {df_cte},
  q(query_id, term) AS (VALUES {qv}),
@@ -324,6 +339,61 @@ SELECT doc_id AS docid,
          END) <= 0.6) AS quality_ok
 FROM (SELECT doc_id, {TOK} AS toks FROM documents)
 """,
-        # rows-only (no SQL twin): minhash_lsh_candidates, simhash_dups,
-        # embedding_dups, knn_lsh, langid, rolling_fingerprint
+        # simhash is md5-token-hash based precisely so DuckDB can recompute
+        # it bit-for-bit: md5_number_lower == low 8 bytes of md5 (LE), the
+        # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
+        # 16-bit bands), so all-pairs SQL is the same relation
+        "simhash_dups": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ th AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h FROM t),
+ nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+ bits AS (SELECT doc_id, j, sum(((h >> j) & 1)::BIGINT) AS ones
+          FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+ shv AS (SELECT b.doc_id,
+               sum(CASE WHEN 2*b.ones > nt.n THEN (1::UBIGINT << b.j)
+                        ELSE 0::UBIGINT END)::UBIGINT AS s
+        FROM bits b JOIN nt ON nt.doc_id = b.doc_id GROUP BY b.doc_id),
+ allsh AS (SELECT d.doc_id, coalesce(shv.s, 0::UBIGINT) AS s
+           FROM documents d LEFT JOIN shv ON shv.doc_id = d.doc_id)
+SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # exact block-pair engine answer == all-pairs SQL
+        "embedding_dups": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+""",
+        "langid": f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+ h AS (SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour'))) AS h_fr
+  FROM t)
+SELECT doc_id AS docid,
+  CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'unknown'
+       WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h
+""",
+        "rolling_fingerprint": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ w AS (SELECT doc_id, unnest(range(0, greatest(len(ws)-7, 0), 4)) AS i, ws FROM t)
+SELECT doc_id AS docid, i::BIGINT AS window_idx,
+       md5(array_to_string(ws[i+1:i+8], ' ')) AS whash
+FROM w
+""",
+        # rows-only (no SQL twin): minhash_lsh_candidates (splitmix64 mixing
+        # needs wrapping u64 arithmetic DuckDB lacks), knn_lsh +
+        # embedding_dups_lsh (approximate by construction),
+        # wand_daat_equivalence (engine-internal heap-tie equivalence),
+        # crawl_log (stateful frontier traversal)
     }

@@ -1,0 +1,143 @@
+"""Dedup-operator internals: vectorized bucket pairing (+ skew guard),
+popcount, batch simhash vs scalar definition, and the banded embedding-LSH
+recall/subset contract vs the exact block-pair answer."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from web_search_engine_ray.pipelines.dedup import (
+    _intra_bucket_pairs,
+    _popcount64,
+    _simhash_batch,
+    _token_hashes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pairs(keys, doc):
+    out = set()
+    n = doc.size
+    for i in range(n):
+        for j in range(n):
+            if doc[i] < doc[j] and all(k[i] == k[j] for k in keys):
+                out.add((int(doc[i]), int(doc[j])))
+    return out
+
+
+def test_intra_bucket_pairs_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    band = rng.integers(0, 3, 40)
+    key = rng.integers(0, 4, 40)
+    doc = rng.permutation(40).astype(np.int64)
+    a, b = _intra_bucket_pairs((band, key), doc)
+    got = set(zip(a.tolist(), b.tolist()))
+    assert got == _brute_pairs((band, key), doc)
+    assert np.all(a < b)  # docid-ordered within bucket
+
+
+def test_intra_bucket_pairs_empty_and_singletons():
+    e = np.empty(0, dtype=np.int64)
+    a, b = _intra_bucket_pairs((e,), e)
+    assert a.size == b.size == 0
+    # all-singleton buckets -> no pairs
+    k = np.arange(5)
+    a, b = _intra_bucket_pairs((k,), k.astype(np.int64))
+    assert a.size == 0
+
+
+def test_intra_bucket_pairs_skew_guard_logs(caplog):
+    """An oversized bucket is truncated to its max_bucket smallest docids
+    and the truncation is LOGGED (never silent)."""
+    key = np.zeros(10, dtype=np.int64)
+    doc = np.arange(10, dtype=np.int64)[::-1].copy()
+    with caplog.at_level(logging.WARNING):
+        a, b = _intra_bucket_pairs((key,), doc, max_bucket=4)
+    assert any("truncated" in r.message for r in caplog.records)
+    # pairs over docids {0,1,2,3} only (4 smallest), all 6 of them
+    assert set(zip(a.tolist(), b.tolist())) == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }
+
+
+def test_popcount64():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**63, 100, dtype=np.int64).view(np.uint64)
+    want = [bin(int(v)).count("1") for v in x]
+    assert _popcount64(x).tolist() == want
+
+
+def _scalar_simhash(tokens):
+    if not tokens:
+        return 0
+    hs = _token_hashes(tokens)
+    out = 0
+    for bit in range(64):
+        ones = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
+        if 2 * ones - len(tokens) > 0:
+            out |= 1 << bit
+    return out
+
+
+def test_simhash_batch_matches_scalar():
+    docs = [
+        ["the", "cat", "sat"],
+        [],
+        ["spark", "spark", "join", "merge"],
+        ["a"],
+        ["x" * 30, "y", "z", "y"],
+    ]
+    got = _simhash_batch(docs)
+    want = [_scalar_simhash(t) for t in docs]
+    assert [int(v) for v in got] == want
+
+
+def test_token_hash_is_md5_lower64():
+    """The token hash must equal DuckDB md5_number_lower (low 8 bytes of
+    md5, little-endian) — the simhash SQL oracle depends on it."""
+    import duckdb
+
+    got = int(_token_hashes(["hello"])[0])
+    want = duckdb.sql("SELECT md5_number_lower('hello')").fetchone()[0]
+    assert got == want
+
+
+def test_embedding_lsh_subset_and_recall(ray_session):
+    """Banded hyperplane LSH: always a subset of the exact block-pair
+    answer; recall on the fixture is pinned (deterministic planes)."""
+    from web_search_engine_ray.pipelines.dedup import (
+        embedding_dups,
+        embedding_dups_lsh,
+    )
+
+    exact = embedding_dups(SF, tau=0.45).to_pandas()
+    approx = embedding_dups_lsh(SF, tau=0.45).to_pandas()
+    ke = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    ka = set(zip(approx["vec_id_a"], approx["vec_id_b"]))
+    assert ka <= ke
+    assert len(ka & ke) / max(1, len(ke)) >= 0.8
+    # cos values agree with the exact table on shared pairs
+    em = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+    for a, b, c in approx.itertuples(index=False):
+        assert em[(a, b)] == pytest.approx(c, abs=1e-9)
+
+
+def test_simhash_dups_banding_exhaustive(ray_session):
+    """4x16-bit band blocking is exhaustive for hamming <= 3: the
+    distributed answer equals brute-force over the per-doc hashes."""
+    from web_search_engine_ray.pipelines.dedup import simhash_dups, simhash_ds
+
+    sh = simhash_ds(SF).to_pandas().sort_values("docid")
+    ids = sh["docid"].to_numpy()
+    hs = sh["simhash"].to_numpy().view(np.uint64)
+    want = set()
+    x = hs[:, None] ^ hs[None, :]
+    ham = _popcount64(x.reshape(-1)).reshape(x.shape)
+    ii, jj = np.nonzero(ham <= 3)
+    for i, j in zip(ii, jj):
+        if ids[i] < ids[j]:
+            want.add((int(ids[i]), int(ids[j]), int(ham[i, j])))
+    got = simhash_dups(SF, max_hamming=3).to_pandas()
+    assert set(zip(got["docid_a"], got["docid_b"], got["hamming"])) == want

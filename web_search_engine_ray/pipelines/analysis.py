@@ -2,8 +2,10 @@
 quality signals, fingerprints, and a language-ID heuristic.
 
 Training-data-pipeline extensions (beyond the reference's operator set). Each
-stage is a vectorized ``map_batches`` transform; ``text_stats_ds`` has an
-exact DuckDB-SQL twin, ``langid_ds`` is heuristic (rows-only check).
+stage is a vectorized ``map_batches`` transform (polars list expressions over
+the tokenized column — no per-row Python in the hot path); ``text_stats_ds``,
+``quality_ds``, ``lm_score_ds``, ``langid_ds`` and ``rolling_fingerprint_ds``
+all have exact DuckDB-SQL twins in ``__ray_entry__``.
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ import hashlib
 import os
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
@@ -34,31 +37,58 @@ def _read_docs(sf_dir: str):
     )
 
 
+def _stop_hits(toks: pl.Series, words) -> np.ndarray:
+    """Per-row count of tokens in ``words`` (vectorized list expression)."""
+    return (
+        toks.list.eval(pl.element().is_in(list(words)))
+        .list.sum()
+        .fill_null(0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
 def text_stats_ds(sf_dir: str):
     """(docid, n_tokens, n_uniq, n_chars, stop_ratio, mean_token_len,
     fingerprint): token counting, quality ratios, and a normalized-content
-    fingerprint (md5 of the space-joined token stream)."""
+    fingerprint (md5 of the space-joined token stream). All counts/ratios are
+    polars list expressions; only the md5 runs per row (C-speed hashing)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        toks = token_lists(batch["text"]).to_list()
-        texts = batch["text"].to_pylist()
-        n_tok, n_uniq, stop_r, mean_len, fps = [], [], [], [], []
-        for tl in toks:
-            tl = tl or []
-            n = len(tl)
-            n_tok.append(n)
-            n_uniq.append(len(set(tl)))
-            stop_r.append(round(sum(1 for t in tl if t in STOPWORDS) / n, 6) if n else 0.0)
-            mean_len.append(round(sum(len(t) for t in tl) / n, 6) if n else 0.0)
-            fps.append(hashlib.md5(" ".join(tl).encode("utf-8")).hexdigest())
+        toks = token_lists(batch["text"])
+        n_tok = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        n_uniq = toks.list.n_unique().fill_null(0).to_numpy().astype(np.int64)
+        n_chars = (
+            pl.from_arrow(batch["text"])
+            .fill_null("")
+            .str.len_chars()
+            .to_numpy()
+            .astype(np.int64)
+        )
+        stops = _stop_hits(toks, STOPWORDS)
+        char_sum = (
+            toks.list.eval(pl.element().str.len_chars())
+            .list.sum()
+            .fill_null(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        safe_n = np.maximum(n_tok, 1)
+        stop_r = np.where(n_tok > 0, stops / safe_n, 0.0)
+        mean_len = np.where(n_tok > 0, char_sum / safe_n, 0.0)
+        joined = toks.list.join(" ").fill_null("").to_list()
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined]
         return pa.table(
             {
                 "docid": batch["doc_id"].cast(pa.int64()),
                 "n_tokens": pa.array(n_tok, pa.int64()),
                 "n_uniq": pa.array(n_uniq, pa.int64()),
-                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-                "stop_ratio": pa.array(stop_r, pa.float64()),
-                "mean_token_len": pa.array(mean_len, pa.float64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                # scalar round() per value: Python round is correctly-rounded
+                # decimal (matches DuckDB ROUND); np.round's scale-rint can
+                # differ in the last ulp
+                "stop_ratio": pa.array([round(x, 6) for x in stop_r], pa.float64()),
+                "mean_token_len": pa.array([round(x, 6) for x in mean_len], pa.float64()),
                 "fingerprint": pa.array(fps, pa.string()),
             }
         )
@@ -71,13 +101,11 @@ def quality_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6):
     stopword-ratio cap (the usual first-pass corpus filter shape)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        toks = token_lists(batch["text"]).to_list()
-        ok = []
-        for tl in toks:
-            tl = tl or []
-            n = len(tl)
-            sr = sum(1 for t in tl if t in STOPWORDS) / n if n else 1.0
-            ok.append(bool(n >= min_tokens and sr <= max_stop_ratio))
+        toks = token_lists(batch["text"])
+        n = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        stops = _stop_hits(toks, STOPWORDS)
+        sr = np.where(n > 0, stops / np.maximum(n, 1), 1.0)
+        ok = (n >= min_tokens) & (sr <= max_stop_ratio)
         return pa.table(
             {
                 "docid": batch["doc_id"].cast(pa.int64()),
@@ -92,26 +120,25 @@ class LangIdStage:
     """Actor-pool language-ID stage: stopword-hit voting per language.
 
     Stateful-stage shape on purpose (tables built once in ``__init__``, reused
-    per batch) — the pattern a real fasttext/CLD model would use."""
+    per batch) — the pattern a real fasttext/CLD model would use. Votes are
+    vectorized (one ``is_in`` list expression per language, argmax across the
+    4-row hit matrix; ties keep the alphabetically-first language, zero hits
+    -> "unknown")."""
 
     def __init__(self):
-        self.tables = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+        self.langs = sorted(LANG_STOPWORDS)
+        self.tables = [sorted(LANG_STOPWORDS[k]) for k in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = token_lists(batch["text"]).to_list()
-        langs = []
-        for tl in toks:
-            tl = tl or []
-            best, best_hits = "unknown", 0
-            for lang, sw in sorted(self.tables.items()):
-                hits = sum(1 for t in tl if t in sw)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
+        toks = token_lists(batch["text"])
+        hits = np.stack([_stop_hits(toks, t) for t in self.tables])  # (4, n)
+        best = hits.argmax(axis=0)  # first max wins = sorted-order tie rule
+        names = np.array(self.langs + ["unknown"])
+        best = np.where(hits.max(axis=0) > 0, best, len(self.langs))
         return pa.table(
             {
                 "docid": batch["doc_id"].cast(pa.int64()),
-                "lang_pred": pa.array(langs, pa.string()),
+                "lang_pred": pa.array(names[best], pa.string()),
             }
         )
 
@@ -119,6 +146,54 @@ class LangIdStage:
 def langid_ds(sf_dir: str, concurrency: int = 2):
     return _read_docs(sf_dir).map_batches(
         LangIdStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def _bigram_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counts for the bigram LM, one vectorized polars
+    pass. Emits two row kinds: kind=1 bigram counts (w1, w2, c) and kind=0
+    batch-distinct unigram markers (w1=term, w2="", c=0) — the downstream
+    ``groupby(kind, w1, w2).sum(c)`` merges partials AND dedupes markers, so
+    V = count of kind=0 groups."""
+    toks = token_lists(batch["text"])
+    df = pl.DataFrame({"w": toks})
+    big = (
+        df.filter(pl.col("w").list.len() >= 2)
+        .select(
+            w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+            w2=pl.col("w").list.slice(1),
+        )
+        .explode(["w1", "w2"])
+        .group_by(["w1", "w2"])
+        .len(name="c")
+    )
+    uni = df.select(w1=pl.col("w")).explode("w1").drop_nulls().unique()
+    return pa.table(
+        {
+            "kind": pa.array(
+                np.concatenate(
+                    [np.ones(big.height, np.int8), np.zeros(uni.height, np.int8)]
+                ),
+                pa.int8(),
+            ),
+            "w1": pa.chunked_array(
+                [big["w1"].to_arrow().cast(pa.string()),
+                 uni["w1"].to_arrow().cast(pa.string())], pa.string()
+            ).combine_chunks(),
+            "w2": pa.chunked_array(
+                [big["w2"].to_arrow().cast(pa.string()),
+                 pa.array([""] * uni.height, pa.string())], pa.string()
+            ).combine_chunks(),
+            "c": pa.array(
+                np.concatenate(
+                    [
+                        big["c"].to_numpy().astype(np.int64),
+                        np.zeros(uni.height, np.int64),
+                    ]
+                ),
+                pa.int64(),
+            ),
+        }
     )
 
 
@@ -130,37 +205,37 @@ def lm_score_ds(sf_dir: str):
     per-doc score = mean over its bigrams of
     ``ln((C(w1,w2) + 1) / (C(w1·) + V))`` (add-1 smoothing, V = distinct
     unigram count, C(w1·) = bigram-prefix count). Docs with < 2 tokens score
-    0.0. Scale shape: counts are per-batch partials merged by a small
-    groupby, the finished model is broadcast once (``ray.put``) and the
-    scoring pass streams. At this corpus size the model collection happens
-    driver-side; the SQL oracle computes the identical quantity."""
+    0.0.
+
+    Scale shape: pass 1 runs as Ray stages — per-batch vectorized partial
+    counts (:func:`_bigram_partials`) merged by ``groupby(kind, w1, w2)``;
+    the driver only collects the finished (vocab-sized, corpus-independent)
+    model and broadcasts it once (``ray.put``). Pass 2 streams. The SQL
+    oracle computes the identical quantity."""
     import ray
-    import ray.data
 
-    def partial_counts(batch: pa.Table):
-        toks = token_lists(batch["text"]).to_list()
-        bi: dict[tuple[str, str], int] = {}
-        uni: set[str] = set()
-        for tl in toks:
-            tl = tl or []
-            uni.update(tl)
-            for a, b in zip(tl, tl[1:]):
-                bi[(a, b)] = bi.get((a, b), 0) + 1
-        return bi, uni
-
-    # pass 1: model (driver-merged partials; small relative to the corpus)
-    bi_counts: dict[tuple[str, str], int] = {}
-    vocab: set[str] = set()
     ds = _read_docs(sf_dir)
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        bi, uni = partial_counts(batch)
-        vocab.update(uni)
-        for k, v in bi.items():
-            bi_counts[k] = bi_counts.get(k, 0) + v
+    merged = (
+        ds.map_batches(_bigram_partials, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .sum("c")
+    )
+    bi_counts: dict[tuple[str, str], int] = {}
+    n_vocab = 0
+    for tbl in merged.iter_batches(batch_format="pyarrow"):
+        kinds = tbl["kind"].to_pylist()
+        w1s = tbl["w1"].to_pylist()
+        w2s = tbl["w2"].to_pylist()
+        cs = tbl["sum(c)"].to_pylist()
+        for k, a, b, c in zip(kinds, w1s, w2s, cs):
+            if k == 0:
+                n_vocab += 1
+            else:
+                bi_counts[(a, b)] = int(c)
     prefix: dict[str, int] = {}
     for (a, _b), c in bi_counts.items():
         prefix[a] = prefix.get(a, 0) + c
-    V = float(len(vocab))
+    V = float(n_vocab)
     model_ref = ray.put((bi_counts, prefix, V))
 
     # pass 2: streaming score
@@ -193,7 +268,9 @@ def lm_score_ds(sf_dir: str):
 
 def rolling_fingerprint_ds(sf_dir: str, window: int = 8):
     """(docid, window_idx, whash): rolling window hashes over the token
-    stream — document fingerprinting for containment/overlap detection."""
+    stream — document fingerprinting for containment/overlap detection.
+    whash = md5 hex of the space-joined window (md5 so DuckDB can compute
+    the identical value — the oracle twin lives in ``__ray_entry__``)."""
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
@@ -205,7 +282,7 @@ def rolling_fingerprint_ds(sf_dir: str, window: int = 8):
                 chunk = " ".join(tl[i : i + window])
                 d_l.append(did)
                 w_l.append(i)
-                h_l.append(hashlib.blake2b(chunk.encode(), digest_size=8).hexdigest())
+                h_l.append(hashlib.md5(chunk.encode()).hexdigest())
         return pa.table(
             {
                 "docid": pa.array(d_l, pa.int64()),

@@ -1,13 +1,22 @@
 """Corpus curation: the composed training-data pipeline (filter -> dedup).
 
 The canonical pre-training data flow this engine exists to serve: per-doc
-quality signals and content hashes are computed in ONE vectorized pass, one
-``groupby(text_hash)`` picks each duplicate group's min-docid survivor, and
-the quality gate keeps or drops the survivor. Output feeds straight into
-``build_index`` (curated corpus -> inverted index).
+quality signals and content hashes are computed in ONE vectorized pass, and
+one small ``groupby(text_hash)`` aggregation picks each duplicate group's
+min-docid survivor and carries its quality flag / token count along — packed
+into int64 so the survivor selection is a plain ``Min`` aggregate instead of
+per-group Python. The quality gate keeps or drops the survivor. Output feeds
+straight into ``build_index`` (curated corpus -> inverted index).
 
-Scale shape: the shuffle moves one small row per doc (hash, docid, flags),
-never text; survivor selection is a per-group O(1) reduction.
+Scale shape: the shuffle moves one small row per doc (hash + two packed
+ints), never text; survivor selection is a hash groupby with O(1) combiner
+state per group; stats reduce to a handful of partial-sum rows. Nothing
+materializes on the driver beyond the final one-row stats table.
+
+Packing bounds (asserted, not silent): ``p_ok = docid*2 + ok`` needs
+docid < 2^62; ``p_tok = docid*2^22 + min(n_tokens, 2^22-1)`` needs
+docid < 2^41 — both far beyond any single-table docid space here (a 100 TB
+multi-table layout would add per-table docid offsets before this stage).
 """
 
 from __future__ import annotations
@@ -15,10 +24,14 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
-from web_search_engine_ray.pipelines.analysis import STOPWORDS
+from web_search_engine_ray.pipelines.analysis import STOPWORDS, _stop_hits
+
+_TOK_BITS = 22
+_TOK_MAX = (1 << _TOK_BITS) - 1
 
 
 def _read_docs(sf_dir: str):
@@ -30,74 +43,100 @@ def _read_docs(sf_dir: str):
 
 
 def _doc_signals(batch: pa.Table, min_tokens: int, max_stop_ratio: float) -> pa.Table:
-    toks = token_lists(batch["text"]).to_list()
-    ok, hashes, ntok = [], [], []
-    for t, text in zip(toks, batch["text"].to_pylist()):
-        t = t or []
-        n = len(t)
-        sr = sum(1 for w in t if w in STOPWORDS) / n if n else 1.0
-        ok.append(bool(n >= min_tokens and sr <= max_stop_ratio))
-        hashes.append(hashlib.md5((text or "").encode("utf-8")).hexdigest())
-        ntok.append(n)
+    """Vectorized per-doc signals: (text_hash, p_ok, p_tok, ok_int).
+
+    ``p_ok``/``p_tok`` pack (docid, flag/count) so a Min aggregate selects
+    the min-docid survivor AND its payload in one shuffle."""
+    toks = token_lists(batch["text"])
+    n = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    stops = _stop_hits(toks, STOPWORDS)
+    sr = np.where(n > 0, stops / np.maximum(n, 1), 1.0)
+    ok = ((n >= min_tokens) & (sr <= max_stop_ratio)).astype(np.int64)
+    docid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    if docid.size and int(docid.max()) >= (1 << 41):
+        raise ValueError("docid exceeds curation packing bound (2^41)")
+    hashes = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
     return pa.table(
         {
-            "docid": batch["doc_id"].cast(pa.int64()),
             "text_hash": pa.array(hashes, pa.string()),
-            "quality_ok": pa.array(ok, pa.bool_()),
-            "n_tokens": pa.array(ntok, pa.int64()),
+            "p_ok": pa.array(docid * 2 + ok, pa.int64()),
+            "p_tok": pa.array(
+                docid * (_TOK_MAX + 1) + np.minimum(n, _TOK_MAX), pa.int64()
+            ),
+            "ok_int": pa.array(ok, pa.int64()),
         }
     )
 
 
-def curated_docs_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6):
-    """(docid): survivors — each exact-dup group's min-docid doc, kept only
-    if it passes the quality gate."""
-
+def _signals_ds(sf_dir: str, min_tokens: int, max_stop_ratio: float):
     def signals(batch: pa.Table) -> pa.Table:
         return _doc_signals(batch, min_tokens, max_stop_ratio)
 
-    def survivor(group: pa.Table) -> pa.Table:
-        idx = pa.compute.min(group["docid"]).as_py()
-        row = group.filter(pa.compute.equal(group["docid"], idx))
-        if not row["quality_ok"][0].as_py():
-            return pa.table({"docid": pa.array([], pa.int64())})
-        return pa.table({"docid": pa.array([idx], pa.int64())})
+    return _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
 
-    ds = _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
-    return ds.groupby("text_hash").map_groups(survivor, batch_format="pyarrow")
+
+def curated_docs_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6):
+    """(docid): survivors — each exact-dup group's min-docid doc, kept only
+    if it passes the quality gate. One hash shuffle; everything vectorized."""
+    agg = (
+        _signals_ds(sf_dir, min_tokens, max_stop_ratio)
+        .groupby("text_hash")
+        .min("p_ok")
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["min(p_ok)"].to_pylist(), dtype=np.int64)
+        keep = (p & 1) == 1
+        return pa.table({"docid": pa.array(p[keep] >> 1, pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6) -> pa.Table:
-    """One row: n_input, n_quality, n_unique, n_survivors, survivor_tokens."""
-    import ray.data  # noqa: F401
+    """One row: n_input, n_quality, n_unique, n_survivors, survivor_tokens.
 
-    def signals(batch: pa.Table) -> pa.Table:
-        return _doc_signals(batch, min_tokens, max_stop_ratio)
+    All five counters come from ONE ``groupby(text_hash)`` with Count / Sum /
+    Min aggregates (the Min columns carry the survivor's quality flag and
+    token count via the int64 packing), reduced to per-block partial sums —
+    the driver only adds up a handful of partial rows."""
+    from ray.data.aggregate import Count, Min, Sum
 
-    ds = _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow").materialize()
-    n_input = ds.count()
-    n_quality = ds.filter(lambda r: r["quality_ok"]).count()
+    grouped = (
+        _signals_ds(sf_dir, min_tokens, max_stop_ratio)
+        .groupby("text_hash")
+        .aggregate(Count(), Sum("ok_int"), Min("p_ok"), Min("p_tok"))
+    )
 
-    def survivor(group: pa.Table) -> pa.Table:
-        idx = pa.compute.min(group["docid"]).as_py()
-        row = group.filter(pa.compute.equal(group["docid"], idx))
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(batch["count()"].to_pylist(), dtype=np.int64)
+        oks = np.asarray(batch["sum(ok_int)"].to_pylist(), dtype=np.int64)
+        p_ok = np.asarray(batch["min(p_ok)"].to_pylist(), dtype=np.int64)
+        p_tok = np.asarray(batch["min(p_tok)"].to_pylist(), dtype=np.int64)
+        surv_ok = (p_ok & 1) == 1
         return pa.table(
             {
-                "docid": pa.array([idx], pa.int64()),
-                "quality_ok": row["quality_ok"],
-                "n_tokens": row["n_tokens"],
+                "n_input": pa.array([int(cnt.sum())], pa.int64()),
+                "n_quality": pa.array([int(oks.sum())], pa.int64()),
+                "n_unique": pa.array([len(cnt)], pa.int64()),
+                "n_survivors": pa.array([int(surv_ok.sum())], pa.int64()),
+                "survivor_tokens": pa.array(
+                    [int((p_tok[surv_ok] & _TOK_MAX).sum())], pa.int64()
+                ),
             }
         )
 
-    surv = ds.groupby("text_hash").map_groups(survivor, batch_format="pyarrow")
-    surv_df = surv.to_pandas()
-    kept = surv_df[surv_df["quality_ok"]]
+    parts = grouped.map_batches(partial, batch_format="pyarrow").to_pandas()
     return pa.table(
         {
-            "n_input": pa.array([int(n_input)], pa.int64()),
-            "n_quality": pa.array([int(n_quality)], pa.int64()),
-            "n_unique": pa.array([len(surv_df)], pa.int64()),
-            "n_survivors": pa.array([len(kept)], pa.int64()),
-            "survivor_tokens": pa.array([int(kept["n_tokens"].sum())], pa.int64()),
+            "n_input": pa.array([int(parts["n_input"].sum())], pa.int64()),
+            "n_quality": pa.array([int(parts["n_quality"].sum())], pa.int64()),
+            "n_unique": pa.array([int(parts["n_unique"].sum())], pa.int64()),
+            "n_survivors": pa.array([int(parts["n_survivors"].sum())], pa.int64()),
+            "survivor_tokens": pa.array(
+                [int(parts["survivor_tokens"].sum())], pa.int64()
+            ),
         }
     )

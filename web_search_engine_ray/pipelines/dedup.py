@@ -5,17 +5,25 @@ operator set — it has only exact ``(term, docid)`` collapse,
 ``HW2/engine/merger.py:114-132``):
 
 - :func:`exact_dedup_ds` — content-hash groupby, keep min docid. Scale path:
-  hash is computed vectorized per batch; the shuffle moves one (hash, docid)
-  row per doc, never the text.
+  hash is computed per batch; the shuffle moves one (hash, docid) row per
+  doc, never the text.
 - :func:`minhash_lsh_candidates_ds` — shingle -> minhash signature -> banded
-  LSH buckets -> candidate pairs. All hashing is deterministic splitmix64.
+  LSH buckets -> candidate pairs. All hashing is deterministic
+  (md5-derived token hashes + splitmix64 mixing).
 - :func:`ngram_jaccard_dups` — LSH candidates verified by exact 3-gram
-  Jaccard >= tau. Band config (r=2, b=32) puts the miss probability for a
-  true tau=0.8 pair below 1e-14, so the result equals the exact all-pairs
-  answer (the DuckDB oracle computes all-pairs).
-- :func:`simhash_dups` — 64-bit simhash, pairs within Hamming distance k
-  (verified exactly on candidates from table-chunked comparison).
-- :func:`embedding_dups` — cosine near-dup pairs over ``embeddings``.
+  Jaccard >= tau, with shingle construction and pair verification running
+  as Ray stages (no driver-side corpus read). Band config (r=2, b=32) puts
+  the miss probability for a true tau=0.8 pair below 1e-14, so the result
+  equals the exact all-pairs answer (the DuckDB oracle computes all-pairs).
+- :func:`simhash_ds` / :func:`simhash_dups` — 64-bit simhash; pairs within
+  Hamming distance k via 4-way 16-bit band blocking (exhaustive for k <= 3
+  by pigeonhole) + exact popcount verify, all as groupby shuffle stages.
+  The token hash is the low 64 bits of md5 so the whole operator has an
+  exact DuckDB twin (``md5_number_lower`` + ``bit_count(xor(..))``).
+- :func:`embedding_dups` — EXACT cosine near-dup pairs over ``embeddings``
+  via a block-pair task grid (each task compares two Dataset blocks; no
+  full-matrix broadcast). :func:`embedding_dups_lsh` is the approximate
+  100 TB path: random-hyperplane buckets, within-bucket verify.
 
 Pair outputs are (docid_a < docid_b) int64 pairs, deterministic.
 """
@@ -23,6 +31,7 @@ Pair outputs are (docid_a < docid_b) int64 pairs, deterministic.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 import numpy as np
@@ -31,10 +40,13 @@ import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
 
+logger = logging.getLogger(__name__)
+
 MINHASH_PERMS = 64
 LSH_ROWS = 2  # rows per band
 LSH_BANDS = 32
 SHINGLE_K = 3
+N_PARTS = 64  # coarse shuffle partitions for bucket/pair groupbys
 
 
 def _read_docs(sf_dir: str):
@@ -77,7 +89,7 @@ def exact_dedup_ds(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-# ---------------------------------------------------------------- minhash
+# ------------------------------------------------------------- hashing core
 
 
 def _splitmix(x: np.ndarray) -> np.ndarray:
@@ -94,16 +106,16 @@ _TOKEN_CACHE_MAX = 1_000_000  # bound resident vocab in long-lived workers
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic u64 per token (blake2b), memoized — the corpus
-    vocabulary is tiny relative to the token stream."""
+    """Deterministic u64 per token, memoized — the corpus vocabulary is tiny
+    relative to the token stream. The hash is the LOW 64 bits of md5 (bytes
+    8..16, little-endian), chosen because it equals DuckDB's
+    ``md5_number_lower`` so simhash gets an exact SQL twin."""
     cache = _TOKEN_HASH_CACHE
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-            )
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
             if len(cache) >= _TOKEN_CACHE_MAX:
                 cache.clear()
             cache[t] = h
@@ -163,13 +175,79 @@ def _band_hashes(sigs: np.ndarray) -> np.ndarray:
     return _splitmix(acc)
 
 
-def minhash_lsh_candidates_ds(sf_dir: str):
+# -------------------------------------------------- vectorized bucket pairs
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        got = np.triu_indices(n, k=1)
+        if len(_TRIU_CACHE) < 4096:
+            _TRIU_CACHE[n] = got
+    return got
+
+
+def _intra_bucket_pairs(
+    keys: tuple[np.ndarray, ...], doc: np.ndarray, max_bucket: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_i, doc_j) pairs sharing every key column, i<j by docid.
+
+    Vectorized: one lexsort, bucket boundaries by key change, then
+    ``np.triu_indices`` per multi-occupancy bucket (indices memoized by
+    size). ``max_bucket`` guards pathological skew (e.g. thousands of
+    identical short docs landing in one bucket -> O(b^2) pairs): oversized
+    buckets are truncated to their ``max_bucket`` smallest docids and LOGGED
+    — never silently. Default None = exact (no cap)."""
+    if doc.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    order = np.lexsort((doc,) + tuple(reversed(keys)))
+    doc = doc[order]
+    change = np.zeros(doc.size, dtype=bool)
+    for k in keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    change[0] = True
+    bounds = np.append(np.flatnonzero(change), doc.size)
+    a_parts, b_parts = [], []
+    for bi in range(len(bounds) - 1):
+        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+        s = hi - lo
+        if s < 2:
+            continue
+        if max_bucket is not None and s > max_bucket:
+            logger.warning(
+                "dedup bucket of size %d truncated to %d (skew guard)", s, max_bucket
+            )
+            hi = lo + max_bucket
+            s = max_bucket
+        ii, jj = _triu(s)
+        ids = doc[lo:hi]
+        a_parts.append(ids[ii])
+        b_parts.append(ids[jj])
+    if not a_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return (
+        np.concatenate(a_parts).astype(np.int64),
+        np.concatenate(b_parts).astype(np.int64),
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     """Candidate near-dup pairs (docid_a, docid_b) from banded minhash LSH.
 
-    shingle -> minhash -> band -> ``groupby(band, band_hash)`` -> pairs within
+    shingle -> minhash -> band -> ``groupby(partition)`` -> pairs within
     bucket -> distinct. The shuffle moves (band, hash, docid) rows only; the
-    signature computation is one vectorized pass per batch."""
-    import ray.data
+    signature computation is one vectorized pass per batch and intra-bucket
+    pairing is vectorized (lexsort + triu), with an optional logged skew
+    guard (``max_bucket``)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
@@ -185,35 +263,17 @@ def minhash_lsh_candidates_ds(sf_dir: str):
             }
         )
 
-    N_PARTS = 64
-
     def partition_pairs(batch: pa.Table) -> pa.Table:
-        """All rows of one hash partition: find (band, bhash) buckets with
-        >= 2 docs vectorized (lexsort + boundaries), emit intra-bucket pairs.
+        """One coarse hash partition: vectorized intra-bucket pair emission.
         Grouping by a coarse partition instead of per-bucket keeps the group
-        count at N_PARTS (per-group dispatch overhead), while the within-task
-        work stays vectorized."""
+        count at N_PARTS (per-group dispatch overhead), while the
+        within-task work stays vectorized."""
         band = np.asarray(batch["band"].to_pylist(), dtype=np.int64)
         bhash = np.asarray(batch["bhash"].to_pylist(), dtype=np.int64)
         doc = np.asarray(batch["docid"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((doc, bhash, band))
-        band, bhash, doc = band[order], bhash[order], doc[order]
-        key_change = np.flatnonzero(
-            np.diff(band, prepend=band[0] - 1) | np.diff(bhash, prepend=bhash[0] - 1)
-        ) if band.size else np.array([], dtype=np.int64)
-        bounds = np.append(key_change, band.size)
-        a_l, b_l = [], []
-        for bi in range(len(bounds) - 1):
-            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-            if hi - lo < 2:
-                continue
-            ids = doc[lo:hi]
-            for i in range(ids.size):
-                for j in range(i + 1, ids.size):
-                    a_l.append(int(ids[i]))
-                    b_l.append(int(ids[j]))
+        a, b = _intra_bucket_pairs((band, bhash), doc, max_bucket=max_bucket)
         return pa.table(
-            {"docid_a": pa.array(a_l, pa.int64()), "docid_b": pa.array(b_l, pa.int64())}
+            {"docid_a": pa.array(a, pa.int64()), "docid_b": pa.array(b, pa.int64())}
         )
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -247,163 +307,453 @@ def minhash_lsh_candidates_ds(sf_dir: str):
     return out
 
 
-def _jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 0.0
-    inter = len(a & b)
-    return inter / (len(a) + len(b) - inter)
+# ---------------------------------------------------------- ngram jaccard
 
 
-def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8) -> pa.Table:
-    """Pairs with exact 3-gram Jaccard >= tau, via LSH candidates + exact
-    verification (broadcast shingle sets for the candidate docs only)."""
-    import pyarrow.parquet as pq
+def _empty_jaccard_table() -> pa.Table:
+    return pa.table(
+        {
+            "docid_a": pa.array([], pa.int64()),
+            "docid_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
+    """Pairs with exact 3-gram Jaccard >= tau: LSH candidates + exact
+    verification, fully distributed.
+
+    Stages: (1) candidate pairs from banded minhash LSH (collected — they
+    are output-scale small); (2) the pair list is broadcast (``ray.put``)
+    and a ``map_batches`` pass over the corpus extracts each candidate
+    doc's distinct 3-gram shingle set (vectorized ``is_in`` row filter, so
+    non-candidate docs are never tokenized), emitting one row per
+    (pair, side); (3) a ``groupby(partition)`` keyed on docid_a joins the
+    two sides of each pair and computes exact Jaccard. The driver never
+    reads corpus text."""
     import ray
 
     cand = minhash_lsh_candidates_ds(sf_dir).to_pandas()
-    docs = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    need = set(cand["docid_a"]) | set(cand["docid_b"])
-    toks = token_lists(docs["text"]).to_list()
-    ids = docs["doc_id"].to_pylist()
-    sh = {
-        d: {
-            " ".join((tl or [])[i : i + SHINGLE_K])
-            for i in range(len(tl or []) - SHINGLE_K + 1)
-        }
-        for d, tl in zip(ids, toks)
-        if d in need
-    }
-    a_l, b_l, j_l = [], [], []
-    for a, b in sorted(zip(cand["docid_a"], cand["docid_b"])):
-        j = _jaccard(sh.get(a, set()), sh.get(b, set()))
-        if j >= tau:
-            a_l.append(int(a))
-            b_l.append(int(b))
-            j_l.append(round(j, 6))
-    return pa.table(
-        {
-            "docid_a": pa.array(a_l, pa.int64()),
-            "docid_b": pa.array(b_l, pa.int64()),
-            "jaccard": pa.array(j_l, pa.float64()),
-        }
-    )
+    if cand.empty:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_jaccard_table())
+    ca = cand["docid_a"].to_numpy().astype(np.int64)
+    cb = cand["docid_b"].to_numpy().astype(np.int64)
+    # docid -> [(a, b, side), ...] lookup for the corpus scan
+    need: dict[int, list[tuple[int, int, int]]] = {}
+    for a, b in zip(ca.tolist(), cb.tolist()):
+        need.setdefault(a, []).append((a, b, 0))
+        need.setdefault(b, []).append((a, b, 1))
+    need_ids = np.fromiter(need.keys(), dtype=np.int64)
+    need_ref = ray.put(need)
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nd = ray.get(need_ref)
+        ids = batch["doc_id"].cast(pa.int64())
+        mask = pc.is_in(ids, value_set=pa.array(need_ids, pa.int64()))
+        kept = batch.filter(mask)
+        p_l, a_l, b_l, s_l, sh_l = [], [], [], [], []
+        if kept.num_rows:
+            toks = token_lists(kept["text"]).to_list()
+            for did, tl in zip(kept["doc_id"].to_pylist(), toks):
+                tl = tl or []
+                sh = list(
+                    {
+                        " ".join(tl[i : i + SHINGLE_K])
+                        for i in range(len(tl) - SHINGLE_K + 1)
+                    }
+                )
+                for a, b, side in nd[int(did)]:
+                    p_l.append(a % N_PARTS)
+                    a_l.append(a)
+                    b_l.append(b)
+                    s_l.append(side)
+                    sh_l.append(sh)
+        return pa.table(
+            {
+                "p": pa.array(p_l, pa.int64()),
+                "docid_a": pa.array(a_l, pa.int64()),
+                "docid_b": pa.array(b_l, pa.int64()),
+                "side": pa.array(s_l, pa.int32()),
+                "shingles": pa.array(sh_l, pa.list_(pa.string())),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        sides: dict[tuple[int, int], list[set | None]] = {}
+        for a, b, side, sh in zip(
+            group["docid_a"].to_pylist(),
+            group["docid_b"].to_pylist(),
+            group["side"].to_pylist(),
+            group["shingles"].to_pylist(),
+        ):
+            slot = sides.setdefault((a, b), [None, None])
+            slot[side] = set(sh)
+        a_l, b_l, j_l = [], [], []
+        for (a, b) in sorted(sides):
+            sa, sb = sides[(a, b)]
+            sa = sa or set()
+            sb = sb or set()
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= tau:
+                a_l.append(a)
+                b_l.append(b)
+                j_l.append(round(j, 6))
+        return pa.table(
+            {
+                "docid_a": pa.array(a_l, pa.int64()),
+                "docid_b": pa.array(b_l, pa.int64()),
+                "jaccard": pa.array(j_l, pa.float64()),
+            }
+        )
+
+    sides = _read_docs(sf_dir).map_batches(emit_sides, batch_format="pyarrow")
+    return sides.groupby("p").map_groups(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
 
 
-def _simhash(tokens: list[str]) -> int:
-    if not tokens:
-        return 0
-    hs = _token_hashes(tokens)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for a uint64 array (numpy<2 has no bitwise_count)."""
+    return _POP8[x.view(np.uint8)].reshape(x.size, 8).sum(axis=1).astype(np.int64)
+
+
+def _simhash_batch(toks: list[list[str] | None]) -> np.ndarray:
+    """(n_docs,) uint64 simhash per doc, vectorized across the batch:
+    concatenate all token hashes, expand to a (total_tokens, 64) bit matrix,
+    per-doc bit sums via ``np.add.reduceat``, majority vote per bit.
+    Duplicate tokens vote once per occurrence; empty docs hash to 0."""
+    th = [_token_hashes(t or []) for t in toks]
+    lens = np.array([x.size for x in th], dtype=np.int64)
+    out = np.zeros(len(toks), dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if nz.size == 0:
+        return out
+    allh = np.concatenate([th[i] for i in nz])
+    bits = ((allh[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+    starts = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    ones = np.add.reduceat(bits, starts, axis=0)  # (n_nonzero, 64)
+    votes = 2 * ones - lens[nz][:, None]
+    out[nz] = ((votes > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
     )
-    vote = bits.sum(axis=0) * 2 - len(tokens)
-    out = np.uint64(0)
-    for i in range(64):
-        if vote[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return out
 
 
 def simhash_ds(sf_dir: str):
-    """(docid, simhash) per document (hex string for portability)."""
+    """(docid, simhash) per document (int64 bit-cast of the u64 hash)."""
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
-        sh = [f"{_simhash(t or []):016x}" for t in toks]
+        sh = _simhash_batch(toks)
         return pa.table(
             {
                 "docid": batch["doc_id"].cast(pa.int64()),
-                "simhash": pa.array(sh, pa.string()),
+                "simhash": pa.array(sh.view(np.int64), pa.int64()),
             }
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
-def simhash_dups(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = None):
     """Pairs within Hamming distance <= max_hamming of 64-bit simhash.
 
-    Candidate generation by 4-way band blocking (a pair within distance 3
-    shares at least one of 4 16-bit bands), then exact popcount verify."""
-    t = simhash_ds(sf_dir).to_pandas()
-    ids = t["docid"].to_numpy()
-    hs = np.array([int(x, 16) for x in t["simhash"]], dtype=np.uint64)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for i, h in enumerate(hs):
+    Fully distributed: candidate generation by 4-way 16-bit band blocking (a
+    pair within distance 3 shares at least one of 4 bands — pigeonhole, so
+    the banded answer is EXACT for max_hamming <= 3), candidates paired
+    vectorized inside a ``groupby(partition)``, popcount verify on u64
+    arrays, then a pair-keyed groupby dedupes across bands. No driver-side
+    materialization of the hash relation."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sh = _simhash_batch(toks)
+        n = ids.size
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(4 * n, dtype=np.int64)
         for band in range(4):
-            key = (band, int((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)))
-            buckets.setdefault(key, []).append(i)
-    seen = set()
-    a_l, b_l, d_l = [], [], []
-    for idxs in buckets.values():
-        for x in range(len(idxs)):
-            for y in range(x + 1, len(idxs)):
-                i, j = idxs[x], idxs[y]
-                if (i, j) in seen:
-                    continue
-                seen.add((i, j))
-                ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if ham <= max_hamming:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    a_l.append(a)
-                    b_l.append(b)
-                    d_l.append(ham)
-    order = np.lexsort((b_l, a_l)) if a_l else []
-    return pa.table(
-        {
-            "docid_a": pa.array([a_l[i] for i in order], pa.int64()),
-            "docid_b": pa.array([b_l[i] for i in order], pa.int64()),
-            "hamming": pa.array([d_l[i] for i in order], pa.int64()),
-        }
-    )
+            keys[band::4] = ((sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "bkey": pa.array(keys, pa.int64()),
+                "docid": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+                "p": pa.array((keys + bands.astype(np.int64) * 65536) % N_PARTS, pa.int64()),
+            }
+        )
+
+    def band_pairs(group: pa.Table) -> pa.Table:
+        band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
+        bkey = np.asarray(group["bkey"].to_pylist(), dtype=np.int64)
+        doc = np.asarray(group["docid"].to_pylist(), dtype=np.int64)
+        sh = np.asarray(group["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        # pair indices (into the group) rather than docids, so each side's
+        # simhash rides along for the popcount verify
+        idx = np.arange(doc.size, dtype=np.int64)
+        a_pos, b_pos = _intra_bucket_pairs(
+            (band, bkey), idx, max_bucket=max_bucket
+        )
+        if a_pos.size == 0:
+            return pa.table(
+                {
+                    "docid_a": pa.array([], pa.int64()),
+                    "docid_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ham = _popcount64(sh[a_pos] ^ sh[b_pos])
+        keep = ham <= max_hamming
+        da, db = doc[a_pos[keep]], doc[b_pos[keep]]
+        lo = np.minimum(da, db)
+        hi = np.maximum(da, db)
+        return pa.table(
+            {
+                "docid_a": pa.array(lo, pa.int64()),
+                "docid_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        pp = (
+            np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64) % N_PARTS
+        ).astype(np.int64)
+        return batch.append_column("pp", pa.array(pp, pa.int64()))
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["docid_b"].to_pylist(), dtype=np.int64)
+        h = np.asarray(batch["hamming"].to_pylist(), dtype=np.int64)
+        if a.size == 0:
+            return pa.table(
+                {
+                    "docid_a": pa.array([], pa.int64()),
+                    "docid_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        u, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+        return pa.table(
+            {
+                "docid_a": pa.array(u[:, 0], pa.int64()),
+                "docid_b": pa.array(u[:, 1], pa.int64()),
+                "hamming": pa.array(h[first], pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
+    pairs = ds.groupby("p").map_groups(band_pairs, batch_format="pyarrow")
+    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- embedding
 
 
-def embedding_dups(sf_dir: str, tau: float = 0.45) -> pa.Table:
-    """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b, cos >= tau).
+_EMPTY_EMB_PAIRS = pa.table(
+    {
+        "vec_id_a": pa.array([], pa.int64()),
+        "vec_id_b": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    }
+)
 
-    Test-scale path: broadcast the normalized matrix once (``ray.put``) and
-    compare each batch against it (blocked matmul). The 100 TB path replaces
-    the broadcast with LSH bucketing (random hyperplanes) — same verify step.
-    """
-    import pyarrow.parquet as pq
+
+def _fixed_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """FixedSizeList<float64> column -> (n, d) numpy view (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten())
+    return flat.reshape(n, -1)
+
+
+def embedding_dups(sf_dir: str, tau: float = 0.45):
+    """EXACT embedding-cosine near-dup pairs (vec_id_a < vec_id_b,
+    cos >= tau), distributed as a block-pair grid.
+
+    The normalized matrix is produced as Dataset blocks (one ``map_batches``
+    pass, FixedSizeList float64 so block->numpy is zero-copy); then one Ray
+    task per block pair (i <= j) computes that tile of the cosine matrix
+    and emits only qualifying pairs. Memory per task = 2 blocks; nothing is
+    broadcast whole, the driver only collects the (output-scale) pairs.
+    O(B^2) tiles is the exact-answer cost — :func:`embedding_dups_lsh` is
+    the approximate path that prunes tiles via hyperplane buckets."""
     import ray
     import ray.data
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    full = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    ids_all = full["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    M = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, Mn))
 
-    def f(batch: pa.Table) -> pa.Table:
-        ids_a, mat = ray.get(ref)
-        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def normalize(batch: pa.Table) -> pa.Table:
         V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        sims = Vn @ mat.T
-        bi, ai = np.nonzero(sims >= tau)
-        keep = ids_b[bi] < ids_a[ai]
-        a = ids_b[bi][keep]
-        b = ids_a[ai][keep]
-        s = sims[bi, ai][keep]
+        d = Vn.shape[1] if Vn.ndim == 2 else 0
         return pa.table(
             {
-                "vec_id_a": pa.array(a, pa.int64()),
-                "vec_id_b": pa.array(b, pa.int64()),
-                "cos": pa.array(np.round(s, 6), pa.float64()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Vn.reshape(-1), pa.float64()), d
+                ),
             }
         )
 
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    refs = ds.map_batches(normalize, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = np.asarray(ta["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ib = np.asarray(tb["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        A = _fixed_matrix(ta["emb"])
+        B = _fixed_matrix(tb["emb"])
+        sims = A @ B.T
+        ai, bi = np.nonzero(sims >= tau)
+        da, db = ia[ai], ib[bi]
+        keep = da != db
+        if same:
+            keep &= da < db
+        da, db, s = da[keep], db[keep], sims[ai, bi][keep]
+        lo = np.minimum(da, db)
+        hi = np.maximum(da, db)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(lo, pa.int64()),
+                "vec_id_b": pa.array(hi, pa.int64()),
+                "cos": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    futures = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futures.append(tile.remote(refs[i], refs[j], i == j))
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    order = np.lexsort(
+        (
+            np.asarray(out["vec_id_b"].to_pylist(), dtype=np.int64),
+            np.asarray(out["vec_id_a"].to_pylist(), dtype=np.int64),
+        )
+    )
+    return out.take(pa.array(order))
+
+
+def embedding_dups_lsh(
+    sf_dir: str, tau: float = 0.45, n_planes: int = 4, n_reps: int = 12
+):
+    """Approximate embedding near-dup pairs via banded random-hyperplane LSH.
+
+    The 100 TB path: ``n_reps`` independent repetitions of an
+    ``n_planes``-bit sign-pattern bucket (the minhash banding idea applied
+    to hyperplanes). Each vector emits one (rep, bucket) row per
+    repetition; pairs are verified EXACTLY (cosine >= tau) within buckets
+    only, then deduped across repetitions by a pair-keyed groupby — so the
+    result is always a subset of the exact :func:`embedding_dups` answer.
+    A pair at cos = tau collides in one rep with p = (1 - theta/pi)^planes;
+    missing all reps has p = (1-p)^reps (~2% for tau=0.45 with 4x12).
+    Recall on the fixture is pinned in ``tests/test_dedup_ops.py``.
+    Deterministic hyperplanes (Philox keyed by repetition)."""
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = V.shape[0]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        dim = Vn.shape[1]
+        bucks = np.empty((n_reps, n), dtype=np.int64)
+        for rep in range(n_reps):
+            rng = np.random.Generator(np.random.Philox(key=12345 + rep))
+            planes = rng.standard_normal((n_planes, dim))
+            bucks[rep] = (Vn @ planes.T > 0) @ (1 << np.arange(n_planes))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "rep": pa.array(np.repeat(np.arange(n_reps, dtype=np.int32), n)),
+                "bucket": pa.array(bucks.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_reps), pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(Vn, (n_reps, 1)).reshape(-1), pa.float64()), dim
+                ),
+                "p": pa.array(
+                    (bucks.reshape(-1) + np.repeat(np.arange(n_reps), n) * 131)
+                    % N_PARTS,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rep = np.asarray(group["rep"].to_pylist(), dtype=np.int64)
+        bucket = np.asarray(group["bucket"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        M = _fixed_matrix(group["emb"])
+        idx = np.arange(ids.size, dtype=np.int64)
+        a_pos, b_pos = _intra_bucket_pairs((rep, bucket), idx)
+        if a_pos.size == 0:
+            return _EMPTY_EMB_PAIRS
+        s = np.einsum("ij,ij->i", M[a_pos], M[b_pos])
+        keep = (s >= tau) & (ids[a_pos] != ids[b_pos])
+        da, db = ids[a_pos[keep]], ids[b_pos[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(lo, pa.int64()),
+                "vec_id_b": pa.array(hi, pa.int64()),
+                "cos": pa.array(np.round(s[keep], 6), pa.float64()),
+            }
+        )
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        pp = (
+            np.asarray(batch["vec_id_a"].to_pylist(), dtype=np.int64) % N_PARTS
+        ).astype(np.int64)
+        return batch.append_column("pp", pa.array(pp, pa.int64()))
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["vec_id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(batch["vec_id_b"].to_pylist(), dtype=np.int64)
+        c = np.asarray(batch["cos"].to_pylist(), dtype=np.float64)
+        if a.size == 0:
+            return _EMPTY_EMB_PAIRS
+        u, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(u[:, 0], pa.int64()),
+                "vec_id_b": pa.array(u[:, 1], pa.int64()),
+                "cos": pa.array(c[first], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    pairs = ds.groupby("p").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")

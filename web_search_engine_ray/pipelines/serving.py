@@ -149,6 +149,90 @@ def bm25_partitioned_table(
     )
 
 
+def bm25_taat_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, docid, score) — top-k via the TAAT ranker
+    (``Searcher.search``, reference ``searcher.py:52-90`` transliteration).
+    TAAT's float association ``idf*(num/den)`` differs from DAAT's
+    ``(idf*num)/den`` by at most an ulp; after ROUND(4) both match the same
+    SQL oracle as ``bm25_topk_or`` — a second, independent engine path
+    checked against the same truth. Result order is the SQL-expressible
+    (-score, docid) cut (TAAT sorts exactly that way)."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        for docid, score in s.search(q, mode="OR", topk=topk):
+            q_l.append(qid)
+            d_l.append(int(docid))
+            s_l.append(float(np.round(score, round_to)))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "docid": pa.array(d_l, pa.int64()),
+            "score": pa.array(s_l, pa.float64()),
+        }
+    )
+
+
+def wand_daat_equivalence_table(
+    sf_dir: str, queries: list[str] | None = None, topk: int = 10
+) -> pa.Table:
+    """(query_id, n_results, identical) — block-max WAND vs the exhaustive
+    DAAT cursor loop on every fixed query: same docids, bit-identical
+    scores. WAND's pruning is score-exact by construction (pytest pins it);
+    this surfaces the equivalence in the driver gate (rows-only — the heap
+    tie semantics both paths share are not SQL-expressible)."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, n_l, e_l = [], [], []
+    for qid, q in enumerate(queries):
+        w = s.search_topk_wand(q, topk=topk)
+        d = s.search_topk_daat(q, topk=topk, mode="OR")
+        q_l.append(qid)
+        n_l.append(len(w))
+        e_l.append(bool(w == d))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "n_results": pa.array(n_l, pa.int64()),
+            "identical": pa.array(e_l, pa.bool_()),
+        }
+    )
+
+
+def crawl_log_table(sf_dir: str | None = None, max_pages: int = 40) -> pa.Table:
+    """Deterministic crawl over the injected FakeWeb (the sandbox has no
+    network; the crawl policy/priority/robots machinery is the reference
+    HW1 pipeline). ``sf_dir`` is ignored — the fake web is self-contained.
+    Rows are stable across runs (seeded frontier, fixed tie-breaking)."""
+    from web_search_engine_ray.crawl.crawler import crawl
+    from web_search_engine_ray.crawl.fakeweb import FakeWeb
+
+    web = FakeWeb()
+    seeds = [web.page_url(0, 1), web.page_url(1, 2)]
+    rows = crawl(
+        seeds, web.fetch, max_pages=max_pages, max_depth=3,
+        robots_fetch_text=web.fetch_text,
+    )
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "status": pa.array([int(r["status"]) for r in rows], pa.int64()),
+            "depth": pa.array([int(r["depth"]) for r in rows], pa.int64()),
+            "n_bytes": pa.array([int(r["bytes"]) for r in rows], pa.int64()),
+            "domain": pa.array([r["domain"] for r in rows], pa.string()),
+            "total_priority": pa.array(
+                [round(float(r["total_priority"]), 6) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
 def boolean_table(sf_dir: str, queries: list[str] | None = None, mode: str = "AND") -> pa.Table:
     """(query_id, docid) — boolean AND/OR result sets per fixed query."""
     s = documents_searcher(sf_dir)
