@@ -19,10 +19,14 @@ def test_fake_codec_roundtrip():
     assert len(frames) == 4 and frames[0].shape == (8, 8, 3)
 
 
-def test_real_codec_stubbed():
+def test_codec_coverage():
+    """PNG decodes natively (pure-Python codec); a malformed PNG is a clear
+    ValueError; JPEG remains honestly gated behind PIL."""
+    with pytest.raises(ValueError):  # PNG path engaged, input truncated
+        mm.decode_fake_image(b"\x89PNG\r\n\x1a\nxxxx")
     if not mm.HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            mm.decode_fake_image(b"\x89PNG\r\n\x1a\nxxxx")
+            mm.decode_fake_image(b"\xff\xd8\xff\xe0notajpeg")
 
 
 def test_stages_direct():
@@ -80,6 +84,26 @@ def test_flask_search_api(served_index):
 
     assert client.post("/search", json={"query": ""}).status_code == 400
     assert client.post("/search", json={"query": "x", "mode": "XOR"}).status_code == 400
+
+
+def test_flask_frontend_roundtrip(served_index):
+    """GET / serves the bundled search page (reference HW2/app.py:51-54) and
+    the POST /search contract the page drives works end-to-end."""
+    from web_search_engine_ray.serve import create_app
+
+    app = create_app(served_index)
+    client = app.test_client()
+
+    r = client.get("/")
+    assert r.status_code == 200
+    page = r.get_data(as_text=True)
+    assert "<html" in page.lower() and "/search" in page
+
+    # the exact request the page's JS issues
+    r = client.post("/search", json={"query": "the data", "mode": "AND", "topk": 10})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["totalResults"] >= 0 and "searchTime" in body
 
 
 def test_docstore_and_snippets(served_index, small_corpus_dir):

@@ -3,11 +3,12 @@ actor-pool ``map_batches`` stages.
 
 A 100 TB training-data pipeline carries images/audio/video as ``binary``
 columns. The Ray-side plumbing here is REAL and tested — schema, actor-pool
-stage shape, per-stage ``batch_size`` sizing, output layout — while the
-codec-touching step is stubbed: this container ships no image/audio libraries,
-so ``DecodeStage`` decodes only the deterministic in-repo ``FAKE`` format and
-raises ``NotImplementedError`` for real formats unless PIL/soundfile are
-importable (import-gated, never required).
+stage shape, per-stage ``batch_size`` sizing, output layout — and so is the
+PNG path: ``DecodeStage`` decodes real baseline PNGs through the pure-Python
+codec in ``functions/png.py`` (stdlib zlib; all five scanline filters), plus
+the deterministic in-repo ``FAKE`` format. JPEG/video codecs remain honestly
+gated: PIL is used when importable, otherwise a clear
+``NotImplementedError`` names the gap (this container ships no image libs).
 
 Sizing note: with wide binary rows keep ``batch_size`` small (decoded pixels
 are ~H*W*C bytes/row; batch_size * concurrency * row_bytes must fit in worker
@@ -67,7 +68,11 @@ def fake_video(seed: int, n_frames: int, h: int, w: int, c: int = 3) -> bytes:
 
 
 def make_media_table(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic fixture media table (images + short videos)."""
+    """Deterministic fixture media table (FAKE images, real PNGs, and short
+    videos) — every fourth image row is a genuine baseline PNG so the
+    pipeline exercises the real codec path."""
+    from web_search_engine_ray.functions.png import encode_png
+
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
         ids.append(i)
@@ -76,6 +81,12 @@ def make_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             kinds.append("video")
             payloads.append(fake_video(seed + i, frames, h, w))
             metas.append(json.dumps({"frames": frames, "h": h, "w": w, "c": 3}))
+        elif i % 4 == 1:
+            h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+            kinds.append("image")
+            pixels = _splitmix_bytes(seed + i, h * w * 3).reshape(h, w, 3)
+            payloads.append(encode_png(pixels, filter_type=i % 5))
+            metas.append(json.dumps({"h": h, "w": w, "c": 3, "fmt": "png"}))
         else:
             h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 4
             kinds.append("image")
@@ -93,6 +104,10 @@ def make_media_table(n: int = 32, seed: int = 42) -> pa.Table:
 
 def decode_fake_image(buf: bytes) -> np.ndarray:
     if buf[:4] != b"FAKE":
+        from web_search_engine_ray.functions.png import PNG_MAGIC, decode_png
+
+        if buf[: len(PNG_MAGIC)] == PNG_MAGIC:
+            return decode_png(buf)  # real codec, pure Python (functions/png.py)
         if HAVE_PIL:  # pragma: no cover - PIL absent in this container
             import io
 
@@ -100,8 +115,8 @@ def decode_fake_image(buf: bytes) -> np.ndarray:
 
             return np.asarray(Image.open(io.BytesIO(buf)))
         raise NotImplementedError(
-            "real image codecs unavailable in this container; only the FAKE "
-            "format decodes (install pillow for JPEG/PNG)"
+            "JPEG/other codecs unavailable in this container; FAKE and PNG "
+            "decode natively (install pillow for the rest)"
         )
     h, w, c = struct.unpack("<HHB", buf[4:9])
     return np.frombuffer(buf[9:], dtype=np.uint8)[: h * w * c].reshape(h, w, c)

@@ -16,11 +16,14 @@ balancer, or Ray Serve deployments wrapping the same Searcher class).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from flask import Flask, jsonify, request
 
 from web_search_engine_ray.pipelines.query import Searcher
+
+_FRONTEND_DIR = os.path.join(os.path.dirname(__file__), "frontend")
 
 
 def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
@@ -34,6 +37,15 @@ def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
         from web_search_engine_ray.state.docstore import DocStore
 
         docstore = DocStore(corpus_dir, columns=["text"])
+
+    @app.route("/")
+    def index():
+        """Static search frontend (reference parity: ``HW2/app.py:51-54``
+        serves ``frontend/index.html``; ours is an independently written
+        minimal page driving the same ``POST /search`` contract)."""
+        from flask import send_from_directory
+
+        return send_from_directory(_FRONTEND_DIR, "index.html")
 
     @app.route("/search", methods=["POST"])
     def search():
