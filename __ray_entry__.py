@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search ----
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
+        "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,

@@ -153,6 +153,20 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     analysis.text_stats_ds(SF_DIR).count()
     timings["text_stats_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.simhash_dups(SF_DIR).count()
+    timings["simhash_dups_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.ngram_jaccard_dups(SF_DIR).count()
+    timings["ngram_jaccard_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    analysis.lm_score_ds(SF_DIR).count()
+    timings["lm_score_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    from web_search_engine_ray.pipelines import curate
+
+    curate.curated_docs_ds(SF_DIR).count()
+    timings["curated_docs_sf"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",

@@ -49,6 +49,13 @@ SHINGLE_K = 3
 N_PARTS = 64  # coarse shuffle partitions for bucket/pair groupbys
 
 
+def _col(t: pa.Table, name: str, dtype=np.int64) -> np.ndarray:
+    """Numeric column -> contiguous numpy array (no Python-object detour)."""
+    return (
+        t[name].combine_chunks().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    )
+
+
 def _read_docs(sf_dir: str):
     import ray.data
 
@@ -251,7 +258,7 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ids = _col(batch, "doc_id", np.int64)
         sigs = _batch_signatures(toks)
         bh = _band_hashes(sigs)
         n = ids.size
@@ -268,9 +275,9 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
         Grouping by a coarse partition instead of per-bucket keeps the group
         count at N_PARTS (per-group dispatch overhead), while the
         within-task work stays vectorized."""
-        band = np.asarray(batch["band"].to_pylist(), dtype=np.int64)
-        bhash = np.asarray(batch["bhash"].to_pylist(), dtype=np.int64)
-        doc = np.asarray(batch["docid"].to_pylist(), dtype=np.int64)
+        band = _col(batch, "band", np.int64)
+        bhash = _col(batch, "bhash", np.int64)
+        doc = _col(batch, "docid", np.int64)
         a, b = _intra_bucket_pairs((band, bhash), doc, max_bucket=max_bucket)
         return pa.table(
             {"docid_a": pa.array(a, pa.int64()), "docid_b": pa.array(b, pa.int64())}
@@ -278,13 +285,13 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
 
     def add_part(batch: pa.Table) -> pa.Table:
         p = (
-            np.asarray(batch["bhash"].to_pylist(), dtype=np.int64) % N_PARTS
+            _col(batch, "bhash", np.int64) % N_PARTS
         ).astype(np.int64)
         return batch.append_column("p", pa.array(p, pa.int64()))
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["docid_b"].to_pylist(), dtype=np.int64)
+        a = _col(batch, "docid_a", np.int64)
+        b = _col(batch, "docid_b", np.int64)
         u = np.unique(np.stack([a, b], axis=1), axis=0) if a.size else np.empty((0, 2), np.int64)
         return pa.table(
             {"docid_a": pa.array(u[:, 0], pa.int64()), "docid_b": pa.array(u[:, 1], pa.int64())}
@@ -292,7 +299,7 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
         pp = (
-            np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64) % N_PARTS
+            _col(batch, "docid_a", np.int64) % N_PARTS
         ).astype(np.int64)
         return batch.append_column("pp", pa.array(pp, pa.int64()))
 
@@ -481,7 +488,7 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ids = _col(batch, "doc_id", np.int64)
         sh = _simhash_batch(toks)
         n = ids.size
         bands = np.tile(np.arange(4, dtype=np.int32), n)
@@ -501,10 +508,10 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
         )
 
     def band_pairs(group: pa.Table) -> pa.Table:
-        band = np.asarray(group["band"].to_pylist(), dtype=np.int64)
-        bkey = np.asarray(group["bkey"].to_pylist(), dtype=np.int64)
-        doc = np.asarray(group["docid"].to_pylist(), dtype=np.int64)
-        sh = np.asarray(group["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        band = _col(group, "band", np.int64)
+        bkey = _col(group, "bkey", np.int64)
+        doc = _col(group, "docid", np.int64)
+        sh = _col(group, "simhash", np.int64).view(np.uint64)
         # pair indices (into the group) rather than docids, so each side's
         # simhash rides along for the popcount verify
         idx = np.arange(doc.size, dtype=np.int64)
@@ -534,14 +541,14 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
         pp = (
-            np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64) % N_PARTS
+            _col(batch, "docid_a", np.int64) % N_PARTS
         ).astype(np.int64)
         return batch.append_column("pp", pa.array(pp, pa.int64()))
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["docid_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["docid_b"].to_pylist(), dtype=np.int64)
-        h = np.asarray(batch["hamming"].to_pylist(), dtype=np.int64)
+        a = _col(batch, "docid_a", np.int64)
+        b = _col(batch, "docid_b", np.int64)
+        h = _col(batch, "hamming", np.int64)
         if a.size == 0:
             return pa.table(
                 {
@@ -657,8 +664,8 @@ def embedding_dups(sf_dir: str, tau: float = 0.45):
     out = pa.concat_tables(parts)
     order = np.lexsort(
         (
-            np.asarray(out["vec_id_b"].to_pylist(), dtype=np.int64),
-            np.asarray(out["vec_id_a"].to_pylist(), dtype=np.int64),
+            _col(out, "vec_id_b", np.int64),
+            _col(out, "vec_id_a", np.int64),
         )
     )
     return out.take(pa.array(order))
@@ -693,7 +700,7 @@ def embedding_dups_lsh(
             rng = np.random.Generator(np.random.Philox(key=12345 + rep))
             planes = rng.standard_normal((n_planes, dim))
             bucks[rep] = (Vn @ planes.T > 0) @ (1 << np.arange(n_planes))
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = _col(batch, "vec_id", np.int64)
         return pa.table(
             {
                 "rep": pa.array(np.repeat(np.arange(n_reps, dtype=np.int32), n)),
@@ -711,9 +718,9 @@ def embedding_dups_lsh(
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        rep = np.asarray(group["rep"].to_pylist(), dtype=np.int64)
-        bucket = np.asarray(group["bucket"].to_pylist(), dtype=np.int64)
-        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        rep = _col(group, "rep", np.int64)
+        bucket = _col(group, "bucket", np.int64)
+        ids = _col(group, "vec_id", np.int64)
         M = _fixed_matrix(group["emb"])
         idx = np.arange(ids.size, dtype=np.int64)
         a_pos, b_pos = _intra_bucket_pairs((rep, bucket), idx)
@@ -733,14 +740,14 @@ def embedding_dups_lsh(
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
         pp = (
-            np.asarray(batch["vec_id_a"].to_pylist(), dtype=np.int64) % N_PARTS
+            _col(batch, "vec_id_a", np.int64) % N_PARTS
         ).astype(np.int64)
         return batch.append_column("pp", pa.array(pp, pa.int64()))
 
     def dedup_pairs(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["vec_id_a"].to_pylist(), dtype=np.int64)
-        b = np.asarray(batch["vec_id_b"].to_pylist(), dtype=np.int64)
-        c = np.asarray(batch["cos"].to_pylist(), dtype=np.float64)
+        a = _col(batch, "vec_id_a", np.int64)
+        b = _col(batch, "vec_id_b", np.int64)
+        c = _col(batch, "cos", np.float64)
         if a.size == 0:
             return _EMPTY_EMB_PAIRS
         u, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)

@@ -113,18 +113,41 @@ def bm25_partitioned_table(
         f"{path}:{st.st_size}:{st.st_mtime_ns}:part{n_ranges}:v1".encode()
     ).hexdigest()[:16]
     out = os.path.join("/tmp", "wse_ray_cache", f"docs_part_{key}")
-    # the documents table is a single file: split it into range files once
+    # the documents table is a single file: split it into range files once.
+    # Planned from footer metadata and streamed row-group-at-a-time — the
+    # whole table is never resident (same planner discipline as the build's
+    # metadata-only docid pass).
     corpus_dir = os.path.join(out, "corpus")
     if not os.path.exists(os.path.join(out, "partitioned.json")):
         import pyarrow.parquet as pq
 
         os.makedirs(corpus_dir, exist_ok=True)
-        t = pq.read_table(path)
-        per = (t.num_rows + n_ranges - 1) // n_ranges
-        for i in range(n_ranges):
-            part = t.slice(i * per, per)
-            if part.num_rows:
-                pq.write_table(part, os.path.join(corpus_dir, f"docs_{i:03d}.parquet"))
+        pf = pq.ParquetFile(path)
+        n_rows = pf.metadata.num_rows
+        per = (n_rows + n_ranges - 1) // n_ranges
+        writers: dict[int, pq.ParquetWriter] = {}
+        row = 0
+        try:
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                off = 0
+                while off < t.num_rows:
+                    ri = (row + off) // per
+                    take = min(t.num_rows - off, (ri + 1) * per - (row + off))
+                    part = t.slice(off, take)
+                    w = writers.get(ri)
+                    if w is None:
+                        w = pq.ParquetWriter(
+                            os.path.join(corpus_dir, f"docs_{ri:03d}.parquet"),
+                            t.schema,
+                        )
+                        writers[ri] = w
+                    w.write_table(part)
+                    off += take
+                row += t.num_rows
+        finally:
+            for w in writers.values():
+                w.close()
         build_partitioned_index(
             corpus_dir, out, n_ranges=n_ranges,
             text_column="text", partition_rows=20_000, num_shards=4, n_salts=4,

@@ -9,6 +9,10 @@
   routed to sign-pattern buckets; queries probe only their own bucket (plus
   optional multi-probe neighbors). Approximate by construction; exists to
   exercise the partitioned layout the 100 TB path needs.
+- :func:`ivf_knn` — IVF variant: a deterministic spherical-k-means coarse
+  quantizer (trained on a bounded sample) routes vectors to cells; queries
+  scan only their ``nprobe`` nearest cells. The data-adaptive counterpart
+  to the LSH router; at 100 TB the cell id is the parquet partition key.
 """
 
 from __future__ import annotations
@@ -131,6 +135,117 @@ def lsh_bucketed_knn(
         out_q, out_v, out_s = [], [], []
         for qi in range(q_ids.size):
             mask = (vb == qb[qi]) & (ids != q_ids[qi])
+            if not mask.any():
+                continue
+            s = qm[qi] @ V[mask].T
+            vid = ids[mask]
+            k = min(topk, s.size)
+            part = _topk_det(s, vid, k)
+            out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
+            out_v.append(vid[part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
+    if not out:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    merged = pd.concat(out).reset_index(drop=True)
+    merged["cos"] = merged["cos"].round(6)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def _train_centroids(
+    sf_dir: str, n_cells: int, sample_rows: int = 2048, iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, trained on a
+    bounded metadata-pruned sample (first ``sample_rows`` vectors — one
+    row-group-ranged read, never the full table). Lloyd iterations run on
+    the sample only (driver-side, O(sample x cells) — corpus-size
+    independent); init = Philox-seeded sample rows. Empty cells re-seed
+    deterministically."""
+    pf = pq.ParquetFile(_emb_path(sf_dir))
+    parts = []
+    got = 0
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg, columns=["embedding"])
+        parts.append(t)
+        got += t.num_rows
+        if got >= sample_rows:
+            break
+    t = pa.concat_tables(parts).slice(0, sample_rows)
+    S = _norm_rows(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    rng = np.random.Generator(np.random.Philox(key=777))
+    C = S[rng.choice(S.shape[0], size=min(n_cells, S.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = (S @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                C[c] = S[m].mean(axis=0)
+            else:  # deterministic re-seed from the sample
+                C[c] = S[int(rng.integers(0, S.shape[0]))]
+        C = _norm_rows(C)
+    return C
+
+
+def ivf_knn(
+    sf_dir: str,
+    n_queries: int = 3,
+    topk: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Approximate top-k via an IVF coarse quantizer (the classic
+    inverted-file ANN layout): vectors route to their nearest-centroid cell;
+    each query scans only its ``nprobe`` nearest cells. At 100 TB the cell
+    id is the parquet partition key, so a probe is a partition-pruned read —
+    the same discipline :func:`lsh_bucketed_knn` exercises, but with a
+    data-adaptive quantizer (cells follow the density, unlike oblivious
+    hyperplanes). Deterministic end-to-end; recall vs :func:`knn_cosine`
+    is pinned in ``tests/test_similarity_ivf.py``."""
+    import ray
+    import ray.data
+
+    C = _train_centroids(sf_dir, n_cells)
+    qids, Qn = _query_matrix(sf_dir, n_queries)
+    # each query's probe set: its nprobe nearest cells
+    qcells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    qref = ray.put((qids, Qn, C, qcells))
+
+    def f(batch: pa.Table) -> pa.Table:
+        q_ids, qm, cents, probes = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cell = (V @ cents.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_ids.size):
+            mask = np.isin(cell, probes[qi]) & (ids != q_ids[qi])
             if not mask.any():
                 continue
             s = qm[qi] @ V[mask].T
