@@ -17,7 +17,8 @@ operator set — it has only exact ``(term, docid)`` collapse,
   equals the exact all-pairs answer (the DuckDB oracle computes all-pairs).
 - :func:`simhash_ds` / :func:`simhash_dups` — 64-bit simhash; pairs within
   Hamming distance k via 4-way 16-bit band blocking (exhaustive for k <= 3
-  by pigeonhole) + exact popcount verify, all as groupby shuffle stages.
+  by pigeonhole) + exact popcount verify, all as partition-exchange stages
+  (``stages/exchange.py`` — hash exchange, no sort shuffle).
   The token hash is the low 64 bits of md5 so the whole operator has an
   exact DuckDB twin (``md5_number_lower`` + ``bit_count(xor(..))``).
 - :func:`embedding_dups` — EXACT cosine near-dup pairs over ``embeddings``
@@ -250,7 +251,7 @@ def _intra_bucket_pairs(
 def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     """Candidate near-dup pairs (docid_a, docid_b) from banded minhash LSH.
 
-    shingle -> minhash -> band -> ``groupby(partition)`` -> pairs within
+    shingle -> minhash -> band -> partition hash exchange -> pairs within
     bucket -> distinct. The shuffle moves (band, hash, docid) rows only; the
     signature computation is one vectorized pass per batch and intra-bucket
     pairing is vectorized (lexsort + triu), with an optional logged skew
@@ -283,12 +284,6 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
             {"docid_a": pa.array(a, pa.int64()), "docid_b": pa.array(b, pa.int64())}
         )
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        p = (
-            _col(batch, "bhash", np.int64) % N_PARTS
-        ).astype(np.int64)
-        return batch.append_column("p", pa.array(p, pa.int64()))
-
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         a = _col(batch, "docid_a", np.int64)
         b = _col(batch, "docid_b", np.int64)
@@ -297,21 +292,21 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
             {"docid_a": pa.array(u[:, 0], pa.int64()), "docid_b": pa.array(u[:, 1], pa.int64())}
         )
 
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        pp = (
-            _col(batch, "docid_a", np.int64) % N_PARTS
-        ).astype(np.int64)
-        return batch.append_column("pp", pa.array(pp, pa.int64()))
+    from web_search_engine_ray.stages.exchange import exchange_map
 
     ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
-    ds = ds.map_batches(add_part, batch_format="pyarrow")
-    pairs = ds.groupby("p").map_groups(partition_pairs, batch_format="pyarrow")
+    # hash exchange (stages/exchange.py), not groupby: the partition key is
+    # a coarse int and the pair fn is vectorized over a whole partition —
+    # a sort shuffle would pay its multi-second floor for nothing
+    pairs = exchange_map(
+        ds, lambda t: _col(t, "bhash") % N_PARTS, N_PARTS, partition_pairs
+    )
     # the same pair can surface from several bands (different bhash -> maybe
     # a different partition): dedupe in a second coarse exchange keyed on
     # docid_a ranges, vectorized within each group
-    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
-    out = pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
-    return out
+    return exchange_map(
+        pairs, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, dedup_pairs
+    )
 
 
 # ---------------------------------------------------------- ngram jaccard
@@ -336,7 +331,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
     and a ``map_batches`` pass over the corpus extracts each candidate
     doc's distinct 3-gram shingle set (vectorized ``is_in`` row filter, so
     non-candidate docs are never tokenized), emitting one row per
-    (pair, side); (3) a ``groupby(partition)`` keyed on docid_a joins the
+    (pair, side); (3) a partition hash exchange keyed on docid_a joins the
     two sides of each pair and computes exact Jaccard. The driver never
     reads corpus text."""
     import ray
@@ -363,7 +358,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
         ids = batch["doc_id"].cast(pa.int64())
         mask = pc.is_in(ids, value_set=pa.array(need_ids, pa.int64()))
         kept = batch.filter(mask)
-        p_l, a_l, b_l, s_l, sh_l = [], [], [], [], []
+        a_l, b_l, s_l, sh_l = [], [], [], []
         if kept.num_rows:
             toks = token_lists(kept["text"]).to_list()
             for did, tl in zip(kept["doc_id"].to_pylist(), toks):
@@ -375,14 +370,12 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
                     }
                 )
                 for a, b, side in nd[int(did)]:
-                    p_l.append(a % N_PARTS)
                     a_l.append(a)
                     b_l.append(b)
                     s_l.append(side)
                     sh_l.append(sh)
         return pa.table(
             {
-                "p": pa.array(p_l, pa.int64()),
                 "docid_a": pa.array(a_l, pa.int64()),
                 "docid_b": pa.array(b_l, pa.int64()),
                 "side": pa.array(s_l, pa.int32()),
@@ -421,8 +414,12 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
             }
         )
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
     sides = _read_docs(sf_dir).map_batches(emit_sides, batch_format="pyarrow")
-    return sides.groupby("p").map_groups(verify, batch_format="pyarrow")
+    return exchange_map(
+        sides, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, verify
+    )
 
 
 # ---------------------------------------------------------------- simhash
@@ -482,7 +479,7 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
     Fully distributed: candidate generation by 4-way 16-bit band blocking (a
     pair within distance 3 shares at least one of 4 bands — pigeonhole, so
     the banded answer is EXACT for max_hamming <= 3), candidates paired
-    vectorized inside a ``groupby(partition)``, popcount verify on u64
+    vectorized inside a partition hash exchange, popcount verify on u64
     arrays, then a pair-keyed groupby dedupes across bands. No driver-side
     materialization of the hash relation."""
 
@@ -503,7 +500,6 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
                 "bkey": pa.array(keys, pa.int64()),
                 "docid": pa.array(np.repeat(ids, 4), pa.int64()),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
-                "p": pa.array((keys + bands.astype(np.int64) * 65536) % N_PARTS, pa.int64()),
             }
         )
 
@@ -539,12 +535,6 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
             }
         )
 
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        pp = (
-            _col(batch, "docid_a", np.int64) % N_PARTS
-        ).astype(np.int64)
-        return batch.append_column("pp", pa.array(pp, pa.int64()))
-
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         a = _col(batch, "docid_a", np.int64)
         b = _col(batch, "docid_b", np.int64)
@@ -566,10 +556,18 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
             }
         )
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
     ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
-    pairs = ds.groupby("p").map_groups(band_pairs, batch_format="pyarrow")
-    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
-    return pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
+    pairs = exchange_map(
+        ds,
+        lambda t: (_col(t, "bkey") + _col(t, "band") * 65536) % N_PARTS,
+        N_PARTS,
+        band_pairs,
+    )
+    return exchange_map(
+        pairs, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, dedup_pairs
+    )
 
 
 # ---------------------------------------------------------------- embedding
@@ -589,8 +587,11 @@ def _fixed_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    d = col.type.list_size
+    if n == 0:
+        return np.empty((0, d), dtype=np.float64)
     flat = np.asarray(col.flatten())
-    return flat.reshape(n, -1)
+    return flat.reshape(n, d)
 
 
 def embedding_dups(sf_dir: str, tau: float = 0.45):
@@ -709,11 +710,6 @@ def embedding_dups_lsh(
                 "emb": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.tile(Vn, (n_reps, 1)).reshape(-1), pa.float64()), dim
                 ),
-                "p": pa.array(
-                    (bucks.reshape(-1) + np.repeat(np.arange(n_reps), n) * 131)
-                    % N_PARTS,
-                    pa.int64(),
-                ),
             }
         )
 
@@ -738,12 +734,6 @@ def embedding_dups_lsh(
             }
         )
 
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        pp = (
-            _col(batch, "vec_id_a", np.int64) % N_PARTS
-        ).astype(np.int64)
-        return batch.append_column("pp", pa.array(pp, pa.int64()))
-
     def dedup_pairs(batch: pa.Table) -> pa.Table:
         a = _col(batch, "vec_id_a", np.int64)
         b = _col(batch, "vec_id_b", np.int64)
@@ -759,8 +749,16 @@ def embedding_dups_lsh(
             }
         )
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
     ds = ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = ds.groupby("p").map_groups(bucket_pairs, batch_format="pyarrow")
-    pairs = pairs.map_batches(add_pair_part, batch_format="pyarrow")
-    return pairs.groupby("pp").map_groups(dedup_pairs, batch_format="pyarrow")
+    pairs = exchange_map(
+        ds,
+        lambda t: (_col(t, "bucket") + _col(t, "rep") * 131) % N_PARTS,
+        N_PARTS,
+        bucket_pairs,
+    )
+    return exchange_map(
+        pairs, lambda t: _col(t, "vec_id_a") % N_PARTS, N_PARTS, dedup_pairs
+    )

@@ -1,0 +1,97 @@
+"""Hash-partition exchange without a sort.
+
+``Dataset.groupby(k).map_groups(fn)`` routes through Ray Data's sort-based
+shuffle — an O(n log n) range-partition exchange with a multi-second floor
+that dwarfs the actual work for the coarse-partition pattern the dedup
+operators use (a small int partition column, a vectorized whole-partition
+function). :func:`exchange_map` is the direct expression of that pattern:
+
+1. one Ray task per input block splits it by ``part_col`` (``num_returns=P``
+   small side tables — the only data movement, O(n) total);
+2. one Ray task per partition concatenates its P-th slices from every block
+   and applies ``fn`` to the whole partition at once;
+3. the results come back as a ``Dataset`` (``from_arrow_refs``), so the rest
+   of the pipeline stays in Dataset land.
+
+This is the classic map-side hash shuffle (same discipline as the index
+build's one-row-group-per-gkey merge): B x P shuffle objects, no sort, no
+comparator. Use it when (a) the partition count is modest (<= a few
+hundred), (b) ``fn`` is happy receiving MANY groups in one call (it gets a
+whole hash partition, exactly like ``map_groups`` on a coarse key), and
+(c) per-partition output is small. For high-cardinality keys or when Ray
+should manage memory per group, stick with ``groupby``.
+
+``fn`` must tolerate an empty table (carrying the input schema) — empty
+partitions still invoke it so the output block count is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+
+def exchange_map(
+    ds,
+    part: str | Callable[[pa.Table], np.ndarray],
+    n_parts: int,
+    fn: Callable[[pa.Table], pa.Table],
+    drop_part_col: bool = True,
+    max_split_tasks: int = 16,
+):
+    """Apply ``fn`` once per hash partition of ``ds``, without a sort
+    shuffle. ``part`` is either the name of an int column with values in
+    [0, n_parts) (dropped before ``fn`` unless ``drop_part_col=False``) or
+    a callable computing the partition vector from a block — the callable
+    form sidesteps Ray Data's skip-UDF-on-empty-blocks behavior (an
+    add-partition-column ``map_batches`` never runs on empty blocks, so the
+    column can be missing; a callable always works). Returns a Dataset of
+    ``fn``'s outputs (one block per partition).
+
+    Input blocks are coalesced into at most ``max_split_tasks`` splitter
+    tasks (Spark's shuffle-file consolidation): the exchange creates
+    ``split_tasks x n_parts`` objects, and per-object bookkeeping — not
+    bytes — dominates small exchanges. On a cluster, raise
+    ``max_split_tasks`` toward the node count so splitters parallelize."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=n_parts)
+    def split(*ts: pa.Table):
+        t = pa.concat_tables(ts).combine_chunks() if len(ts) > 1 else ts[0]
+        if callable(part):
+            p = np.asarray(part(t), dtype=np.int64)
+        else:
+            p = t[part].combine_chunks().to_numpy(zero_copy_only=False)
+            if drop_part_col:
+                t = t.drop_columns([part])
+        order = np.argsort(p, kind="stable")
+        sorted_p = p[order]
+        bounds = np.searchsorted(sorted_p, np.arange(n_parts + 1))
+        taken = t.take(pa.array(order))
+        out = [
+            taken.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(n_parts)
+        ]
+        return out if n_parts > 1 else out[0]
+
+    @ray.remote
+    def apply(*parts: pa.Table) -> pa.Table:
+        t = pa.concat_tables(parts).combine_chunks()
+        return fn(t)
+
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        raise ValueError("exchange_map needs at least one input block")
+    gsize = max(1, -(-len(blocks) // max_split_tasks))
+    groups = [blocks[i : i + gsize] for i in range(0, len(blocks), gsize)]
+    per_group = [split.remote(*g) for g in groups]
+    if n_parts == 1:
+        per_group = [[r] for r in per_group]
+    out = [
+        apply.remote(*[per_group[g][p] for g in range(len(groups))])
+        for p in range(n_parts)
+    ]
+    return ray.data.from_arrow_refs(out)
