@@ -214,19 +214,33 @@ def lm_score_ds(sf_dir: str):
     oracle computes the identical quantity."""
     import ray
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def _part(t: pa.Table) -> np.ndarray:
+        # any deterministic-within-run routing works: merged counts are
+        # partition-invariant, the hash only balances the exchange
+        return (
+            pl.from_arrow(t["w1"]).hash(seed=7).to_numpy() % np.uint64(32)
+        ).astype(np.int64)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["kind", "w1", "w2"])
+            .agg(pl.col("c").sum())
+            .to_arrow()
+        )
+
     ds = _read_docs(sf_dir)
-    merged = (
-        ds.map_batches(_bigram_partials, batch_format="pyarrow")
-        .groupby(["kind", "w1", "w2"])
-        .sum("c")
-    )
+    partials = ds.map_batches(_bigram_partials, batch_format="pyarrow")
+    merged = exchange_map(partials, _part, 32, _merge)
     bi_counts: dict[tuple[str, str], int] = {}
     n_vocab = 0
     for tbl in merged.iter_batches(batch_format="pyarrow"):
         kinds = tbl["kind"].to_pylist()
         w1s = tbl["w1"].to_pylist()
         w2s = tbl["w2"].to_pylist()
-        cs = tbl["sum(c)"].to_pylist()
+        cs = tbl["c"].to_pylist()
         for k, a, b, c in zip(kinds, w1s, w2s, cs):
             if k == 0:
                 n_vocab += 1

@@ -80,41 +80,51 @@ def _signals_ds(sf_dir: str, min_tokens: int, max_stop_ratio: float):
 
 def curated_docs_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6):
     """(docid): survivors — each exact-dup group's min-docid doc, kept only
-    if it passes the quality gate. One hash shuffle; everything vectorized."""
-    agg = (
-        _signals_ds(sf_dir, min_tokens, max_stop_ratio)
-        .groupby("text_hash")
-        .min("p_ok")
-    )
+    if it passes the quality gate. One partition hash exchange on the
+    content hash with a local polars min per partition; everything
+    vectorized."""
+    import polars as pl
 
-    def unpack(batch: pa.Table) -> pa.Table:
-        p = np.asarray(batch["min(p_ok)"].to_pylist(), dtype=np.int64)
+    from web_search_engine_ray.pipelines.dedup import _hash_route
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t).group_by("text_hash").agg(pl.col("p_ok").min())
+        p = d["p_ok"].to_numpy().astype(np.int64)
         keep = (p & 1) == 1
         return pa.table({"docid": pa.array(p[keep] >> 1, pa.int64())})
 
-    return agg.map_batches(unpack, batch_format="pyarrow")
+    sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio)
+    return exchange_map(sig, _hash_route("text_hash"), 32, merge)
 
 
 def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6) -> pa.Table:
     """One row: n_input, n_quality, n_unique, n_survivors, survivor_tokens.
 
-    All five counters come from ONE ``groupby(text_hash)`` with Count / Sum /
-    Min aggregates (the Min columns carry the survivor's quality flag and
-    token count via the int64 packing), reduced to per-block partial sums —
-    the driver only adds up a handful of partial rows."""
-    from ray.data.aggregate import Count, Min, Sum
+    All five counters come from ONE partition hash exchange on the content
+    hash: each partition groups locally (polars), carries the survivor's
+    quality flag and token count through the int64 packing, and emits one
+    partial-sum row — the driver only adds up 32 partial rows."""
+    import polars as pl
 
-    grouped = (
-        _signals_ds(sf_dir, min_tokens, max_stop_ratio)
-        .groupby("text_hash")
-        .aggregate(Count(), Sum("ok_int"), Min("p_ok"), Min("p_tok"))
-    )
+    from web_search_engine_ray.pipelines.dedup import _hash_route
+    from web_search_engine_ray.stages.exchange import exchange_map
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cnt = np.asarray(batch["count()"].to_pylist(), dtype=np.int64)
-        oks = np.asarray(batch["sum(ok_int)"].to_pylist(), dtype=np.int64)
-        p_ok = np.asarray(batch["min(p_ok)"].to_pylist(), dtype=np.int64)
-        p_tok = np.asarray(batch["min(p_tok)"].to_pylist(), dtype=np.int64)
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t)
+            .group_by("text_hash")
+            .agg(
+                pl.len().alias("cnt"),
+                pl.col("ok_int").sum().alias("oks"),
+                pl.col("p_ok").min().alias("p_ok"),
+                pl.col("p_tok").min().alias("p_tok"),
+            )
+        )
+        cnt = d["cnt"].to_numpy().astype(np.int64)
+        oks = d["oks"].to_numpy().astype(np.int64)
+        p_ok = d["p_ok"].to_numpy().astype(np.int64)
+        p_tok = d["p_tok"].to_numpy().astype(np.int64)
         surv_ok = (p_ok & 1) == 1
         return pa.table(
             {
@@ -128,7 +138,8 @@ def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float
             }
         )
 
-    parts = grouped.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio)
+    parts = exchange_map(sig, _hash_route("text_hash"), 32, partial).to_pandas()
     return pa.table(
         {
             "n_input": pa.array([int(parts["n_input"].sum())], pa.int64()),

@@ -65,11 +65,28 @@ def _read_docs(sf_dir: str):
     )
 
 
+def _hash_route(col: str, n: int = 32):
+    """Partition-routing callable for string keys: polars hash % n. Routing
+    only balances the exchange — merged results are partition-invariant."""
+
+    def f(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t[col]).hash(seed=7).to_numpy() % np.uint64(n)
+        ).astype(np.int64)
+
+    return f
+
+
 # ---------------------------------------------------------------- exact
 
 
 def exact_dedup_ds(sf_dir: str):
-    """(text_hash, docid): md5 of raw text -> min doc_id survivor per group."""
+    """(text_hash, docid): md5 of raw text -> min doc_id survivor per group.
+
+    The shuffle is a partition hash exchange on the content hash (the key is
+    already uniform — no skew) with a local polars min per partition; one
+    (hash, docid) row per doc moves, never the text."""
+    from web_search_engine_ray.stages.exchange import exchange_map
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         hashes = [
@@ -79,22 +96,22 @@ def exact_dedup_ds(sf_dir: str):
         return pa.table(
             {
                 "text_hash": pa.array(hashes, pa.string()),
-                "docid_p": batch["doc_id"].cast(pa.int64()),
+                "docid": batch["doc_id"].cast(pa.int64()),
             }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("text_hash")
+            .agg(pl.col("docid").min())
+            .to_arrow()
+            .select(["text_hash", "docid"])
+            .cast(pa.schema([("text_hash", pa.string()), ("docid", pa.int64())]))
         )
 
     ds = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
-    agg = ds.groupby("text_hash").min("docid_p")
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "text_hash": batch["text_hash"],
-                "docid": batch["min(docid_p)"].cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return exchange_map(ds, _hash_route("text_hash"), 32, merge)
 
 
 # ------------------------------------------------------------- hashing core
