@@ -71,6 +71,8 @@ def term_stats_ds(sf_dir: str):
     small groupby-sum — the pre-aggregation pattern that keeps the shuffle
     tiny at scale."""
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
     def partial(batch: pa.Table) -> pa.Table:
         p = _to_postings(batch)
         g = (
@@ -80,37 +82,44 @@ def term_stats_ds(sf_dir: str):
         )
         return g.to_arrow()
 
-    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
-    agg = ds.groupby("term").sum(["df_p", "cf_p"])
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "term": batch["term"],
-                "df": batch["sum(df_p)"].cast(pa.int64()),
-                "cf": batch["sum(cf_p)"].cast(pa.int64()),
-            }
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("term")
+            .agg(pl.col("df_p").sum().alias("df"), pl.col("cf_p").sum().alias("cf"))
+        )
+        return g.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64())])
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["term"]).hash(seed=7).to_numpy() % np.uint64(32)
+        ).astype(np.int64)
+
+    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    # partition hash exchange + local polars merge (routing is
+    # correctness-neutral; merged sums are partition-invariant)
+    return exchange_map(ds, route, 32, merge)
 
 
 def dl_from_postings_ds(sf_dir: str):
     """(docid, dl_sum): reconstruct doc length as sum(tf) over the postings —
     the reference's doc_lengths verification tool
     (``HW2/engine/tools/build_doc_lengths_from_runs.py:31-50``,
-    ``HW2/verify_length.py:39-54``). Docs with zero tokens are absent."""
-    agg = postings_ds(sf_dir).groupby("docid").sum("tf")
+    ``HW2/verify_length.py:39-54``). Docs with zero tokens are absent.
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "docid": batch["docid"].cast(pa.int64()),
-                "dl_sum": batch["sum(tf)"].cast(pa.int64()),
-            }
+    NO shuffle: a document never spans batches, so the per-batch sum(tf)
+    per docid is already the complete answer — the "groupby" is local."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        p = _to_postings(batch)
+        g = pl.from_arrow(p).group_by("docid").agg(pl.col("tf").sum().alias("dl_sum"))
+        return g.to_arrow().cast(
+            pa.schema([("docid", pa.int64()), ("dl_sum", pa.int64())])
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return _read_docs(sf_dir).map_batches(local, batch_format="pyarrow")
 
 
 def top_terms_ds(sf_dir: str, k: int = 20):

@@ -69,27 +69,59 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
 def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
     """Session windows per user (new session when the gap since the previous
     event exceeds ``gap_s``): (user_id, session_idx, n_events, start_epoch,
-    end_epoch). ``groupby(user_id).map_groups`` over the ts-sorted group."""
+    end_epoch).
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    Shuffle shape: a partition hash exchange on ``user_id`` (all of a user's
+    events land in one partition), then the WHOLE partition is sessionized
+    in one vectorized pandas pass — sort by (user, ts, event_id), session
+    breaks = new-user OR gap, global cumsum re-based per user — instead of
+    one ``map_groups`` dispatch per user (users are numerous and tiny; the
+    per-group call overhead dwarfs the work)."""
+
+    def sessions_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
         epoch = df["ts"].astype("int64") // 1_000_000
-        new = (epoch.diff().fillna(gap_s + 1) > gap_s).astype("int64")
-        sess = new.cumsum() - 1
-        out = pd.DataFrame(
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = epoch.diff().fillna(gap_s + 1) > gap_s
+        gsid = (new_user | gap).cumsum()
+        df = pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(),
-                "session_idx": sess.to_numpy(),
+                "gsid": gsid.to_numpy(),
                 "epoch": epoch.to_numpy(),
             }
         )
-        g = out.groupby("session_idx", as_index=False).agg(
-            user_id=("user_id", "first"),
+        df["session_idx"] = df["gsid"] - df.groupby("user_id")["gsid"].transform(
+            "min"
+        )
+        g = df.groupby(["user_id", "session_idx"], as_index=False).agg(
             n_events=("epoch", "size"),
             start_epoch=("epoch", "min"),
             end_epoch=("epoch", "max"),
         )
-        return g[["user_id", "session_idx", "n_events", "start_epoch", "end_epoch"]]
+        g = g[["user_id", "session_idx", "n_events", "start_epoch", "end_epoch"]]
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_idx", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("start_epoch", pa.int64()),
+                    ("end_epoch", pa.int64()),
+                ]
+            )
+        )
 
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return exchange_map(
+        ds,
+        lambda t: (
+            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            % N
+        ),
+        N,
+        sessions_part,
+    )
