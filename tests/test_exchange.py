@@ -1,0 +1,130 @@
+"""stages/exchange.py: partition completeness, empty partitions, callable vs
+column keys, coalescing, and partition-invariance of merged aggregates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _make_ds(n_rows=1000, n_blocks=7, seed=3):
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    tables = []
+    per = n_rows // n_blocks
+    for b in range(n_blocks):
+        tables.append(
+            pa.table(
+                {
+                    "k": pa.array(rng.integers(0, 10, per), pa.int64()),
+                    "v": pa.array(rng.integers(0, 100, per), pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(tables)
+
+
+def test_exchange_partition_completeness(ray_session):
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    ds = _make_ds()
+    src = ds.to_pandas()
+
+    def fn(t: pa.Table) -> pa.Table:
+        # identity: every row must arrive exactly once, keyed correctly
+        return t
+
+    out = exchange_map(ds, lambda t: t["k"].to_numpy() % 4, 4, fn).to_pandas()
+    assert len(out) == len(src)
+    assert sorted(zip(out["k"], out["v"])) == sorted(zip(src["k"], src["v"]))
+
+
+def test_exchange_routes_by_key(ray_session):
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    ds = _make_ds()
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = np.unique(t["k"].to_numpy() % 4) if t.num_rows else np.array([])
+        # every row in one partition task shares the partition key
+        assert ks.size <= 1, ks
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    out = exchange_map(ds, lambda t: t["k"].to_numpy() % 4, 4, fn).to_pandas()
+    assert len(out) == 4  # one output block per partition, empties included
+    assert out["n"].sum() == len(ds.to_pandas())
+
+
+def test_exchange_column_key_dropped(ray_session):
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    t = pa.table(
+        {
+            "p": pa.array([0, 1, 0, 1], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def fn(g: pa.Table) -> pa.Table:
+        assert "p" not in g.column_names
+        return g
+
+    out = exchange_map(ds, "p", 2, fn).to_pandas()
+    assert sorted(out["v"]) == [10, 20, 30, 40]
+
+
+def test_exchange_empty_partitions_still_call_fn(ray_session):
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    t = pa.table({"k": pa.array([5, 5, 5], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = exchange_map(
+        ds,
+        lambda x: x["k"].to_numpy() % 8,
+        8,
+        lambda g: pa.table({"n": pa.array([g.num_rows], pa.int64())}),
+    ).to_pandas()
+    assert len(out) == 8
+    assert sorted(out["n"]) == [0] * 7 + [3]
+
+
+def test_exchange_result_invariant_to_split_tasks(ray_session):
+    """Merged aggregates must not depend on the coalescing granularity."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    import polars as pl
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("k").agg(pl.col("v").sum()).to_arrow()
+        )
+
+    outs = []
+    for mst in (1, 3, 100):
+        ds = _make_ds()
+        o = exchange_map(
+            ds, lambda t: t["k"].to_numpy() % 4, 4, merge, max_split_tasks=mst
+        ).to_pandas()
+        outs.append(o.sort_values(["k"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_exchange_rejects_empty_dataset(ray_session):
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    # one empty block is fine (fn sees an empty table) — zero blocks is not
+    out = exchange_map(
+        empty,
+        lambda t: t["k"].to_numpy() % 2,
+        2,
+        lambda g: pa.table({"n": pa.array([g.num_rows], pa.int64())}),
+    ).to_pandas()
+    assert sorted(out["n"]) == [0, 0]
