@@ -56,3 +56,43 @@ def test_partitioned_equals_single(pair):
                 assert [x for _, x in got] == [x for _, x in want], (q, mode)
     finally:
         ps.shutdown()
+
+
+def test_append_range(ray_session, small_corpus_dir, tmp_path_factory):
+    """Incremental growth: partitioned index over the first files + an
+    appended range over the rest must answer bit-identically to a single
+    from-scratch index over the whole corpus."""
+    import glob
+
+    from web_search_engine_ray.pipelines.distributed import append_range_index
+
+    files = sorted(glob.glob(small_corpus_dir + "/*.parquet"))
+    assert len(files) >= 3
+    cfg = dict(partition_rows=400, num_shards=4, n_salts=3, block_size=16)
+
+    part = str(tmp_path_factory.mktemp("grow_idx"))
+    m0 = build_partitioned_index(files[:-1], part, n_ranges=2, **cfg)
+    n_before = m0["n_docs"]
+    m1 = append_range_index(part, files[-1:], **cfg)
+    assert len(m1["ranges"]) == len(m0["ranges"]) + 1
+    assert m1["ranges"][-1]["docid_span"][0] == n_before
+
+    single = str(tmp_path_factory.mktemp("grow_single"))
+    build_index(small_corpus_dir, single, **cfg)
+    s = Searcher(single)
+    assert m1["n_docs"] == s.N
+    assert m1["avgdl"] == pytest.approx(s.avgdl, rel=1e-12)
+
+    ps = PartitionedSearcher(part)
+    try:
+        for q in QUERIES:
+            for mode in ("OR", "AND"):
+                got = ps.bm25_topk(q, topk=10, mode=mode)
+                want = s.bm25_topk(q, topk=10, mode=mode, tie_semantics="sorted")
+                assert [d for d, _ in got] == [d for d, _ in want], (q, mode)
+                assert [x for _, x in got] == [x for _, x in want], (q, mode)
+        # new-range docs are reachable
+        hits = {d for d, _ in ps.bm25_topk("the data", topk=500, mode="OR")}
+        assert any(d >= n_before for d in hits)
+    finally:
+        ps.shutdown()

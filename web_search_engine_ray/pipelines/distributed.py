@@ -85,6 +85,48 @@ def build_partitioned_index(
     return manifest
 
 
+def append_range_index(out_dir: str, input_path_or_dir, **build_kw) -> dict:
+    """Incremental corpus growth: index NEW documents as one additional
+    doc-range (docids continue after the current corpus end) and atomically
+    update ``partitioned.json`` — existing ranges are untouched, no rebuild.
+
+    Exactness: BM25's corpus-global inputs are never baked into range
+    indexes — ``N``/``avgdl`` live in the manifest (updated here) and
+    per-term global ``df`` is gathered per query — so queries after an
+    append are bit-identical to a from-scratch build over the grown corpus
+    (pinned in ``tests/test_distributed.py::test_append_range``). The
+    reference engine has no incremental path (full rebuild,
+    ``HW2/README.md``); at 100 TB this is how a daily ingest lands."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.build import build_index
+
+    path = os.path.join(out_dir, "partitioned.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    offset = int(manifest["n_docs"])
+    ri = len(manifest["ranges"])
+    files = corpus_files(input_path_or_dir)
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    rdir = os.path.join(out_dir, f"range_{ri:03d}")
+    b = build_index(files, rdir, docid_offset=offset, **build_kw)
+    manifest["ranges"].append(
+        {
+            "dir": rdir,
+            "docid_span": [offset, offset + n],
+            "n_docs": n,
+            "total_tokens": b["total_tokens"],
+        }
+    )
+    manifest["n_docs"] = offset + n
+    manifest["total_tokens"] = int(manifest["total_tokens"]) + b["total_tokens"]
+    manifest["avgdl"] = (
+        manifest["total_tokens"] / manifest["n_docs"] if manifest["n_docs"] else 0.0
+    )
+    mf.write_manifest(path, manifest)
+    return manifest
+
+
 class RangeSearcher:
     """One actor per docid range: a full Searcher over that range's index."""
 
