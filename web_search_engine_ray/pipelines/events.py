@@ -42,20 +42,28 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    agg = ds.groupby(["event_type", "window_start"]).sum(["n_events_p", "sum_value_p"])
+    from web_search_engine_ray.stages.exchange import exchange_map
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "window_start"])
+            .agg(
+                pl.col("n_events_p").sum().alias("n_events"),
+                pl.col("sum_value_p").sum().alias("sum_value"),
+            )
+        )
+        out = g.to_arrow()
         return pa.table(
             {
-                "event_type": batch["event_type"],
-                "window_start": batch["window_start"].cast(pa.int64()),
-                "n_events": batch["sum(n_events_p)"].cast(pa.int64()),
+                "event_type": out["event_type"].cast(pa.string()),
+                "window_start": out["window_start"].cast(pa.int64()),
+                "n_events": out["n_events"].cast(pa.int64()),
                 "sum_value": pa.array(
                     np.round(
-                        batch["sum(sum_value_p)"].to_numpy(zero_copy_only=False).astype(np.float64),
+                        out["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64),
                         6,
                     ),
                     pa.float64(),
@@ -63,7 +71,21 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
             }
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # route partials by window (all partials of one (type, window) share the
+    # window, so a window-keyed partition sees every partial it must merge)
+    return exchange_map(
+        ds,
+        lambda t: (
+            t["window_start"].combine_chunks().to_numpy(zero_copy_only=False)
+            // window_s
+        ).astype(np.int64)
+        % 32,
+        32,
+        merge,
+    )
 
 
 def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
