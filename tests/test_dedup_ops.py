@@ -141,3 +141,66 @@ def test_simhash_dups_banding_exhaustive(ray_session):
             want.add((int(ids[i]), int(ids[j]), int(ham[i, j])))
     got = simhash_dups(SF, max_hamming=3).to_pandas()
     assert set(zip(got["docid_a"], got["docid_b"], got["hamming"])) == want
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_dir(tmp_path_factory):
+    """Adversarial corpus: many byte-identical docs (one giant dup cluster),
+    a few uniques, and empty docs — the skew case the bucket guard exists
+    for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dup_heavy")
+    texts = (
+        ["the quick brown fox jumps over the lazy dog again"] * 40
+        + [f"unique doc number {i} with words w{i} x{i} y{i} z{i}" for i in range(10)]
+        + ["", ""]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_simhash_dups_under_heavy_duplication(ray_session, dup_heavy_dir):
+    """40 identical docs -> all C(40,2) pairs at hamming 0; the two empty
+    docs pair at hamming 0 too; identical-vs-empty must NOT pair."""
+    from web_search_engine_ray.pipelines.dedup import simhash_dups
+
+    got = simhash_dups(dup_heavy_dir, max_hamming=3).to_pandas()
+    pairs = set(zip(got["docid_a"], got["docid_b"]))
+    want = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    want.add((50, 51))  # the two empty docs (simhash 0)
+    assert want <= pairs
+    assert all(h == 0 for _, _, h in got[got.docid_a < 40].itertuples(index=False))
+    assert not any((a < 40) != (b < 40) for a, b in pairs if a < 40 or b < 40 if (a, b) != (50, 51))
+
+
+def test_exact_dedup_under_heavy_duplication(ray_session, dup_heavy_dir):
+    from web_search_engine_ray.pipelines.dedup import exact_dedup_ds
+
+    got = exact_dedup_ds(dup_heavy_dir).to_pandas()
+    # 1 dup-cluster survivor + 10 uniques + 1 empty-text group = 12 groups
+    assert len(got) == 12
+    by_hash = got.set_index("text_hash")["docid"]
+    assert 0 in set(by_hash)  # min docid of the 40-clone cluster survives
+
+
+def test_minhash_guard_caps_giant_bucket(ray_session, dup_heavy_dir):
+    """With max_bucket set, the 40-clone bucket is truncated (logged) and
+    the pair count drops accordingly; without it, all clone pairs emerge."""
+    from web_search_engine_ray.pipelines.dedup import minhash_lsh_candidates_ds
+
+    full = minhash_lsh_candidates_ds(dup_heavy_dir).to_pandas()
+    clone_pairs = {(a, b) for a, b in zip(full["docid_a"], full["docid_b"]) if b < 40}
+    assert len(clone_pairs) == 40 * 39 // 2
+    capped = minhash_lsh_candidates_ds(dup_heavy_dir, max_bucket=8).to_pandas()
+    capped_clone = {
+        (a, b) for a, b in zip(capped["docid_a"], capped["docid_b"]) if b < 40
+    }
+    assert len(capped_clone) == 8 * 7 // 2  # truncated to the 8 smallest docids
