@@ -1,0 +1,51 @@
+"""Curated-corpus sink: survivors match curated_docs_ds, text preserved,
+atomic partitioned output, resume skips finished partitions."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_write_curated_corpus_roundtrip(ray_session, tmp_path):
+    from web_search_engine_ray.pipelines.curate import (
+        curated_docs_ds,
+        write_curated_corpus,
+    )
+
+    out = str(tmp_path / "curated")
+    rep = write_curated_corpus(SF, out, n_parts=8)
+    assert rep["n_files"] == 8 and rep["n_resumed"] == 0
+
+    files = sorted(glob.glob(out + "/curated_*.parquet"))
+    assert len(files) == 8
+    rows = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    got_ids = sorted(r["docid"] for r in rows)
+    want_ids = sorted(curated_docs_ds(SF).to_pandas()["docid"])
+    assert got_ids == want_ids
+    assert rep["n_rows"] == len(want_ids)
+
+    # text preserved exactly
+    src = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    for r in rows:
+        assert r["text"] == src[r["docid"]]
+
+    # resume: second run rewrites nothing
+    rep2 = write_curated_corpus(SF, out, n_parts=8)
+    assert rep2["n_resumed"] == 8
+    assert rep2["n_rows"] == rep["n_rows"]
+
+    # resume after losing one partition: only that one is rebuilt
+    os.remove(files[3])
+    rep3 = write_curated_corpus(SF, out, n_parts=8)
+    assert rep3["n_resumed"] == 7
+    assert rep3["n_rows"] == rep["n_rows"]

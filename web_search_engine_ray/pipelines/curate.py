@@ -151,3 +151,83 @@ def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float
             ),
         }
     )
+
+
+def write_curated_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.6,
+    n_parts: int = 32,
+) -> dict:
+    """Materialize the curated corpus (docid, text of every survivor) as
+    partitioned Parquet — the composed filter->dedup pipeline's SINK.
+
+    One partition hash exchange on the content hash carries (docid, text,
+    flags); each partition selects its survivors locally (min-docid per dup
+    group, quality gate) and writes ONE deterministic parquet file,
+    atomically (tmp + rename). Re-running skips partitions whose file
+    already exists — a failed run resumes from where it stopped; never one
+    giant file. Returns {n_files, n_rows, out_dir}.
+    """
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.dedup import _hash_route
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def signals_with_text(batch: pa.Table) -> pa.Table:
+        sig = _doc_signals(batch, min_tokens, max_stop_ratio)
+        return sig.append_column("text", batch["text"])
+
+    def write_part(t: pa.Table, pi: int) -> pa.Table:
+        import polars as pl
+
+        path = os.path.join(out_dir, f"curated_{pi:05d}.parquet")
+        if os.path.exists(path):  # resume: partition already written
+            n = pq.read_metadata(path).num_rows
+            return pa.table(
+                {"part": pa.array([pi], pa.int64()),
+                 "n_rows": pa.array([int(n)], pa.int64()),
+                 "resumed": pa.array([True], pa.bool_())}
+            )
+        d = pl.from_arrow(t)
+        surv = (
+            d.group_by("text_hash")
+            .agg(pl.col("p_ok").min())
+            .with_columns(
+                docid=(pl.col("p_ok") // 2), ok=(pl.col("p_ok") % 2 == 1)
+            )
+            .filter(pl.col("ok"))
+            .select(["docid"])
+        )
+        rows = (
+            d.with_columns(docid=(pl.col("p_ok") // 2))
+            .join(surv, on="docid", how="inner")
+            .select(["docid", "text"])
+            .sort("docid")
+        )
+        out = rows.to_arrow().cast(
+            pa.schema([("docid", pa.int64()), ("text", pa.string())])
+        )
+        pq.write_table(out, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table(
+            {"part": pa.array([pi], pa.int64()),
+             "n_rows": pa.array([out.num_rows], pa.int64()),
+             "resumed": pa.array([False], pa.bool_())}
+        )
+
+    ds = _read_docs(sf_dir).map_batches(signals_with_text, batch_format="pyarrow")
+    from web_search_engine_ray.pipelines.dedup import _hash_route as _hr
+
+    report = exchange_map(
+        ds, _hr("text_hash", n_parts), n_parts, write_part, with_index=True
+    ).to_pandas()
+    return {
+        "out_dir": out_dir,
+        "n_files": int(len(report)),
+        "n_rows": int(report["n_rows"].sum()),
+        "n_resumed": int(report["resumed"].sum()),
+    }

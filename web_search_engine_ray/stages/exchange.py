@@ -40,6 +40,7 @@ def exchange_map(
     fn: Callable[[pa.Table], pa.Table],
     drop_part_col: bool = True,
     max_split_tasks: int = 16,
+    with_index: bool = False,
 ):
     """Apply ``fn`` once per hash partition of ``ds``, without a sort
     shuffle. ``part`` is either the name of an int column with values in
@@ -54,7 +55,10 @@ def exchange_map(
     tasks (Spark's shuffle-file consolidation): the exchange creates
     ``split_tasks x n_parts`` objects, and per-object bookkeeping — not
     bytes — dominates small exchanges. On a cluster, raise
-    ``max_split_tasks`` toward the node count so splitters parallelize."""
+    ``max_split_tasks`` toward the node count so splitters parallelize.
+
+    ``with_index=True`` calls ``fn(table, partition_index)`` — for sinks
+    that need a deterministic per-partition output name."""
     import ray
     import ray.data
 
@@ -78,9 +82,9 @@ def exchange_map(
         return out if n_parts > 1 else out[0]
 
     @ray.remote
-    def apply(*parts: pa.Table) -> pa.Table:
+    def apply(pi: int, *parts: pa.Table) -> pa.Table:
         t = pa.concat_tables(parts).combine_chunks()
-        return fn(t)
+        return fn(t, pi) if with_index else fn(t)
 
     blocks = ds.to_arrow_refs()
     if not blocks:
@@ -91,7 +95,7 @@ def exchange_map(
     if n_parts == 1:
         per_group = [[r] for r in per_group]
     out = [
-        apply.remote(*[per_group[g][p] for g in range(len(groups))])
+        apply.remote(p, *[per_group[g][p] for g in range(len(groups))])
         for p in range(n_parts)
     ]
     return ray.data.from_arrow_refs(out)
