@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": corpus.corpus_stats_table,
         # ---- stream-shaped ops over events ----
         "events_window": lambda sf: events.window_agg_ds(sf),
+        "events_hopping": lambda sf: events.hopping_window_ds(sf),
         "events_sessionize": lambda sf: events.sessionize_ds(sf),
         # ---- ranked + boolean search (§2.6-2.8) ----
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
@@ -169,6 +170,14 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        ROUND(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, window_start
+""",
+        "events_hopping": f"""
+SELECT event_type, window_start, count(*)::BIGINT AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM (SELECT event_type, value,
+             ((epoch_us(ts) // 1000000) // {900}) * {900} - j * {900} AS window_start
+      FROM events CROSS JOIN (SELECT unnest(range({4})) AS j))
+GROUP BY event_type, window_start
 """,
         "events_sessionize": f"""
 WITH o AS (

@@ -2,11 +2,11 @@
 
 Ray Data is a (streaming-)batch engine with no event-time watermarks; the
 bounded-log equivalents of the classic streaming ops are expressed as
-partial-aggregate ``map_batches`` + a small ``groupby`` (tumbling windows) and
-``groupby(key).map_groups`` over ts-sorted groups (session windows) — the
-patterns a transcript-event pipeline needs (ordering assumption: within a
-group, rows are sorted by ``ts`` inside the group function; nothing assumes
-global order). Both have exact DuckDB SQL twins in ``__ray_entry__``.
+partial-aggregate ``map_batches`` + a window-routed partition exchange
+(tumbling + hopping windows) and a user-routed exchange with one vectorized
+sessionization pass per partition (session windows) — the patterns a
+transcript-event pipeline needs (nothing assumes global order). All three
+have exact DuckDB SQL twins in ``__ray_entry__``.
 """
 
 from __future__ import annotations
@@ -146,4 +146,81 @@ def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
         ),
         N,
         sessions_part,
+    )
+
+
+HOP_S = 900
+
+
+def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S):
+    """Hopping (sliding) window per event_type: a ``window_s`` window starts
+    every ``hop_s``, so each event contributes to ``window_s // hop_s``
+    overlapping windows. (event_type, window_start, n_events, sum_value).
+
+    Same scale shape as :func:`window_agg_ds`: the k-fold window expansion
+    and partial aggregation happen inside ``map_batches`` (the shuffle moves
+    one partial row per (type, window) per batch, never k x events), merged
+    by a window-routed partition exchange."""
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        base = (epoch // hop_s) * hop_s
+        n = len(df)
+        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        rep = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "window_start": starts,
+                "value": np.repeat(df["value"].to_numpy(), k),
+            }
+        )
+        g = rep.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events_p=("value", "size"), sum_value_p=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "window_start"])
+            .agg(
+                pl.col("n_events_p").sum().alias("n_events"),
+                pl.col("sum_value_p").sum().alias("sum_value"),
+            )
+        )
+        out = g.to_arrow()
+        return pa.table(
+            {
+                "event_type": out["event_type"].cast(pa.string()),
+                "window_start": out["window_start"].cast(pa.int64()),
+                "n_events": out["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        out["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return exchange_map(
+        ds,
+        lambda t: (
+            t["window_start"].combine_chunks().to_numpy(zero_copy_only=False)
+            // hop_s
+        ).astype(np.int64)
+        % 32,
+        32,
+        merge,
     )
