@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         serving,
         similarity,
+        sketch,
     )
 
     return {
@@ -98,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
         "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
+        # ---- text analysis ----
+        # ---- sketches / sampling ----
+        "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
+        "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,
@@ -393,6 +398,13 @@ SELECT doc_id AS docid,
        WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
        ELSE 'fr' END AS lang_pred
 FROM h
+""",
+        # deterministic priority sample: engine keeps the k smallest
+        # md5-low-64 priorities — identical hash to md5_number_lower
+        "sample_docs": """
+SELECT docid FROM (
+  SELECT doc_id AS docid FROM documents
+  ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id LIMIT 100)
 """,
         "rolling_fingerprint": f"""
 WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),

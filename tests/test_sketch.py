@@ -1,0 +1,89 @@
+"""Sketch ops: HLL register correctness, estimate error bound vs exact,
+merge associativity; deterministic sample vs its SQL twin."""
+
+import numpy as np
+import pytest
+
+from web_search_engine_ray.pipelines.sketch import (
+    HLL_P,
+    _hll_estimate,
+    _hll_registers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scalar_rank(h: int, p: int) -> tuple[int, int]:
+    idx = h >> (64 - p)
+    rest = (h << p) & ((1 << 64) - 1)
+    if rest == 0:
+        return idx, 64 - p + 1
+    lz = 64 - rest.bit_length()
+    return idx, lz + 1
+
+
+def test_hll_registers_match_scalar():
+    rng = np.random.default_rng(5)
+    hs = rng.integers(0, 2**63, 500, dtype=np.int64).view(np.uint64)
+    # adversarial values: zeros after shift, near powers of two
+    extra = np.array(
+        [0, 1, 2**52 - 1, 2**52, 2**63 - 1, 2**63, (1 << 64) - 1], dtype=np.uint64
+    )
+    hs = np.concatenate([hs, extra])
+    regs = _hll_registers(hs, HLL_P)
+    want = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for h in hs:
+        i, r = _scalar_rank(int(h), HLL_P)
+        want[i] = max(want[i], r)
+    assert np.array_equal(regs, want)
+
+
+def test_hll_merge_associative():
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 2**64, 1000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 1000, dtype=np.uint64)
+    merged = np.maximum(_hll_registers(a), _hll_registers(b))
+    together = _hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, together)
+
+
+def test_hll_estimate_error():
+    rng = np.random.default_rng(11)
+    n = 50_000
+    hs = rng.integers(0, 2**64, n, dtype=np.uint64)  # full-range uniform
+    hs = np.unique(hs)
+    est = _hll_estimate(_hll_registers(hs))
+    assert abs(est - hs.size) / hs.size < 0.05
+
+
+def test_hll_distinct_terms_vs_exact(ray_session):
+    import duckdb
+
+    from web_search_engine_ray.pipelines.sketch import hll_distinct_terms
+
+    est = hll_distinct_terms(SF).to_pandas()["estimate"][0]
+    exact = duckdb.sql(
+        f"""SELECT count(DISTINCT term) FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+(?:[.-][a-z0-9]+)*')) AS term
+              FROM read_parquet('{SF}/documents.parquet'))"""
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_sample_docs_matches_sql(ray_session):
+    import duckdb
+
+    from web_search_engine_ray.pipelines.sketch import sample_docs
+
+    got = sample_docs(SF, k=50).to_pandas()["docid"].tolist()
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+                ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id LIMIT 50"""
+        ).fetchall()
+    ]
+    assert got == sorted(want)
+    # determinism
+    assert got == sample_docs(SF, k=50).to_pandas()["docid"].tolist()

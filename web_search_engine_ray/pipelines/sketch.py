@@ -1,0 +1,138 @@
+"""Sketch / sampling operators over the ``documents`` table — the mergeable
+approximate structures a 100 TB pipeline leans on when exact answers would
+shuffle the world.
+
+- :func:`hll_distinct_terms` — HyperLogLog distinct-term count. Each batch
+  produces one 2^p-register sketch (numpy, one pass over the batch's
+  distinct token hashes); sketches merge by elementwise max — a few KB per
+  batch moves, never the terms. Standard bias-corrected estimate with
+  linear-counting small-range correction. Error ~1.04/sqrt(2^p) (~1.6% at
+  p=12), pinned against the exact count in ``tests/test_sketch.py``.
+- :func:`sample_docs` — deterministic uniform sample WITHOUT replacement:
+  priority = md5-low-64 of the docid string (== DuckDB
+  ``md5_number_lower(doc_id::VARCHAR)``), keep the k smallest priorities.
+  Distributed as per-batch top-k partials merged on the driver
+  (output-scale); has an EXACT DuckDB twin (ORDER BY hash LIMIT k), so the
+  sample is reproducible across engines — the property that makes sampled
+  evals comparable run-to-run.
+
+Both use the same md5-low-64 hashing as the dedup family (``dedup.py``),
+keeping one hash convention across the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.pipelines.dedup import _token_hashes
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _read_docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# exact leading-zero count per byte value (LUT — float log2 on u64 can
+# round wrong near powers of two)
+_LZ8 = np.array(
+    [8] + [7 - int(v).bit_length() + 1 for v in range(1, 256)], dtype=np.int64
+)
+
+
+def _hll_registers(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """u64 hashes -> 2^p uint8 registers (max leading-zero rank per bucket)."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # top 64-p bits now lead
+    # rank = leading zeros of `rest` + 1 (capped at 64-p+1 when rest == 0)
+    b = rest.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian bytes
+    nzb = b != 0
+    first = np.argmax(nzb, axis=1)
+    lz = first * 8 + _LZ8[b[np.arange(b.shape[0]), first]]
+    lz = np.where(rest == 0, 64 - p, lz)  # all-zero rest: max rank
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the small range
+    return float(est)
+
+
+def hll_distinct_terms(sf_dir: str, p: int = HLL_P) -> pa.Table:
+    """One row (estimate, p): approximate distinct-term count of the corpus."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        distinct: set[str] = set()
+        for tl in toks:
+            distinct.update(tl or [])
+        hs = _token_hashes(list(distinct))
+        regs = _hll_registers(hs, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = _read_docs(sf_dir).map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for buf in parts["regs"]:
+        merged = np.maximum(merged, np.frombuffer(buf, dtype=np.uint8))
+    return pa.table(
+        {
+            "estimate": pa.array([round(_hll_estimate(merged, p), 3)], pa.float64()),
+            "p": pa.array([p], pa.int64()),
+        }
+    )
+
+
+def sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
+    """(docid): deterministic k-sample — the k docids with the smallest
+    md5-low-64 priority. Per-batch top-k partials; the driver merges k-row
+    tables. Exact SQL twin: ORDER BY md5_number_lower(doc_id::VARCHAR),
+    doc_id LIMIT k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        prio = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+                for d in ids
+            ],
+            dtype=np.uint64,
+        )
+        kk = min(k, ids.size)
+        if kk == 0:
+            return pa.table(
+                {"docid": pa.array([], pa.int64()), "prio": pa.array([], pa.uint64())}
+            )
+        part = np.argpartition(prio, kk - 1)[:kk]
+        return pa.table(
+            {
+                "docid": pa.array(ids[part], pa.int64()),
+                "prio": pa.array(prio[part], pa.uint64()),
+            }
+        )
+
+    parts = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    prio = parts["prio"].to_numpy().astype(np.uint64)
+    ids = parts["docid"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, prio))[:k]
+    return pa.table({"docid": pa.array(np.sort(ids[order]), pa.int64())})
