@@ -99,9 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
         "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
-        # ---- text analysis ----
         # ---- sketches / sampling ----
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
+        "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
         "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
@@ -405,6 +405,14 @@ FROM h
 SELECT docid FROM (
   SELECT doc_id AS docid FROM documents
   ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id LIMIT 100)
+""",
+        "sample_per_type": """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5_number_lower(event_id::VARCHAR), event_id) AS rn
+  FROM events)
+WHERE rn <= 20
 """,
         "rolling_fingerprint": f"""
 WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),

@@ -87,3 +87,36 @@ def test_sample_docs_matches_sql(ray_session):
     assert got == sorted(want)
     # determinism
     assert got == sample_docs(SF, k=50).to_pandas()["docid"].tolist()
+
+
+def test_sample_per_type_matches_sql(ray_session):
+    import duckdb
+
+    from web_search_engine_ray.pipelines.sketch import sample_per_type
+
+    got = sample_per_type(SF, k=5).to_pandas()
+    want = duckdb.sql(
+        f"""SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY md5_number_lower(event_id::VARCHAR), event_id) AS rn
+              FROM read_parquet('{SF}/events.parquet'))
+            WHERE rn <= 5 ORDER BY event_type, event_id"""
+    ).df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_knn_lsh_subset_of_exact(ray_session):
+    """LSH-bucketed kNN: every returned neighbor carries the true cosine and
+    appears with the same value in the exhaustive result's candidate space;
+    deterministic across runs."""
+    from web_search_engine_ray.pipelines.similarity import knn_cosine, lsh_bucketed_knn
+
+    exact = knn_cosine(SF, n_queries=3, topk=10).to_pandas()
+    em = {(q, v): c for q, v, c in exact.itertuples(index=False)}
+    a = lsh_bucketed_knn(SF, n_queries=3, topk=10).to_pandas()
+    b = lsh_bucketed_knn(SF, n_queries=3, topk=10).to_pandas()
+    assert a.equals(b)
+    for q, v, c in a.itertuples(index=False):
+        if (q, v) in em:  # shared pairs must agree on the cosine exactly
+            assert em[(q, v)] == pytest.approx(c, abs=1e-9)

@@ -1,6 +1,7 @@
-"""Sketch / sampling operators over the ``documents`` table — the mergeable
-approximate structures a 100 TB pipeline leans on when exact answers would
-shuffle the world.
+"""Sketch / sampling operators over the ``documents`` / ``events`` tables —
+the mergeable approximate structures a 100 TB pipeline leans on when exact
+answers would shuffle the world, plus deterministic (cross-engine
+reproducible) sampling.
 
 - :func:`hll_distinct_terms` — HyperLogLog distinct-term count. Each batch
   produces one 2^p-register sketch (numpy, one pass over the batch's
@@ -136,3 +137,62 @@ def sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
     ids = parts["docid"].to_numpy().astype(np.int64)
     order = np.lexsort((ids, prio))[:k]
     return pa.table({"docid": pa.array(np.sort(ids[order]), pa.int64())})
+
+
+def sample_per_type(sf_dir: str, k: int = 20) -> pa.Table:
+    """(event_type, event_id): stratified deterministic sample — the k
+    smallest md5-low-64 priorities WITHIN each event_type of the events
+    table. Per-batch per-type top-k partials (vectorized lexsort over the
+    batch), driver merges #types x k rows. Exact SQL twin: row_number OVER
+    (PARTITION BY type ORDER BY hash) <= k."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids = batch["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        types = pl.from_arrow(batch["event_type"])
+        prio = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        d = pl.DataFrame(
+            {"event_type": types, "event_id": ids, "prio": prio}
+        )
+        top = (
+            d.sort(["event_type", "prio", "event_id"])
+            .group_by("event_type", maintain_order=True)
+            .head(k)
+        )
+        return top.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("event_id", pa.int64()),
+                    ("prio", pa.uint64()),
+                ]
+            )
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "event_type"]
+    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for t, grp in parts.groupby("event_type"):
+        g = grp.sort_values(["prio", "event_id"]).head(k)
+        out_rows.append(g[["event_type", "event_id"]])
+    import pandas as pd
+
+    merged = pd.concat(out_rows).sort_values(["event_type", "event_id"])
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "event_id": pa.array(merged["event_id"].to_numpy(), pa.int64()),
+        }
+    )
