@@ -48,3 +48,44 @@ def test_midscale_conformance(ray_session, mid_corpus, tmp_path_factory):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (gd, gs), (wd_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_midscale_dedup_oracles(ray_session):
+    """Dedup-family oracle conformance at sf0.1 (59,661 docs) — the driver
+    gate runs at sf0.01; this pins the same hash-equality one decade up,
+    where multi-block exchanges and bucket skew actually engage."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").round(9)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    sqls = entrymod.oracle_sql()
+    for name, fn in [
+        ("simhash_dups", lambda: dedup.simhash_dups(sf).to_pandas()),
+        ("dedup_exact", lambda: dedup.exact_dedup_ds(sf).to_pandas()),
+        ("sample_docs", None),
+    ]:
+        if name == "sample_docs":
+            from web_search_engine_ray.pipelines.sketch import sample_docs
+
+            fn = lambda: sample_docs(sf, k=100).to_pandas()  # noqa: E731
+        got = canon(fn())
+        want = canon(con.sql(sqls[name]).df())
+        assert got.equals(want), name
