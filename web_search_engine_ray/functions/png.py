@@ -82,23 +82,28 @@ def decode_png(buf: bytes) -> np.ndarray:
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if f == 0:
             out[y] = cur
+        elif f == 1:  # Sub: per-lane prefix sum (uint8 cumsum wraps mod 256)
+            out[y] = np.cumsum(
+                cur.reshape(width, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif f == 2:  # Up
             out[y] = cur + prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif f in (3, 4):  # Average / Paeth: sequential in x, vector per lane
             row = out[y]
-            for x in range(stride):
-                a = row[x - nch] if x >= nch else np.uint8(0)
-                if f == 1:
-                    row[x] = cur[x] + a
-                elif f == 3:
-                    row[x] = cur[x] + np.uint8(
-                        (int(a) + int(prev[x])) // 2
-                    )
+            cur2 = cur.reshape(width, nch)
+            prev2 = prev.reshape(width, nch)
+            row2 = row.reshape(width, nch)
+            left = np.zeros(nch, dtype=np.uint8)
+            upleft = np.zeros(nch, dtype=np.uint8)
+            for x in range(width):
+                if f == 3:
+                    row2[x] = cur2[x] + (
+                        (left.astype(np.int32) + prev2[x].astype(np.int32)) // 2
+                    ).astype(np.uint8)
                 else:
-                    c = prev[x - nch] if x >= nch else np.uint8(0)
-                    row[x] = cur[x] + _paeth(
-                        np.array([a]), np.array([prev[x]]), np.array([c])
-                    )[0]
+                    row2[x] = cur2[x] + _paeth(left, prev2[x], upleft)
+                left = row2[x]
+                upleft = prev2[x]
         else:
             raise ValueError(f"bad PNG filter type {f}")
     return out.reshape(height, width, nch)

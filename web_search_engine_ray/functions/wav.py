@@ -42,6 +42,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV format tag {tag} (only PCM=1)")
     if bits not in _DTYPES:
         raise ValueError(f"unsupported WAV bit depth {bits}")
+    if n_ch == 0:
+        raise ValueError("invalid WAV channel count 0")
     samples = np.frombuffer(data, dtype=_DTYPES[bits])
     n = samples.size // n_ch
     return samples[: n * n_ch].reshape(n, n_ch), rate

@@ -170,12 +170,42 @@ def write_curated_corpus(
     already exists — a failed run resumes from where it stopped; never one
     giant file. Returns {n_files, n_rows, out_dir}.
     """
+    import json
+
     import pyarrow.parquet as pq
 
     from web_search_engine_ray.pipelines.dedup import _hash_route
     from web_search_engine_ray.stages.exchange import exchange_map
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # resume is only valid against the SAME parameters and corpus: fingerprint
+    # them so a re-run with a different gate (or a changed input) fails loudly
+    # instead of silently returning stale partitions as success
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = {
+        "src": src,
+        "src_size": st.st_size,
+        "src_mtime_ns": st.st_mtime_ns,
+        "min_tokens": min_tokens,
+        "max_stop_ratio": max_stop_ratio,
+        "n_parts": n_parts,
+    }
+    fp_path = os.path.join(out_dir, "_curation_params.json")
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            prev = json.load(f)
+        if prev != fp:
+            raise ValueError(
+                f"{out_dir} holds a curation run with different parameters or "
+                f"input ({prev} != {fp}); use a fresh out_dir or delete it"
+            )
+    else:
+        tmp = fp_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(fp, f)
+        os.replace(tmp, fp_path)
 
     def signals_with_text(batch: pa.Table) -> pa.Table:
         sig = _doc_signals(batch, min_tokens, max_stop_ratio)
@@ -220,10 +250,8 @@ def write_curated_corpus(
         )
 
     ds = _read_docs(sf_dir).map_batches(signals_with_text, batch_format="pyarrow")
-    from web_search_engine_ray.pipelines.dedup import _hash_route as _hr
-
     report = exchange_map(
-        ds, _hr("text_hash", n_parts), n_parts, write_part, with_index=True
+        ds, _hash_route("text_hash", n_parts), n_parts, write_part, with_index=True
     ).to_pandas()
     return {
         "out_dir": out_dir,

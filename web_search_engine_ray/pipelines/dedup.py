@@ -204,13 +204,17 @@ def _band_hashes(sigs: np.ndarray) -> np.ndarray:
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# memoize only small sizes: an entry is ~8*n^2 bytes, so n<=128 caps the
+# whole cache at ~33 MB in a long-lived worker; bigger buckets are rare and
+# recomputing their indices is trivial next to the O(n^2) pair work itself
+_TRIU_CACHE_MAX_N = 128
 
 
 def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
     got = _TRIU_CACHE.get(n)
     if got is None:
         got = np.triu_indices(n, k=1)
-        if len(_TRIU_CACHE) < 4096:
+        if n <= _TRIU_CACHE_MAX_N and len(_TRIU_CACHE) < 256:
             _TRIU_CACHE[n] = got
     return got
 
@@ -339,43 +343,49 @@ def _empty_jaccard_table() -> pa.Table:
     )
 
 
-def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
+def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = None):
     """Pairs with exact 3-gram Jaccard >= tau: LSH candidates + exact
     verification, fully distributed.
 
     Stages: (1) candidate pairs from banded minhash LSH (collected — they
-    are output-scale small); (2) the pair list is broadcast (``ray.put``)
-    and a ``map_batches`` pass over the corpus extracts each candidate
-    doc's distinct 3-gram shingle set (vectorized ``is_in`` row filter, so
-    non-candidate docs are never tokenized), emitting one row per
-    (pair, side); (3) a partition hash exchange keyed on docid_a joins the
-    two sides of each pair and computes exact Jaccard. The driver never
-    reads corpus text."""
+    are output-scale small; ``max_bucket`` forwards the logged skew guard,
+    default None = exact); (2) the per-partition pair lists are broadcast
+    (``ray.put``) and a ``map_batches`` pass over the corpus extracts each
+    candidate doc's distinct 3-gram shingle set (vectorized ``is_in`` row
+    filter, so non-candidate docs are never tokenized), emitting one row
+    per (doc, partition) — NOT per pair, so a doc in m pairs of one
+    partition ships its set once, and at most ``N_PARTS`` times in total;
+    (3) a docid_a-keyed partition exchange computes exact Jaccard for its
+    pair list. The driver never reads corpus text."""
     import ray
 
-    cand = minhash_lsh_candidates_ds(sf_dir).to_pandas()
+    cand = minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket).to_pandas()
     if cand.empty:
         import ray.data
 
         return ray.data.from_arrow(_empty_jaccard_table())
     ca = cand["docid_a"].to_numpy().astype(np.int64)
     cb = cand["docid_b"].to_numpy().astype(np.int64)
-    # docid -> [(a, b, side), ...] lookup for the corpus scan
-    need: dict[int, list[tuple[int, int, int]]] = {}
+    # docid -> partitions needing its shingles; partition -> its pair list
+    need_parts: dict[int, set[int]] = {}
+    part_pairs: dict[int, list[tuple[int, int]]] = {}
     for a, b in zip(ca.tolist(), cb.tolist()):
-        need.setdefault(a, []).append((a, b, 0))
-        need.setdefault(b, []).append((a, b, 1))
-    need_ids = np.fromiter(need.keys(), dtype=np.int64)
-    need_ref = ray.put(need)
+        p = a % N_PARTS
+        need_parts.setdefault(a, set()).add(p)
+        need_parts.setdefault(b, set()).add(p)
+        part_pairs.setdefault(p, []).append((a, b))
+    need_ids = np.fromiter(need_parts.keys(), dtype=np.int64)
+    need_ref = ray.put(need_parts)
+    pairs_ref = ray.put(part_pairs)
 
-    def emit_sides(batch: pa.Table) -> pa.Table:
+    def emit_doc_shingles(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         nd = ray.get(need_ref)
         ids = batch["doc_id"].cast(pa.int64())
         mask = pc.is_in(ids, value_set=pa.array(need_ids, pa.int64()))
         kept = batch.filter(mask)
-        a_l, b_l, s_l, sh_l = [], [], [], []
+        p_l, d_l, sh_l = [], [], []
         if kept.num_rows:
             toks = token_lists(kept["text"]).to_list()
             for did, tl in zip(kept["doc_id"].to_pylist(), toks):
@@ -386,35 +396,29 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
                         for i in range(len(tl) - SHINGLE_K + 1)
                     }
                 )
-                for a, b, side in nd[int(did)]:
-                    a_l.append(a)
-                    b_l.append(b)
-                    s_l.append(side)
+                for p in nd[int(did)]:
+                    p_l.append(p)
+                    d_l.append(int(did))
                     sh_l.append(sh)
         return pa.table(
             {
-                "docid_a": pa.array(a_l, pa.int64()),
-                "docid_b": pa.array(b_l, pa.int64()),
-                "side": pa.array(s_l, pa.int32()),
+                "p": pa.array(p_l, pa.int64()),
+                "docid": pa.array(d_l, pa.int64()),
                 "shingles": pa.array(sh_l, pa.list_(pa.string())),
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        sides: dict[tuple[int, int], list[set | None]] = {}
-        for a, b, side, sh in zip(
-            group["docid_a"].to_pylist(),
-            group["docid_b"].to_pylist(),
-            group["side"].to_pylist(),
-            group["shingles"].to_pylist(),
-        ):
-            slot = sides.setdefault((a, b), [None, None])
-            slot[side] = set(sh)
+    def verify(group: pa.Table, pi: int) -> pa.Table:
+        by_doc: dict[int, set] = {
+            d: set(sh)
+            for d, sh in zip(
+                group["docid"].to_pylist(), group["shingles"].to_pylist()
+            )
+        }
         a_l, b_l, j_l = [], [], []
-        for (a, b) in sorted(sides):
-            sa, sb = sides[(a, b)]
-            sa = sa or set()
-            sb = sb or set()
+        for a, b in sorted(ray.get(pairs_ref).get(pi, [])):
+            sa = by_doc.get(a, set())
+            sb = by_doc.get(b, set())
             if not sa and not sb:
                 continue
             inter = len(sa & sb)
@@ -433,9 +437,11 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8):
 
     from web_search_engine_ray.stages.exchange import exchange_map
 
-    sides = _read_docs(sf_dir).map_batches(emit_sides, batch_format="pyarrow")
+    sides = _read_docs(sf_dir).map_batches(
+        emit_doc_shingles, batch_format="pyarrow"
+    )
     return exchange_map(
-        sides, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, verify
+        sides, lambda t: _col(t, "p") % N_PARTS, N_PARTS, verify, with_index=True
     )
 
 
@@ -451,26 +457,43 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8)].reshape(x.size, 8).sum(axis=1).astype(np.int64)
 
 
+_SIMHASH_CHUNK_TOKENS = 262_144  # bounds the transient bit matrix at ~64 MB
+
+
 def _simhash_batch(toks: list[list[str] | None]) -> np.ndarray:
     """(n_docs,) uint64 simhash per doc, vectorized across the batch:
-    concatenate all token hashes, expand to a (total_tokens, 64) bit matrix,
-    per-doc bit sums via ``np.add.reduceat``, majority vote per bit.
-    Duplicate tokens vote once per occurrence; empty docs hash to 0."""
+    concatenate token hashes, expand to a (tokens, 64) bit matrix, per-doc
+    bit sums via ``np.add.reduceat``, majority vote per bit. Duplicate
+    tokens vote once per occurrence; empty docs hash to 0. Docs are
+    processed in chunks of ~256k tokens so the transient int32 bit matrix
+    stays ~64 MB regardless of batch size (32 concurrent tasks x unbounded
+    batches would otherwise stack multi-GB allocations)."""
     th = [_token_hashes(t or []) for t in toks]
     lens = np.array([x.size for x in th], dtype=np.int64)
     out = np.zeros(len(toks), dtype=np.uint64)
     nz = np.flatnonzero(lens)
     if nz.size == 0:
         return out
-    allh = np.concatenate([th[i] for i in nz])
-    bits = ((allh[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
-    starts = np.zeros(nz.size, dtype=np.int64)
-    np.cumsum(lens[nz][:-1], out=starts[1:])
-    ones = np.add.reduceat(bits, starts, axis=0)  # (n_nonzero, 64)
-    votes = 2 * ones - lens[nz][:, None]
-    out[nz] = ((votes > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    lo = 0
+    while lo < nz.size:
+        hi = lo + 1
+        tok_total = lens[nz[lo]]
+        while hi < nz.size and tok_total + lens[nz[hi]] <= _SIMHASH_CHUNK_TOKENS:
+            tok_total += lens[nz[hi]]
+            hi += 1
+        sel = nz[lo:hi]
+        allh = np.concatenate([th[i] for i in sel])
+        bits = ((allh[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        starts = np.zeros(sel.size, dtype=np.int64)
+        np.cumsum(lens[sel][:-1], out=starts[1:])
+        ones = np.add.reduceat(bits, starts, axis=0)  # (chunk_docs, 64)
+        votes = 2 * ones - lens[sel][:, None]
+        out[sel] = ((votes > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        lo = hi
     return out
 
 

@@ -312,14 +312,19 @@ class AudioDecodeStage:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             if payload[:4] != b"RIFF":
-                try:  # pragma: no cover - soundfile absent in this container
-                    import soundfile  # noqa: F401
+                try:
+                    import soundfile
                 except ImportError:
                     raise NotImplementedError(
                         "compressed audio codecs unavailable; WAV/PCM decodes "
                         "natively (install soundfile for mp3/ogg/flac)"
                     ) from None
-            samples, rate = self.decode(payload)
+                import io  # pragma: no cover - soundfile absent here
+
+                data, rate = soundfile.read(io.BytesIO(payload), dtype="int16")
+                samples = np.atleast_2d(data.T).T
+            else:
+                samples, rate = self.decode(payload)
             ids.append(mid)
             rates.append(rate)
             chans.append(samples.shape[1])

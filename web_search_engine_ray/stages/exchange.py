@@ -64,6 +64,14 @@ def exchange_map(
 
     @ray.remote(num_returns=n_parts)
     def split(*ts: pa.Table):
+        # empty blocks can carry a PRE-UDF schema (Ray Data skips map UDFs
+        # on empty blocks) — their partition columns may not exist; they
+        # contribute nothing, so route zero-row empties everywhere and let
+        # apply() drop schema-mismatched empties
+        ts = tuple(x for x in ts if x.num_rows) or ts[:1]
+        if ts[0].num_rows == 0:
+            empty = ts[0].slice(0, 0)
+            return [empty] * n_parts if n_parts > 1 else empty
         t = pa.concat_tables(ts).combine_chunks() if len(ts) > 1 else ts[0]
         if callable(part):
             p = np.asarray(part(t), dtype=np.int64)
@@ -71,6 +79,11 @@ def exchange_map(
             p = t[part].combine_chunks().to_numpy(zero_copy_only=False)
             if drop_part_col:
                 t = t.drop_columns([part])
+        if p.size and (p.min() < 0 or p.max() >= n_parts):
+            raise ValueError(
+                f"partition values outside [0, {n_parts}): "
+                f"[{p.min()}, {p.max()}] — rows would be dropped silently"
+            )
         order = np.argsort(p, kind="stable")
         sorted_p = p[order]
         bounds = np.searchsorted(sorted_p, np.arange(n_parts + 1))
@@ -83,7 +96,13 @@ def exchange_map(
 
     @ray.remote
     def apply(pi: int, *parts: pa.Table) -> pa.Table:
-        t = pa.concat_tables(parts).combine_chunks()
+        nonempty = [x for x in parts if x.num_rows]
+        if nonempty:
+            t = pa.concat_tables(nonempty).combine_chunks()
+        else:
+            # all-empty partition: prefer a block whose schema the fn can
+            # consume (post-UDF); fall back to the first
+            t = parts[0]
         return fn(t, pi) if with_index else fn(t)
 
     blocks = ds.to_arrow_refs()
