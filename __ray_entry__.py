@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
         "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
+        "heavy_hitter_terms": lambda sf: sketch.heavy_hitter_terms(sf, k=20),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,

@@ -120,3 +120,44 @@ def test_knn_lsh_subset_of_exact(ray_session):
     for q, v, c in a.itertuples(index=False):
         if (q, v) in em:  # shared pairs must agree on the cosine exactly
             assert em[(q, v)] == pytest.approx(c, abs=1e-9)
+
+
+def test_cms_one_sided_and_merge_linear():
+    from web_search_engine_ray.pipelines.sketch import _cms_query, _cms_update
+
+    rng = np.random.default_rng(2)
+    words = [f"w{i}" for i in range(3000)]
+    c1 = {w: int(rng.integers(1, 50)) for w in words[:2000]}
+    c2 = {w: int(rng.integers(1, 50)) for w in words[1000:]}
+    merged = _cms_update(c1) + _cms_update(c2)  # linear sketch: sum == union
+    total = {w: c1.get(w, 0) + c2.get(w, 0) for w in words}
+    est = _cms_query(merged, words)
+    true = np.array([total[w] for w in words])
+    assert np.all(est >= true)  # CountMin never underestimates
+    # CMS tail bound: P(err > 2e*N/w) <= e^-d per query (~1.8% at d=4)
+    n = true.sum()
+    bound = 2 * np.e * n / 4096
+    assert (est - true <= bound).mean() > 1 - 2 * np.exp(-4)
+
+
+def test_heavy_hitters_contains_true_topk(ray_session):
+    import duckdb
+
+    from web_search_engine_ray.pipelines.sketch import heavy_hitter_terms
+
+    got = heavy_hitter_terms(SF, k=10).to_pandas()
+    true = duckdb.sql(
+        f"""SELECT term, count(*)::BIGINT AS cf FROM (
+              SELECT unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+(?:[.-][a-z0-9]+)*')) AS term
+              FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY term ORDER BY cf DESC, term LIMIT 10"""
+    ).df()
+    # the sketch's top-10 must contain every true top-10 term, and estimates
+    # never undercount the truth
+    true_counts = dict(zip(true["term"], true["cf"]))
+    got_terms = set(got["term"])
+    assert set(true["term"]) <= got_terms
+    for t, e in zip(got["term"], got["cf_est"]):
+        if t in true_counts:
+            assert e >= true_counts[t]

@@ -196,3 +196,84 @@ def sample_per_type(sf_dir: str, k: int = 20) -> pa.Table:
             "event_id": pa.array(merged["event_id"].to_numpy(), pa.int64()),
         }
     )
+
+
+CMS_W = 4096  # width per hash row
+CMS_D = 4  # hash rows
+
+
+def _cms_update(counts: dict[str, int], w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """term->count dict -> (d, w) int64 CountMin matrix (vectorized rows)."""
+    cms = np.zeros((d, w), dtype=np.int64)
+    if not counts:
+        return cms
+    hs = _token_hashes(list(counts.keys()))
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    for r in range(d):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+        idx = ((hs ^ seed) % np.uint64(w)).astype(np.int64)
+        np.add.at(cms[r], idx, vals)
+    return cms
+
+
+def _cms_query(cms: np.ndarray, terms: list[str]) -> np.ndarray:
+    """Point estimates (>= true count, one-sided) for each term."""
+    hs = _token_hashes(terms)
+    d, w = cms.shape
+    est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+        idx = ((hs ^ seed) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[r][idx])
+    return est
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 20, m_per_batch: int = 64) -> pa.Table:
+    """(term, cf_est): approximate top-k terms by collection frequency via a
+    mergeable CountMin sketch + per-batch candidate tracking.
+
+    Each batch emits its exact per-batch counts as (a) a CountMin matrix and
+    (b) its local top ``m_per_batch`` terms as candidates. Matrices merge by
+    elementwise SUM (CountMin is a linear sketch) and the global top-k is
+    estimated over the candidate union — any global top-k term is a local
+    top-m term in at least one batch for modest skew, and the CMS point
+    query NEVER underestimates, so true heavy hitters can't be displaced by
+    underestimation (one-sided bound pinned in ``tests/test_sketch.py``).
+    Shuffle volume: one (d x w) matrix + m candidate strings per batch."""
+    import polars as pl
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        counts = (
+            pl.DataFrame({"t": toks})
+            .explode("t")
+            .drop_nulls()
+            .group_by("t")
+            .len(name="c")
+            .sort(["c", "t"], descending=[True, False])
+        )
+        cdict = dict(zip(counts["t"].to_list(), counts["c"].to_list()))
+        cms = _cms_update(cdict)
+        cand = counts["t"].to_list()[:m_per_batch]
+        return pa.table(
+            {
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "cand": pa.array([cand], pa.list_(pa.string())),
+            }
+        )
+
+    parts = _read_docs(sf_dir).map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cands: set[str] = set()
+    for buf, cand in zip(parts["cms"], parts["cand"]):
+        merged += np.frombuffer(buf, dtype=np.int64).reshape(CMS_D, CMS_W)
+        cands.update(cand)
+    terms = sorted(cands)
+    est = _cms_query(merged, terms)
+    order = np.lexsort((np.array(terms, dtype=object), -est))[:k]
+    return pa.table(
+        {
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "cf_est": pa.array(est[order], pa.int64()),
+        }
+    )
