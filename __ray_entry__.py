@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
         "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
+        "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(sf),
         # ---- crawl (HW1 pipeline over the injected fake web) ----
         "crawl_log": lambda sf: serving.crawl_log_table(sf),
         # ---- dedup family + composed curation ----
@@ -249,6 +250,25 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
 WHERE rn <= {TOPK}
+""",
+        # two-stage retrieval: BM25 top-50 recall -> embedding-cosine rerank
+        # (query qid's vector = embeddings[vec_id = qid]; docid == vec_id)
+        "hybrid_rerank": bm25_core
+        + """,
+ cand AS (SELECT query_id, docid
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, docid) AS rn
+                FROM scored)
+          WHERE rn <= 50),
+ e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ rr AS (SELECT c.query_id, c.docid,
+               list_cosine_similarity(eq.emb, ed.emb) AS cos
+        FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+                    JOIN e ed ON ed.vec_id = c.docid)
+SELECT query_id, docid, ROUND(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, docid) AS rn2 FROM rr)
+WHERE rn2 <= 10
 """,
         "boolean_and": f"""
 WITH {tok_cte}, {tf_cte}, {df_cte},

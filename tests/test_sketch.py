@@ -161,3 +161,31 @@ def test_heavy_hitters_contains_true_topk(ray_session):
     for t, e in zip(got["term"], got["cf_est"]):
         if t in true_counts:
             assert e >= true_counts[t]
+
+
+def test_hybrid_rerank_shape_and_determinism(ray_session):
+    """Two-stage BM25 -> cosine rerank: deterministic, k2-bounded per query,
+    reranked docids are a subset of the BM25 top-k1 recall set."""
+    from web_search_engine_ray.pipelines.serving import (
+        documents_searcher,
+        hybrid_rerank_table,
+    )
+
+    a = hybrid_rerank_table(SF, k1=30, k2=5).to_pandas()
+    b = hybrid_rerank_table(SF, k1=30, k2=5).to_pandas()
+    assert a.equals(b)
+    s = documents_searcher(SF)
+    for qid, grp in a.groupby("query_id"):
+        assert len(grp) <= 5
+        from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+        recall = {
+            d for d, _ in s.bm25_topk(
+                FIXED_QUERIES[qid], topk=30, mode="OR", tie_semantics="sorted"
+            )
+        }
+        assert set(grp["docid"]) <= recall
+        # rerank order is (-cos, docid)
+        g = grp.reset_index(drop=True)
+        for i in range(len(g) - 1):
+            assert (g["cos"][i], -g["docid"][i]) >= (g["cos"][i + 1], -g["docid"][i + 1])

@@ -256,6 +256,82 @@ def crawl_log_table(sf_dir: str | None = None, max_pages: int = 40) -> pa.Table:
     )
 
 
+def hybrid_rerank_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    k1: int = 50,
+    k2: int = 10,
+    round_to: int = 6,
+) -> pa.Table:
+    """(query_id, docid, cos) — the modern two-stage retrieval composition:
+    BM25 recalls the top ``k1`` candidates from the inverted index, then the
+    candidates are re-ranked by embedding cosine against the query's vector
+    (query qid's vector = ``embeddings[vec_id == qid]``; docid == vec_id is
+    the fixture's row alignment) and cut to ``k2`` by (-cos, docid).
+
+    Scale shape: stage 1 is index serving (actor-pool ready); stage 2
+    gathers ONLY the union of candidate embeddings (vectorized ``is_in``
+    scan over the embeddings table — never the matrix) and does one small
+    matmul per query. Candidates without an embedding row drop (inner-join
+    semantics, mirrored by the SQL twin). Fully deterministic; the driver
+    checks it against a DuckDB twin of the whole two-stage pipeline."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    cand: dict[int, list[int]] = {}
+    for qid, q in enumerate(queries):
+        cand[qid] = [
+            int(d)
+            for d, _ in s.bm25_topk(q, topk=k1, mode="OR", tie_semantics="sorted")
+        ]
+    need = sorted({d for ds_ in cand.values() for d in ds_} | set(cand.keys()))
+    need_arr = pa.array(np.asarray(need, dtype=np.int64), pa.int64())
+
+    def gather(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["vec_id"].cast(pa.int64()), value_set=need_arr)
+        kept = batch.filter(mask)
+        return pa.table(
+            {"vec_id": kept["vec_id"].cast(pa.int64()), "embedding": kept["embedding"]}
+        )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    got = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(gather, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vecs = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(got["vec_id"], got["embedding"])
+    }
+
+    def _norm(v: np.ndarray) -> np.ndarray:
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    q_l, d_l, c_l = [], [], []
+    for qid in sorted(cand):
+        if qid not in vecs:
+            continue
+        qv = _norm(vecs[qid])
+        scored = [
+            (float(qv @ _norm(vecs[d])), d) for d in cand[qid] if d in vecs
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for cos, d in scored[:k2]:
+            q_l.append(qid)
+            d_l.append(d)
+            c_l.append(round(cos, round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "docid": pa.array(d_l, pa.int64()),
+            "cos": pa.array(c_l, pa.float64()),
+        }
+    )
+
+
 def boolean_table(sf_dir: str, queries: list[str] | None = None, mode: str = "AND") -> pa.Table:
     """(query_id, docid) — boolean AND/OR result sets per fixed query."""
     s = documents_searcher(sf_dir)
