@@ -544,17 +544,74 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
         )
 
     def band_pairs(group: pa.Table) -> pa.Table:
+        """Intra-bucket candidate pairs, computed over DISTINCT simhash
+        values: corpora with big duplicate clusters put thousands of docs
+        with the SAME hash into one bucket, and the naive b^2 popcount dies
+        long before the (inherently quadratic) output does. Here the
+        popcount runs on u^2 distinct-value pairs (u << b for clique-heavy
+        buckets) and doc pairs are expanded only for value pairs that pass
+        the hamming test — i.e. work scales with distinct values plus the
+        true output size. ``max_bucket`` still truncates oversized buckets
+        to their smallest docids (logged)."""
         band = _col(group, "band", np.int64)
         bkey = _col(group, "bkey", np.int64)
         doc = _col(group, "docid", np.int64)
-        sh = _col(group, "simhash", np.int64).view(np.uint64)
-        # pair indices (into the group) rather than docids, so each side's
-        # simhash rides along for the popcount verify
-        idx = np.arange(doc.size, dtype=np.int64)
-        a_pos, b_pos = _intra_bucket_pairs(
-            (band, bkey), idx, max_bucket=max_bucket
-        )
-        if a_pos.size == 0:
+        sh = _col(group, "simhash", np.int64)
+        out_a, out_b, out_h = [], [], []
+        if doc.size:
+            order = np.lexsort((doc, sh, bkey, band))
+            band, bkey, doc, sh = band[order], bkey[order], doc[order], sh[order]
+            change = np.zeros(doc.size, dtype=bool)
+            change[0] = True
+            change[1:] = (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])
+            bounds = np.append(np.flatnonzero(change), doc.size)
+            for bi in range(len(bounds) - 1):
+                lo_i, hi_i = int(bounds[bi]), int(bounds[bi + 1])
+                s = hi_i - lo_i
+                if s < 2:
+                    continue
+                d = doc[lo_i:hi_i]
+                h = sh[lo_i:hi_i]
+                if max_bucket is not None and s > max_bucket:
+                    logger.warning(
+                        "simhash bucket of size %d truncated to %d (skew guard)",
+                        s,
+                        max_bucket,
+                    )
+                    keep_idx = np.argpartition(d, max_bucket - 1)[:max_bucket]
+                    d, h = d[keep_idx], h[keep_idx]
+                    o = np.argsort(h, kind="stable")
+                    d, h = d[o], h[o]
+                    s = max_bucket
+                # runs of identical simhash (docs sorted by (sh, doc))
+                vstart = np.append(
+                    np.flatnonzero(np.diff(h, prepend=h[0] - 1)), s
+                )
+                u = vstart.size - 1
+                vals = h[vstart[:-1]].view(np.uint64)
+                # cliques: identical hash -> hamming 0, all member pairs
+                for vi in range(u):
+                    a0, b0 = int(vstart[vi]), int(vstart[vi + 1])
+                    if b0 - a0 >= 2:
+                        ii, jj = _triu(b0 - a0)
+                        dd = np.sort(d[a0:b0])
+                        out_a.append(dd[ii])
+                        out_b.append(dd[jj])
+                        out_h.append(np.zeros(ii.size, dtype=np.int64))
+                # cross-value: popcount on u^2 distinct pairs only
+                if u >= 2:
+                    vi, vj = _triu(u)
+                    ham = _popcount64(vals[vi] ^ vals[vj])
+                    ok = ham <= max_hamming
+                    for pi_, pj_, hm in zip(vi[ok], vj[ok], ham[ok]):
+                        da = d[vstart[pi_] : vstart[pi_ + 1]]
+                        db = d[vstart[pj_] : vstart[pj_ + 1]]
+                        aa = np.repeat(da, db.size)
+                        bb = np.tile(db, da.size)
+                        out_a.append(np.minimum(aa, bb))
+                        out_b.append(np.maximum(aa, bb))
+                        out_h.append(np.full(aa.size, int(hm), dtype=np.int64))
+        if not out_a:
             return pa.table(
                 {
                     "docid_a": pa.array([], pa.int64()),
@@ -562,16 +619,11 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
                     "hamming": pa.array([], pa.int64()),
                 }
             )
-        ham = _popcount64(sh[a_pos] ^ sh[b_pos])
-        keep = ham <= max_hamming
-        da, db = doc[a_pos[keep]], doc[b_pos[keep]]
-        lo = np.minimum(da, db)
-        hi = np.maximum(da, db)
         return pa.table(
             {
-                "docid_a": pa.array(lo, pa.int64()),
-                "docid_b": pa.array(hi, pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "docid_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "docid_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             }
         )
 
