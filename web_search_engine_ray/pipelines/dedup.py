@@ -170,22 +170,41 @@ def _minhash_sig(sh: np.ndarray, nperm: int = MINHASH_PERMS) -> np.ndarray:
     return m.min(axis=1)
 
 
+_MINHASH_CHUNK_SHINGLES = 131_072  # bounds the (64, chunk) gather at ~64 MB
+
+
 def _batch_signatures(toks: list[list[str] | None], nperm: int = MINHASH_PERMS) -> np.ndarray:
-    """(n_docs, nperm) minhash matrix for a whole batch in one vectorized
-    pass: concatenate every doc's shingle hashes, hash all perms at once,
-    reduce per doc with ``np.minimum.reduceat``."""
+    """(n_docs, nperm) minhash matrix for a whole batch, vectorized.
+
+    The permuted hashes are computed over the batch's UNIQUE shingle values
+    only (templated corpora repeat shingles massively across docs — the
+    splitmix work would otherwise be paid once per occurrence), then
+    gathered per occurrence and reduced per doc with
+    ``np.minimum.reduceat``. Docs are processed in ~128k-shingle chunks so
+    the transient (nperm x chunk) gather stays ~64 MB per task."""
     sh_per_doc = [_shingle_hashes(t or []) for t in toks]
     lens = np.array([s.size for s in sh_per_doc], dtype=np.int64)
     sigs = np.full((len(toks), nperm), np.iinfo(np.uint64).max, dtype=np.uint64)
     nz = np.flatnonzero(lens)
     if nz.size == 0:
         return sigs
-    allsh = np.concatenate([sh_per_doc[i] for i in nz])
     seeds = _splitmix(np.arange(1, nperm + 1, dtype=np.uint64))
-    m = _splitmix(allsh[None, :] ^ seeds[:, None])  # (nperm, total_shingles)
-    starts = np.zeros(nz.size, dtype=np.int64)
-    np.cumsum(lens[nz][:-1], out=starts[1:])
-    sigs[nz] = np.minimum.reduceat(m, starts, axis=1).T
+    lo = 0
+    while lo < nz.size:
+        hi = lo + 1
+        total = lens[nz[lo]]
+        while hi < nz.size and total + lens[nz[hi]] <= _MINHASH_CHUNK_SHINGLES:
+            total += lens[nz[hi]]
+            hi += 1
+        sel = nz[lo:hi]
+        allsh = np.concatenate([sh_per_doc[i] for i in sel])
+        uniq, inv = np.unique(allsh, return_inverse=True)
+        m_u = _splitmix(uniq[None, :] ^ seeds[:, None])  # (nperm, n_unique)
+        m = m_u[:, inv]  # gather back to per-occurrence order
+        starts = np.zeros(sel.size, dtype=np.int64)
+        np.cumsum(lens[sel][:-1], out=starts[1:])
+        sigs[sel] = np.minimum.reduceat(m, starts, axis=1).T
+        lo = hi
     return sigs
 
 
