@@ -25,6 +25,8 @@ STOP_SQL = "('the','a','and','of','to','in','is')"
 
 TOPK = 10
 N_KNN_QUERIES = 3
+RERANK_K1 = 50  # hybrid rerank recall depth — templated into BOTH the
+RERANK_K2 = 10  # engine call and its SQL twin so they cannot drift
 
 
 def _q_values() -> str:
@@ -84,7 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
         "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
-        "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(sf),
+        "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(
+            sf, k1=RERANK_K1, k2=RERANK_K2
+        ),
         # ---- crawl (HW1 pipeline over the injected fake web) ----
         "crawl_log": lambda sf: serving.crawl_log_table(sf),
         # ---- dedup family + composed curation ----
@@ -254,12 +258,12 @@ WHERE rn <= {TOPK}
         # two-stage retrieval: BM25 top-50 recall -> embedding-cosine rerank
         # (query qid's vector = embeddings[vec_id = qid]; docid == vec_id)
         "hybrid_rerank": bm25_core
-        + """,
+        + f""",
  cand AS (SELECT query_id, docid
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                              ORDER BY score DESC, docid) AS rn
                 FROM scored)
-          WHERE rn <= 50),
+          WHERE rn <= {RERANK_K1}),
  e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  rr AS (SELECT c.query_id, c.docid,
                list_cosine_similarity(eq.emb, ed.emb) AS cos
@@ -268,7 +272,7 @@ WHERE rn <= {TOPK}
 SELECT query_id, docid, ROUND(cos, 6) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, docid) AS rn2 FROM rr)
-WHERE rn2 <= 10
+WHERE rn2 <= {RERANK_K2}
 """,
         "boolean_and": f"""
 WITH {tok_cte}, {tf_cte}, {df_cte},

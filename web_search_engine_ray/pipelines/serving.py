@@ -302,27 +302,26 @@ def hybrid_rerank_table(
         .map_batches(gather, batch_format="pyarrow")
         .to_pandas()
     )
-    vecs = {
-        int(v): np.asarray(e, dtype=np.float64)
-        for v, e in zip(got["vec_id"], got["embedding"])
-    }
+    from web_search_engine_ray.pipelines.similarity import _norm_rows
 
-    def _norm(v: np.ndarray) -> np.ndarray:
-        return v / max(float(np.linalg.norm(v)), 1e-12)
+    ids = got["vec_id"].to_numpy().astype(np.int64)
+    M = _norm_rows(np.array(got["embedding"].tolist(), dtype=np.float64))
+    row_of = {int(v): i for i, v in enumerate(ids)}
 
     q_l, d_l, c_l = [], [], []
     for qid in sorted(cand):
-        if qid not in vecs:
+        if qid not in row_of:
             continue
-        qv = _norm(vecs[qid])
-        scored = [
-            (float(qv @ _norm(vecs[d])), d) for d in cand[qid] if d in vecs
-        ]
-        scored.sort(key=lambda x: (-x[0], x[1]))
-        for cos, d in scored[:k2]:
+        rows = np.array([row_of[d] for d in cand[qid] if d in row_of], dtype=np.int64)
+        if rows.size == 0:
+            continue
+        cos = M[row_of[qid]] @ M[rows].T  # one GEMV per query
+        docs = ids[rows]
+        order = np.lexsort((docs, -cos))[:k2]
+        for i in order:
             q_l.append(qid)
-            d_l.append(d)
-            c_l.append(round(cos, round_to))
+            d_l.append(int(docs[i]))
+            c_l.append(round(float(cos[i]), round_to))
     return pa.table(
         {
             "query_id": pa.array(q_l, pa.int64()),

@@ -202,6 +202,17 @@ CMS_W = 4096  # width per hash row
 CMS_D = 4  # hash rows
 
 
+def _cms_row_idx(hs: np.ndarray, r: int, w: int) -> np.ndarray:
+    """Independent per-row bucket index. The seed must be MIXED through
+    splitmix, not just XORed: with w = 2^12, ``(h ^ seed) % w`` permutes the
+    low 12 bits identically in every row, so two terms colliding in one row
+    collide in all of them and the depth buys nothing."""
+    seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+    from web_search_engine_ray.pipelines.dedup import _splitmix
+
+    return (_splitmix(hs ^ seed) % np.uint64(w)).astype(np.int64)
+
+
 def _cms_update(counts: dict[str, int], w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
     """term->count dict -> (d, w) int64 CountMin matrix (vectorized rows)."""
     cms = np.zeros((d, w), dtype=np.int64)
@@ -210,9 +221,7 @@ def _cms_update(counts: dict[str, int], w: int = CMS_W, d: int = CMS_D) -> np.nd
     hs = _token_hashes(list(counts.keys()))
     vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     for r in range(d):
-        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
-        idx = ((hs ^ seed) % np.uint64(w)).astype(np.int64)
-        np.add.at(cms[r], idx, vals)
+        np.add.at(cms[r], _cms_row_idx(hs, r, w), vals)
     return cms
 
 
@@ -222,9 +231,7 @@ def _cms_query(cms: np.ndarray, terms: list[str]) -> np.ndarray:
     d, w = cms.shape
     est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
     for r in range(d):
-        seed = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
-        idx = ((hs ^ seed) % np.uint64(w)).astype(np.int64)
-        est = np.minimum(est, cms[r][idx])
+        est = np.minimum(est, cms[r][_cms_row_idx(hs, r, w)])
     return est
 
 
