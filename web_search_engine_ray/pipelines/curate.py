@@ -52,7 +52,9 @@ def _doc_signals(batch: pa.Table, min_tokens: int, max_stop_ratio: float) -> pa.
     stops = _stop_hits(toks, STOPWORDS)
     sr = np.where(n > 0, stops / np.maximum(n, 1), 1.0)
     ok = ((n >= min_tokens) & (sr <= max_stop_ratio)).astype(np.int64)
-    docid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    docid = (
+        batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    )
     if docid.size and int(docid.max()) >= (1 << 41):
         raise ValueError("docid exceeds curation packing bound (2^41)")
     hashes = [
