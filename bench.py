@@ -88,8 +88,15 @@ def run_bench() -> dict:
     # untimed warm-up: run the real pipeline once on a small corpus slice so
     # the timed run measures steady-state (workers spawned, imports + arrow
     # thread pools + allocator pools warm). At 100 TB the job IS steady-state.
+    # partition_rows scales with CORPUS size (never CPU count, so both
+    # scaling legs build identically): ~128 partitions keeps per-partition
+    # work chunky while bounding the number of run files the map-side merge
+    # must touch — 500 tiny runs at 4M turns made merge row-group reads,
+    # not encoding, the bottleneck (measured: merge 18s at pr=8k vs 10s at
+    # pr=32k on the 4M stress).
+    partition_rows = min(100_000, max(ROWS_PER_FILE, n_rows // 128))
     cfg = dict(
-        partition_rows=ROWS_PER_FILE,
+        partition_rows=partition_rows,
         num_shards=max(2 * NCPU, 16),
         n_salts=8,
         heavy_df_frac=0.5,
