@@ -4,10 +4,15 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 (nor in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
 ``queries()`` exposes each implemented operator/pipeline from SURVEY.md §2
-over the driver's parquet tables (``documents``/``embeddings`` stand in as the
-corpus; ``doc_id`` is the docid). ``oracle_sql()`` gives the exact DuckDB twin
-where SQL can express the op; probabilistic / model-ish ops (LSH candidates,
-simhash, langid, index internals) are rows-only checks.
+over the driver's parquet tables (``documents``/``embeddings``/``events``
+stand in as the corpus; ``doc_id`` is the docid). ``oracle_sql()`` gives the
+exact DuckDB twin where SQL can express the op — including simhash
+(``md5_number_lower`` token hashing was chosen for exactly this), langid,
+rolling fingerprints, deterministic sampling and the two-stage hybrid
+rerank. The remaining rows-only entries are approximate or stateful by
+construction (minhash/LSH candidates, approximate kNN variants, HLL,
+CountMin, WAND-vs-DAAT equivalence, the crawler log); each carries a pytest
+contract instead — see the note at the bottom of ``oracle_sql``.
 """
 
 from __future__ import annotations
