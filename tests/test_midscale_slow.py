@@ -51,9 +51,9 @@ def test_midscale_conformance(ray_session, mid_corpus, tmp_path_factory):
 
 
 def test_midscale_dedup_oracles(ray_session):
-    """Dedup-family oracle conformance at sf0.1 (59,661 docs) — the driver
-    gate runs at sf0.01; this pins the same hash-equality one decade up,
-    where multi-block exchanges and bucket skew actually engage."""
+    """Dedup-family oracle conformance at sf0.1 (5,000 docs — one decade
+    above the sf0.01 gate) plus the bigram-LM score, where multi-block
+    exchanges and bucket skew actually engage."""
     import duckdb
     import pandas as pd
 
@@ -76,16 +76,16 @@ def test_midscale_dedup_oracles(ray_session):
                 df[c] = df[c].astype("float64").round(9)
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
+    from web_search_engine_ray.pipelines import analysis
+    from web_search_engine_ray.pipelines.sketch import sample_docs
+
     sqls = entrymod.oracle_sql()
     for name, fn in [
         ("simhash_dups", lambda: dedup.simhash_dups(sf).to_pandas()),
         ("dedup_exact", lambda: dedup.exact_dedup_ds(sf).to_pandas()),
-        ("sample_docs", None),
+        ("sample_docs", lambda: sample_docs(sf, k=100).to_pandas()),
+        ("lm_score", lambda: analysis.lm_score_ds(sf).to_pandas()),
     ]:
-        if name == "sample_docs":
-            from web_search_engine_ray.pipelines.sketch import sample_docs
-
-            fn = lambda: sample_docs(sf, k=100).to_pandas()  # noqa: E731
         got = canon(fn())
         want = canon(con.sql(sqls[name]).df())
         assert got.equals(want), name
