@@ -128,3 +128,56 @@ def test_exchange_rejects_empty_dataset(ray_session):
         lambda g: pa.table({"n": pa.array([g.num_rows], pa.int64())}),
     ).to_pandas()
     assert sorted(out["n"]) == [0, 0]
+
+
+def test_exchange_property_random(ray_session):
+    """Property: for arbitrary key/value tables, block splits, and partition
+    counts, the exchange is a permutation of the input (no loss, no dupes)
+    and per-key sums survive a group-merge exactly."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n_rows = int(rng.integers(1, 400))
+        n_blocks = int(rng.integers(1, 9))
+        n_parts = int(rng.integers(1, 17))
+        keys = rng.integers(0, max(1, int(rng.integers(1, 50))), n_rows)
+        vals = rng.integers(-1000, 1000, n_rows)
+        cuts = np.sort(rng.integers(0, n_rows + 1, n_blocks - 1)) if n_blocks > 1 else []
+        bounds = [0, *cuts, n_rows]
+        tables = [
+            pa.table(
+                {
+                    "k": pa.array(keys[bounds[i] : bounds[i + 1]], pa.int64()),
+                    "v": pa.array(vals[bounds[i] : bounds[i + 1]], pa.int64()),
+                }
+            )
+            for i in range(n_blocks)
+        ]
+        ds = ray.data.from_arrow(tables)
+
+        def merge(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t).group_by("k").agg(pl.col("v").sum()).to_arrow()
+            )
+
+        out = exchange_map(
+            ds,
+            lambda t: t["k"].to_numpy(zero_copy_only=False) % n_parts,
+            n_parts,
+            merge,
+            max_split_tasks=int(rng.integers(1, 6)),
+        ).to_pandas()
+        want = (
+            pl.DataFrame({"k": keys, "v": vals})
+            .group_by("k")
+            .agg(pl.col("v").sum())
+            .to_pandas()
+        )
+        got = out.sort_values("k").reset_index(drop=True)
+        want = want.sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == want["k"].tolist(), trial
+        assert got["v"].tolist() == want["v"].tolist(), trial
