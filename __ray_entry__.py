@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": lambda sf: events.window_agg_ds(sf),
         "events_hopping": lambda sf: events.hopping_window_ds(sf),
         "events_sessionize": lambda sf: events.sessionize_ds(sf),
+        "events_asof_join": lambda sf: events.asof_join_ds(sf),
+        "events_range_join": lambda sf: events.session_range_join_ds(sf),
         # ---- ranked + boolean search (§2.6-2.8) ----
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
@@ -211,6 +213,36 @@ s AS (
 SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
        min(ep)::BIGINT AS start_epoch, max(ep)::BIGINT AS end_epoch
 FROM s GROUP BY user_id, session_idx
+""",
+        # as-of join: DuckDB has the operator natively — the exact twin
+        "events_asof_join": """
+SELECT l.event_id, l.user_id, epoch_us(r.ts) AS prior_epoch_us,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+""",
+        # range join: the literal interval BETWEEN join against the session
+        # intervals the sessionize oracle derives
+        "events_range_join": f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ep, event_id,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ep,
+         sum(CASE WHEN prev IS NULL OR ep - prev > {1800} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ep, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+),
+sess AS (SELECT user_id, session_idx, min(ep) AS start_epoch, max(ep) AS end_epoch
+         FROM s GROUP BY user_id, session_idx)
+SELECT e.event_id, e.user_id, sess.session_idx::BIGINT AS session_idx
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ep FROM events) e
+JOIN sess ON sess.user_id = e.user_id
+         AND e.ep BETWEEN sess.start_epoch AND sess.end_epoch
 """,
         "term_stats": f"""
 WITH {tok_cte}, {tf_cte}

@@ -224,3 +224,183 @@ def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S)
         32,
         merge,
     )
+
+
+def asof_join_ds(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "view"
+):
+    """As-of join — an operator Ray Data has no native expression for: each
+    ``left_type`` event joins its user's most recent STRICTLY-prior
+    ``right_type`` event. (event_id, user_id, prior_epoch_us, gap_us);
+    left events with no prior match drop (inner as-of semantics, same as
+    DuckDB's ``ASOF JOIN ... ON l.user_id = r.user_id AND l.ts > r.ts`` —
+    the exact oracle twin).
+
+    Shuffle shape: one partition hash exchange on ``user_id`` (both sides
+    ride the same exchange — the filter to the two types happens before it,
+    so only relevant events move), then each partition resolves every left
+    event with ONE ``np.searchsorted`` against its users' sorted right
+    timestamps. Epochs stay in integer microseconds end-to-end, so engine
+    and SQL agree exactly. The output carries the prior event's TIMESTAMP
+    (unique per user-instant) rather than its event_id — two right events
+    on the same microsecond would make an id choice arbitrary in both
+    engines."""
+    import pyarrow.compute as pc
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def keep_types(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array([left_type, right_type], pa.string()),
+        )
+        return batch.filter(mask)
+
+    def join_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "prior_epoch_us": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        df["ep"] = df["ts"].astype("int64")  # microseconds
+        # composite sort key (user, ep): searchsorted over the concatenated
+        # right side works across users because users are contiguous
+        right = (
+            df[df["event_type"] == right_type]
+            .sort_values(["user_id", "ep"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        left = df[df["event_type"] == left_type]
+        if right.empty or left.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "prior_epoch_us": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        r_user = right["user_id"].to_numpy()
+        r_ep = right["ep"].to_numpy()
+        l_user = left["user_id"].to_numpy()
+        l_ep = left["ep"].to_numpy()
+        l_id = left["event_id"].to_numpy()
+        # per-user segment of the (user, ep)-sorted right side, then one
+        # vectorized searchsorted per user over its left events
+        seg_lo = np.searchsorted(r_user, l_user, side="left")
+        pos = np.full(l_user.size, -1, dtype=np.int64)
+        lorder = np.lexsort((l_ep, l_user))
+        i = 0
+        while i < lorder.size:
+            j = i + 1
+            u = l_user[lorder[i]]
+            while j < lorder.size and l_user[lorder[j]] == u:
+                j += 1
+            li = lorder[i:j]
+            s0 = int(seg_lo[li[0]])
+            e0 = int(np.searchsorted(r_user, u, side="right"))
+            if e0 > s0:
+                p_ = s0 + np.searchsorted(r_ep[s0:e0], l_ep[li], side="left") - 1
+                pos[li] = np.where(p_ >= s0, p_, -1)
+            i = j
+        ok = pos >= 0
+        pe = r_ep[pos[ok]]
+        return pa.table(
+            {
+                "event_id": pa.array(l_id[ok], pa.int64()),
+                "user_id": pa.array(l_user[ok], pa.int64()),
+                "prior_epoch_us": pa.array(pe, pa.int64()),
+                "gap_us": pa.array(l_ep[ok] - pe, pa.int64()),
+            }
+        )
+
+    N = 32
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(keep_types, batch_format="pyarrow")
+    return exchange_map(
+        ds,
+        lambda t: (
+            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            % N
+        ),
+        N,
+        join_part,
+    )
+
+
+def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
+    """Range (interval) join — the second join shape Ray Data lacks: assign
+    each event to the session interval containing it. (event_id, user_id,
+    session_idx).
+
+    Per partition (user-routed exchange, so an interval and its points are
+    co-located), session intervals are derived and each event resolves its
+    interval with ONE ``np.searchsorted`` against the user's sorted session
+    starts — the general interval-assignment mechanic; any other interval
+    table (ad campaigns, deploy windows) would ride the same exchange. The
+    SQL twin is the literal range join: events JOIN sessions ON user AND
+    ep BETWEEN start AND end (session intervals are disjoint per user, so
+    the join is one-to-one and row count == event count)."""
+
+    def join_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        if df.empty:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                }
+            )
+        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        user = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.ones(user.size, dtype=bool)
+        gap[1:] = (epoch[1:] - epoch[:-1]) > gap_s
+        brk = new_user | gap
+        # session interval starts (the break rows), per user
+        starts = epoch[brk]
+        s_user = user[brk]
+        # assign every event by searchsorted over ITS user's session starts
+        out_idx = np.empty(user.size, dtype=np.int64)
+        i = 0
+        n = user.size
+        while i < n:
+            j = i + 1
+            u = user[i]
+            while j < n and user[j] == u:
+                j += 1
+            s_lo = int(np.searchsorted(s_user, u, side="left"))
+            s_hi = int(np.searchsorted(s_user, u, side="right"))
+            out_idx[i:j] = (
+                np.searchsorted(starts[s_lo:s_hi], epoch[i:j], side="right") - 1
+            )
+            i = j
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(user, pa.int64()),
+                "session_idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 32
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+    return exchange_map(
+        ds,
+        lambda t: (
+            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            % N
+        ),
+        N,
+        join_part,
+    )
