@@ -130,6 +130,47 @@ def test_exchange_rejects_empty_dataset(ray_session):
     assert sorted(out["n"]) == [0, 0]
 
 
+def test_exchange_pre_udf_empty_block_schema(ray_session):
+    """An empty source block (e.g. an empty parquet file in a multi-file
+    corpus) never runs the map UDF, so it reaches the exchange with the
+    PRE-UDF schema. fn must still only ever see the post-UDF schema — even
+    for all-empty partitions whose only candidates include that stale
+    block."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    pre = pa.table({"text": pa.array([], pa.string())})  # pre-UDF schema
+    data = pa.table({"text": pa.array(["a", "b", "c"], pa.string())})
+    ds = ray.data.from_arrow([pre, data])
+
+    def udf(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "k", pa.array(np.arange(t.num_rows) % 2, pa.int64())
+        )
+        return t.append_column(
+            "val", pa.array(np.full(t.num_rows, 7), pa.int64())
+        )
+
+    ds = ds.map_batches(udf, batch_format="pyarrow")
+
+    def fn(g: pa.Table) -> pa.Table:
+        # reads a UDF-added column: KeyErrors pre-fix when g carries the
+        # pre-UDF schema (text only, no val)
+        s = int(pa.compute.sum(g["val"]).as_py() or 0)
+        return pa.table(
+            {"n": pa.array([g.num_rows], pa.int64()),
+             "s": pa.array([s], pa.int64())}
+        )
+
+    # 6 partitions but keys only hit {0, 1}: partitions 2-5 are all-empty,
+    # and the pre-UDF empty group routes its stale block to every partition
+    out = exchange_map(ds, "k", 6, fn, max_split_tasks=100).to_pandas()
+    assert len(out) == 6
+    assert out["n"].sum() == 3
+    assert out["s"].sum() == 21
+
+
 def test_exchange_property_random(ray_session):
     """Property: for arbitrary key/value tables, block splits, and partition
     counts, the exchange is a permutation of the input (no loss, no dupes)

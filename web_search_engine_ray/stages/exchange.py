@@ -32,6 +32,22 @@ from collections.abc import Callable
 import numpy as np
 import pyarrow as pa
 
+# Schema-metadata marker for empty blocks whose schema may be PRE-UDF
+# (Ray Data skips map UDFs on empty blocks, so an empty parquet file's
+# block still carries the source schema after map_batches). apply() must
+# never hand such a schema to ``fn``.
+_PRE_UDF = "__wse_pre_udf_schema__"
+
+
+def _tag_untrusted(t: pa.Table) -> pa.Table:
+    meta = dict(t.schema.metadata or {})
+    meta[_PRE_UDF.encode()] = b"1"
+    return t.replace_schema_metadata(meta)
+
+
+def _is_untrusted(t: pa.Table) -> bool:
+    return bool((t.schema.metadata or {}).get(_PRE_UDF.encode()))
+
 
 def exchange_map(
     ds,
@@ -70,7 +86,7 @@ def exchange_map(
         # apply() drop schema-mismatched empties
         ts = tuple(x for x in ts if x.num_rows) or ts[:1]
         if ts[0].num_rows == 0:
-            empty = ts[0].slice(0, 0)
+            empty = _tag_untrusted(ts[0].slice(0, 0))
             return [empty] * n_parts if n_parts > 1 else empty
         t = pa.concat_tables(ts).combine_chunks() if len(ts) > 1 else ts[0]
         if callable(part):
@@ -100,9 +116,13 @@ def exchange_map(
         if nonempty:
             t = pa.concat_tables(nonempty).combine_chunks()
         else:
-            # all-empty partition: prefer a block whose schema the fn can
-            # consume (post-UDF); fall back to the first
-            t = parts[0]
+            # all-empty partition: empties from a splitter group that saw
+            # data carry the correct post-exchange schema; empties from an
+            # all-empty group are tagged _PRE_UDF and may carry a stale
+            # source schema — only use one if nothing better exists (i.e.
+            # the whole dataset was empty)
+            trusted = [x for x in parts if not _is_untrusted(x)]
+            t = trusted[0] if trusted else parts[0]
         return fn(t, pi) if with_index else fn(t)
 
     blocks = ds.to_arrow_refs()
