@@ -48,6 +48,14 @@ def ensure_documents() -> str:
     return DOCS_DIR
 
 
+def _driver_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
 def main() -> None:
     import ray
 
@@ -60,6 +68,9 @@ def main() -> None:
         ("exact_dedup", lambda: dedup.exact_dedup_ds(d).count()),
         ("simhash_dups_guard64", lambda: dedup.simhash_dups(d, max_bucket=64).count()),
         ("minhash_guard64", lambda: dedup.minhash_lsh_candidates_ds(d, max_bucket=64).count()),
+        # the full candidate->verify path: candidate pairs stay a Dataset
+        # end-to-end, so driver RSS must stay FLAT even with ~20M pairs
+        ("ngram_jaccard_guard64", lambda: dedup.ngram_jaccard_dups(d, max_bucket=64).count()),
         ("hll_distinct", lambda: sketch.hll_distinct_terms(d)["estimate"][0].as_py()),
         ("heavy_hitters", lambda: sketch.heavy_hitter_terms(d).num_rows),
         ("lm_score", lambda: analysis.lm_score_ds(d).count()),
@@ -69,7 +80,10 @@ def main() -> None:
     for name, fn in ops:
         t0 = time.time()
         n = fn()
-        print(f"{name}: {time.time() - t0:.1f}s -> {n}")
+        print(
+            f"{name}: {time.time() - t0:.1f}s -> {n} "
+            f"(driver_rss={_driver_rss_mb():.0f}MB)"
+        )
     ray.shutdown()
 
 

@@ -39,6 +39,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
+from web_search_engine_ray.functions.arrays import list_matrix
 from web_search_engine_ray.functions.tokenize import token_lists
 
 logger = logging.getLogger(__name__)
@@ -362,89 +363,199 @@ def _empty_jaccard_table() -> pa.Table:
     )
 
 
+# Row kinds for the union relations flowing through the jaccard exchanges.
+_JK_REQUEST = 0  # (jkey=docid, p): "partition p needs docid's shingles"
+_JK_CORPUS = 1  # (jkey=doc_id, text): a corpus row
+_JK_SHINGLES = 1  # (p, docid, shingles): a doc's shingle set, en route to p
+_JK_PAIR = 2  # (p, docid_a, docid_b): a candidate pair, en route to p
+
+
+def _shingle_rows_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("p", pa.int64()),
+            ("kind", pa.int8()),
+            ("docid", pa.int64()),
+            ("shingles", pa.list_(pa.uint64())),
+            ("docid_a", pa.int64()),
+            ("docid_b", pa.int64()),
+        ]
+    )
+
+
 def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = None):
     """Pairs with exact 3-gram Jaccard >= tau: LSH candidates + exact
-    verification, fully distributed.
+    verification. Fully distributed — NOTHING is collected to the driver
+    (no pair materialization, no broadcast dicts); the pipeline is two hash
+    exchanges over union relations:
 
-    Stages: (1) candidate pairs from banded minhash LSH (collected — they
-    are output-scale small; ``max_bucket`` forwards the logged skew guard,
-    default None = exact); (2) the per-partition pair lists are broadcast
-    (``ray.put``) and a ``map_batches`` pass over the corpus extracts each
-    candidate doc's distinct 3-gram shingle set (vectorized ``is_in`` row
-    filter, so non-candidate docs are never tokenized), emitting one row
-    per (doc, partition) — NOT per pair, so a doc in m pairs of one
-    partition ships its set once, and at most ``N_PARTS`` times in total;
-    (3) a docid_a-keyed partition exchange computes exact Jaccard for its
-    pair list. The driver never reads corpus text."""
-    import ray
+    1. **Semi-join exchange on docid % N_PARTS.** Input is the union of
+       (a) *request* rows — two per candidate pair, tagging each endpoint
+       with the pair's verify partition ``p = docid_a % N_PARTS`` — and
+       (b) the pruned corpus (doc_id, text). The partition fn inner-joins
+       distinct requests against its corpus slice, shingles each requested
+       doc ONCE (vectorized u64 shingle hashes, ``_shingle_hashes``), and
+       emits one (p, docid, shingles) row per distinct (docid, p) — a doc
+       in m pairs of one partition ships its set once, at most N_PARTS
+       times total. Non-candidate docs are never tokenized.
+    2. **Verify exchange on p.** Input is the union of the shingle rows and
+       the pair rows (same schema, ``kind`` disambiguates). The partition
+       fn decodes the shingle ListArray into one contiguous u64 buffer +
+       offsets (zero-copy) and computes exact Jaccard per pair with sorted
+       u64 set intersection (``np.intersect1d(assume_unique=True)``) — no
+       Python string sets.
 
-    cand = minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket).to_pandas()
-    if cand.empty:
-        import ray.data
+    ``max_bucket`` forwards the logged LSH skew guard (None = exact). Band
+    config (r=2, b=32) keeps the miss probability for a true tau=0.8 pair
+    below 1e-14, so the result equals the all-pairs answer the DuckDB
+    oracle computes."""
+    from web_search_engine_ray.stages.exchange import exchange_map
 
-        return ray.data.from_arrow(_empty_jaccard_table())
-    ca = cand["docid_a"].to_numpy().astype(np.int64)
-    cb = cand["docid_b"].to_numpy().astype(np.int64)
-    # docid -> partitions needing its shingles; partition -> its pair list
-    need_parts: dict[int, set[int]] = {}
-    part_pairs: dict[int, list[tuple[int, int]]] = {}
-    for a, b in zip(ca.tolist(), cb.tolist()):
+    cand = minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket)
+
+    def pairs_to_requests(t: pa.Table) -> pa.Table:
+        a = _col(t, "docid_a")
+        b = _col(t, "docid_b")
         p = a % N_PARTS
-        need_parts.setdefault(a, set()).add(p)
-        need_parts.setdefault(b, set()).add(p)
-        part_pairs.setdefault(p, []).append((a, b))
-    need_ids = np.fromiter(need_parts.keys(), dtype=np.int64)
-    need_ref = ray.put(need_parts)
-    pairs_ref = ray.put(part_pairs)
-
-    def emit_doc_shingles(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        nd = ray.get(need_ref)
-        ids = batch["doc_id"].cast(pa.int64())
-        mask = pc.is_in(ids, value_set=pa.array(need_ids, pa.int64()))
-        kept = batch.filter(mask)
-        p_l, d_l, sh_l = [], [], []
-        if kept.num_rows:
-            toks = token_lists(kept["text"]).to_list()
-            for did, tl in zip(kept["doc_id"].to_pylist(), toks):
-                tl = tl or []
-                sh = list(
-                    {
-                        " ".join(tl[i : i + SHINGLE_K])
-                        for i in range(len(tl) - SHINGLE_K + 1)
-                    }
-                )
-                for p in nd[int(did)]:
-                    p_l.append(p)
-                    d_l.append(int(did))
-                    sh_l.append(sh)
         return pa.table(
             {
-                "p": pa.array(p_l, pa.int64()),
-                "docid": pa.array(d_l, pa.int64()),
-                "shingles": pa.array(sh_l, pa.list_(pa.string())),
+                "jkey": pa.array(np.concatenate([a, b]), pa.int64()),
+                "kind": pa.array(
+                    np.full(2 * a.size, _JK_REQUEST, np.int8), pa.int8()
+                ),
+                "p": pa.array(np.concatenate([p, p]), pa.int64()),
+                "text": pa.nulls(2 * a.size, pa.string()),
             }
         )
 
-    def verify(group: pa.Table, pi: int) -> pa.Table:
-        by_doc: dict[int, set] = {
-            d: set(sh)
-            for d, sh in zip(
-                group["docid"].to_pylist(), group["shingles"].to_pylist()
+    def corpus_to_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "jkey": ids,
+                "kind": pa.array(
+                    np.full(t.num_rows, _JK_CORPUS, np.int8), pa.int8()
+                ),
+                "p": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "text": t["text"],
+            }
+        )
+
+    def join_shingles(t: pa.Table) -> pa.Table:
+        """Semi-join one docid partition: requests ⋉ corpus -> shingle rows."""
+        kind = _col(t, "kind", np.int8)
+        req = t.filter(pa.array(kind == _JK_REQUEST))
+        corp = t.filter(pa.array(kind == _JK_CORPUS))
+        # distinct (docid, p) requests, inner-joined against the corpus slice
+        need = (
+            pl.DataFrame(
+                {"jkey": _col(req, "jkey"), "p": _col(req, "p")}
             )
-        }
+            .unique()
+            .join(
+                pl.from_arrow(corp.select(["jkey", "text"])),
+                on="jkey",
+                how="inner",
+            )
+            .sort(["jkey", "p"])
+        )
+        # shingle each distinct doc once, then fan its set out per partition
+        docs = need.unique(subset="jkey", maintain_order=True)
+        sh_per_doc = (
+            [
+                _shingle_hashes(tl or [])
+                for tl in token_lists(docs["text"].to_arrow()).to_list()
+            ]
+            if docs.height
+            else []
+        )
+        doc_row = {int(d): i for i, d in enumerate(docs["jkey"])}
+        rows = [sh_per_doc[doc_row[int(d)]] for d in need["jkey"]]
+        lens = np.array([r.size for r in rows], dtype=np.int64)
+        offsets = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        values = (
+            np.concatenate(rows) if rows else np.empty(0, dtype=np.uint64)
+        )
+        shingles = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+        ).cast(pa.list_(pa.uint64()))
+        n = need.height
+        return pa.table(
+            {
+                "p": pa.array(need["p"].to_numpy(), pa.int64()),
+                "kind": pa.array(
+                    np.full(n, _JK_SHINGLES, np.int8), pa.int8()
+                ),
+                "docid": pa.array(need["jkey"].to_numpy(), pa.int64()),
+                "shingles": shingles,
+                "docid_a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "docid_b": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_shingle_rows_schema(),
+        )
+
+    def pairs_to_rows(t: pa.Table) -> pa.Table:
+        a = _col(t, "docid_a")
+        b = _col(t, "docid_b")
+        n = a.size
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array(np.empty(0, np.uint64), pa.uint64()),
+        )
+        return pa.table(
+            {
+                "p": pa.array(a % N_PARTS, pa.int64()),
+                "kind": pa.array(np.full(n, _JK_PAIR, np.int8), pa.int8()),
+                "docid": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "shingles": empty,
+                "docid_a": pa.array(a, pa.int64()),
+                "docid_b": pa.array(b, pa.int64()),
+            },
+            schema=_shingle_rows_schema(),
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        kind = _col(group, "kind", np.int8)
+        pairs_t = group.filter(pa.array(kind == _JK_PAIR))
+        docs_t = group.filter(pa.array(kind == _JK_SHINGLES))
+        a = _col(pairs_t, "docid_a")
+        b = _col(pairs_t, "docid_b")
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        did = _col(docs_t, "docid")
+        sh = docs_t["shingles"].combine_chunks()
+        if isinstance(sh, pa.ChunkedArray):  # num_chunks 0/1 after combine
+            sh = (
+                sh.chunk(0)
+                if sh.num_chunks
+                else pa.array([], pa.list_(pa.uint64()))
+            )
+        offs = sh.offsets.to_numpy()
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        row_of = {int(d): i for i, d in enumerate(did)}
         a_l, b_l, j_l = [], [], []
-        for a, b in sorted(ray.get(pairs_ref).get(pi, [])):
-            sa = by_doc.get(a, set())
-            sb = by_doc.get(b, set())
-            if not sa and not sb:
+        for i in range(a.size):
+            ia = row_of.get(int(a[i]))
+            ib = row_of.get(int(b[i]))
+            sa = (
+                vals[offs[ia] : offs[ia + 1]]
+                if ia is not None
+                else vals[:0]
+            )
+            sb = (
+                vals[offs[ib] : offs[ib + 1]]
+                if ib is not None
+                else vals[:0]
+            )
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            denom = sa.size + sb.size - inter
+            if denom == 0:
                 continue
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter)
+            j = inter / denom
             if j >= tau:
-                a_l.append(a)
-                b_l.append(b)
+                a_l.append(int(a[i]))
+                b_l.append(int(b[i]))
                 j_l.append(round(j, 6))
         return pa.table(
             {
@@ -454,14 +565,18 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
             }
         )
 
-    from web_search_engine_ray.stages.exchange import exchange_map
-
-    sides = _read_docs(sf_dir).map_batches(
-        emit_doc_shingles, batch_format="pyarrow"
+    requests = cand.map_batches(pairs_to_requests, batch_format="pyarrow")
+    corpus = _read_docs(sf_dir).map_batches(
+        corpus_to_rows, batch_format="pyarrow"
     )
-    return exchange_map(
-        sides, lambda t: _col(t, "p") % N_PARTS, N_PARTS, verify, with_index=True
+    shingle_rows = exchange_map(
+        requests.union(corpus),
+        lambda t: _col(t, "jkey") % N_PARTS,
+        N_PARTS,
+        join_shingles,
     )
+    pair_rows = cand.map_batches(pairs_to_rows, batch_format="pyarrow")
+    return exchange_map(shingle_rows.union(pair_rows), "p", N_PARTS, verify)
 
 
 # ---------------------------------------------------------------- simhash
@@ -693,18 +808,6 @@ _EMPTY_EMB_PAIRS = pa.table(
 )
 
 
-def _fixed_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """FixedSizeList<float64> column -> (n, d) numpy view (zero-copy)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    d = col.type.list_size
-    if n == 0:
-        return np.empty((0, d), dtype=np.float64)
-    flat = np.asarray(col.flatten())
-    return flat.reshape(n, d)
-
-
 def embedding_dups(sf_dir: str, tau: float = 0.45):
     """EXACT embedding-cosine near-dup pairs (vec_id_a < vec_id_b,
     cos >= tau), distributed as a block-pair grid.
@@ -722,7 +825,7 @@ def embedding_dups(sf_dir: str, tau: float = 0.45):
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
 
     def normalize(batch: pa.Table) -> pa.Table:
-        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        V = list_matrix(batch["embedding"])
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         d = Vn.shape[1] if Vn.ndim == 2 else 0
         return pa.table(
@@ -741,8 +844,8 @@ def embedding_dups(sf_dir: str, tau: float = 0.45):
     def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
         ia = np.asarray(ta["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ib = np.asarray(tb["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        A = _fixed_matrix(ta["emb"])
-        B = _fixed_matrix(tb["emb"])
+        A = list_matrix(ta["emb"])
+        B = list_matrix(tb["emb"])
         sims = A @ B.T
         ai, bi = np.nonzero(sims >= tau)
         da, db = ia[ai], ib[bi]
@@ -783,8 +886,118 @@ def embedding_dups(sf_dir: str, tau: float = 0.45):
     return out.take(pa.array(order))
 
 
+def _lsh_bucket_matrix(batch: pa.Table, n_planes: int, n_reps: int):
+    """(ids, Vn, bucks): normalized vectors + per-rep sign-pattern buckets
+    for one batch — shared by the cardinality pre-pass and the bucketize
+    stage so both see identical bucket assignments."""
+    Vn = list_matrix(batch["embedding"])
+    Vn = Vn / np.maximum(np.linalg.norm(Vn, axis=1, keepdims=True), 1e-12)
+    n, dim = Vn.shape
+    bucks = np.empty((n_reps, n), dtype=np.int64)
+    for rep in range(n_reps):
+        rng = np.random.Generator(np.random.Philox(key=12345 + rep))
+        planes = rng.standard_normal((n_planes, dim))
+        bucks[rep] = (Vn @ planes.T > 0) @ (1 << np.arange(n_planes))
+    return _col(batch, "vec_id", np.int64), Vn, bucks
+
+
+def _emb_lsh_bucket_rows_ds(
+    sf_dir: str,
+    n_planes: int,
+    n_reps: int,
+    prune_singletons: bool,
+    f32: bool = True,
+):
+    """The (rep, bucket, vec_id, emb) rows that enter the bucket exchange —
+    factored out so :func:`emb_lsh_shuffle_bytes` can measure exactly what
+    :func:`embedding_dups_lsh` ships. ``f32=False`` keeps the legacy f64
+    transport for A/B byte measurement."""
+    import ray
+    import ray.data
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    multi_ref = None
+    if prune_singletons:
+
+        def count_buckets(batch: pa.Table) -> pa.Table:
+            _, _, bucks = _lsh_bucket_matrix(batch, n_planes, n_reps)
+            rep = np.repeat(np.arange(n_reps, dtype=np.int64), bucks.shape[1])
+            key = rep * (1 << n_planes) + bucks.reshape(-1)
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table(
+                {
+                    "key": pa.array(uniq, pa.int64()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        counts = (
+            ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+            .map_batches(count_buckets, batch_format="pyarrow")
+            .to_pandas()  # <= n_reps * 2^n_planes rows per batch — tiny
+            .groupby("key")["cnt"]
+            .sum()
+        )
+        multi_ref = ray.put(
+            np.sort(counts.index.to_numpy()[counts.to_numpy() >= 2])
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, Vn, bucks = _lsh_bucket_matrix(batch, n_planes, n_reps)
+        n, dim = Vn.shape
+        rep = np.repeat(np.arange(n_reps, dtype=np.int64), n)
+        bucket = bucks.reshape(-1)
+        vid = np.tile(ids, n_reps)
+        emb = np.tile(Vn.astype(np.float32) if f32 else Vn, (n_reps, 1))
+        if multi_ref is not None:
+            keep = np.isin(rep * (1 << n_planes) + bucket, ray.get(multi_ref))
+            rep, bucket, vid = rep[keep], bucket[keep], vid[keep]
+            emb = emb[keep]
+        return pa.table(
+            {
+                "rep": pa.array(rep.astype(np.int32), pa.int32()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": pa.array(vid, pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        emb.reshape(-1),
+                        pa.float32() if f32 else pa.float64(),
+                    ),
+                    dim,
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(bucketize, batch_format="pyarrow")
+
+
+def emb_lsh_shuffle_bytes(
+    sf_dir: str,
+    n_planes: int = 4,
+    n_reps: int = 12,
+    prune_singletons: bool = True,
+    f32: bool = True,
+) -> int:
+    """Bytes entering the bucket exchange under a transport config — the
+    A/B number BASELINE.md records (f64 no-prune vs f32 pruned)."""
+    ds = _emb_lsh_bucket_rows_ds(sf_dir, n_planes, n_reps, prune_singletons, f32)
+    return int(
+        ds.map_batches(
+            lambda t: pa.table({"b": pa.array([t.nbytes], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("b")
+    )
+
+
 def embedding_dups_lsh(
-    sf_dir: str, tau: float = 0.45, n_planes: int = 4, n_reps: int = 12
+    sf_dir: str,
+    tau: float = 0.45,
+    n_planes: int = 4,
+    n_reps: int = 12,
+    prune_singletons: bool = True,
 ):
     """Approximate embedding near-dup pairs via banded random-hyperplane LSH.
 
@@ -797,38 +1010,23 @@ def embedding_dups_lsh(
     A pair at cos = tau collides in one rep with p = (1 - theta/pi)^planes;
     missing all reps has p = (1-p)^reps (~2% for tau=0.45 with 4x12).
     Recall on the fixture is pinned in ``tests/test_dedup_ops.py``.
-    Deterministic hyperplanes (Philox keyed by repetition)."""
-    import ray.data
+    Deterministic hyperplanes (Philox keyed by repetition).
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        V = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        n = V.shape[0]
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        dim = Vn.shape[1]
-        bucks = np.empty((n_reps, n), dtype=np.int64)
-        for rep in range(n_reps):
-            rng = np.random.Generator(np.random.Philox(key=12345 + rep))
-            planes = rng.standard_normal((n_planes, dim))
-            bucks[rep] = (Vn @ planes.T > 0) @ (1 << np.arange(n_planes))
-        ids = _col(batch, "vec_id", np.int64)
-        return pa.table(
-            {
-                "rep": pa.array(np.repeat(np.arange(n_reps, dtype=np.int32), n)),
-                "bucket": pa.array(bucks.reshape(-1), pa.int64()),
-                "vec_id": pa.array(np.tile(ids, n_reps), pa.int64()),
-                "emb": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.tile(Vn, (n_reps, 1)).reshape(-1), pa.float64()), dim
-                ),
-            }
-        )
+    Shuffle-byte discipline (the exchange ships each vector once per rep —
+    the inherent cost of inline verify): vectors travel as
+    ``FixedSizeList<float32>`` (verify upcasts to float64; only the f32
+    rounding of the inputs is lost, ~1e-7 in cos), and with
+    ``prune_singletons`` a (rep, bucket) cardinality pre-pass — the count
+    table is at most ``n_reps * 2**n_planes`` cells, merged on the driver —
+    drops rows whose bucket has a single occupant before they ship (such
+    rows can never form a pair). Measured byte totals per config are in
+    ``BASELINE.md``."""
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         rep = _col(group, "rep", np.int64)
         bucket = _col(group, "bucket", np.int64)
         ids = _col(group, "vec_id", np.int64)
-        M = _fixed_matrix(group["emb"])
+        M = list_matrix(group["emb"], np.float64)
         idx = np.arange(ids.size, dtype=np.int64)
         a_pos, b_pos = _intra_bucket_pairs((rep, bucket), idx)
         if a_pos.size == 0:
@@ -862,8 +1060,7 @@ def embedding_dups_lsh(
 
     from web_search_engine_ray.stages.exchange import exchange_map
 
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    ds = ds.map_batches(bucketize, batch_format="pyarrow")
+    ds = _emb_lsh_bucket_rows_ds(sf_dir, n_planes, n_reps, prune_singletons)
     pairs = exchange_map(
         ds,
         lambda t: (_col(t, "bucket") + _col(t, "rep") * 131) % N_PARTS,

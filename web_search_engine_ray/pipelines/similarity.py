@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from web_search_engine_ray.functions.arrays import list_matrix
+
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
@@ -44,12 +46,32 @@ def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality WITHOUT reading the column: the schema's
+    FixedSizeList size when available, else the first row of the first row
+    group (a one-row read — never the full table)."""
+    path = _emb_path(sf_dir)
+    t = pq.read_schema(path).field("embedding").type
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    first = next(
+        pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+    )
+    return len(first.column(0)[0])
+
+
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    # predicate pushdown: only row groups containing query ids are read —
+    # never the full embedding column on the driver
+    t = pq.read_table(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sel = np.flatnonzero(ids < n_queries)
-    Q = np.array(t["embedding"].take(pa.array(sel)).to_pylist(), dtype=np.float64)
-    return ids[sel], _norm_rows(Q)
+    order = np.argsort(ids, kind="stable")
+    Q = list_matrix(t["embedding"].take(pa.array(order)))
+    return ids[order], _norm_rows(Q)
 
 
 def knn_cosine(sf_dir: str, n_queries: int = 3, topk: int = 10) -> pa.Table:
@@ -64,7 +86,7 @@ def knn_cosine(sf_dir: str, n_queries: int = 3, topk: int = 10) -> pa.Table:
     def f(batch: pa.Table) -> pa.Table:
         q_ids, qm = ray.get(qref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        V = _norm_rows(list_matrix(batch["embedding"]))
         sims = qm @ V.T  # (nq, batch)
         out_q, out_v, out_s = [], [], []
         for qi in range(q_ids.size):
@@ -120,8 +142,7 @@ def lsh_bucketed_knn(
     import ray.data
 
     qids, Qn = _query_matrix(sf_dir, n_queries)
-    t = pq.read_table(_emb_path(sf_dir), columns=["embedding"])
-    dim = len(t["embedding"][0])
+    dim = _emb_dim(sf_dir)
     rng = np.random.Generator(np.random.Philox(key=12345))
     planes = rng.standard_normal((n_planes, dim))
     qbuck = (Qn @ planes.T > 0) @ (1 << np.arange(n_planes))
@@ -130,7 +151,7 @@ def lsh_bucketed_knn(
     def f(batch: pa.Table) -> pa.Table:
         q_ids, qm, pl_, qb = ray.get(qref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        V = _norm_rows(list_matrix(batch["embedding"]))
         vb = (V @ pl_.T > 0) @ (1 << np.arange(pl_.shape[0]))
         out_q, out_v, out_s = [], [], []
         for qi in range(q_ids.size):
@@ -199,7 +220,7 @@ def _train_centroids(
         if got >= sample_rows:
             break
     t = pa.concat_tables(parts).slice(0, sample_rows)
-    S = _norm_rows(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    S = _norm_rows(list_matrix(t["embedding"]))
     rng = np.random.Generator(np.random.Philox(key=777))
     C = S[rng.choice(S.shape[0], size=min(n_cells, S.shape[0]), replace=False)]
     for _ in range(iters):
@@ -241,7 +262,7 @@ def ivf_knn(
     def f(batch: pa.Table) -> pa.Table:
         q_ids, qm, cents, probes = ray.get(qref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        V = _norm_rows(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        V = _norm_rows(list_matrix(batch["embedding"]))
         cell = (V @ cents.T).argmax(axis=1)
         out_q, out_v, out_s = [], [], []
         for qi in range(q_ids.size):
