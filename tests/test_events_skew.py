@@ -1,0 +1,121 @@
+"""Skew test for the event joins: one user holds ~1M of the events in a
+partition, so any per-user interpreter loop would dominate and any
+composite-key overflow would corrupt results. Verified against DuckDB
+(native ASOF JOIN / BETWEEN range join) on the same parquet."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+N_HOT = 1_000_000
+N_COLD_USERS = 50
+N_COLD_EACH = 40
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_skew")
+    rng = np.random.default_rng(42)
+    # hot user 7: ~1M events over ~12 days, mixed types
+    hot_ts = np.sort(rng.integers(0, 1_000_000_000_000, N_HOT))  # us
+    hot_user = np.full(N_HOT, 7, dtype=np.int64)
+    cold_ts = rng.integers(0, 1_000_000_000_000, N_COLD_USERS * N_COLD_EACH)
+    cold_user = np.repeat(
+        np.arange(100, 100 + N_COLD_USERS, dtype=np.int64), N_COLD_EACH
+    )
+    ts = np.concatenate([hot_ts, cold_ts])
+    user = np.concatenate([hot_user, cold_user])
+    n = ts.size
+    etype = np.array(["view", "purchase", "click"])[
+        rng.integers(0, 3, n)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(np.full(n, "{}"), pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_asof_join_skewed_user(ray_session, skew_dir):
+    from web_search_engine_ray.pipelines.events import asof_join_ds
+
+    got = (
+        asof_join_ds(skew_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{skew_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT l.event_id,
+               l.user_id,
+               epoch_us(r.ts) AS prior_epoch_us,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts > r.ts
+        ORDER BY l.event_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["event_id", "user_id", "prior_epoch_us", "gap_us"]:
+        assert np.array_equal(
+            got[c].to_numpy().astype(np.int64),
+            want[c].to_numpy().astype(np.int64),
+        ), c
+
+
+def test_range_join_skewed_user(ray_session, skew_dir):
+    from web_search_engine_ray.pipelines.events import (
+        SESSION_GAP_S,
+        session_range_join_ds,
+        sessionize_ds,
+    )
+
+    got = (
+        session_range_join_ds(skew_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # every event lands in exactly one session
+    n = pq.read_metadata(os.path.join(skew_dir, "events.parquet")).num_rows
+    assert len(got) == n
+    # cross-check against the sessionize relation: the (user, session_idx)
+    # intervals must contain each event's epoch
+    sess = sessionize_ds(skew_dir).to_pandas()
+    merged = got.merge(sess, on=["user_id", "session_idx"], how="left")
+    assert merged["n_events"].notna().all()
+    ev = pq.read_table(
+        os.path.join(skew_dir, "events.parquet"),
+        columns=["event_id", "ts"],
+    ).to_pandas()
+    ev["epoch"] = ev["ts"].astype("int64") // 1_000_000
+    merged = merged.merge(ev[["event_id", "epoch"]], on="event_id")
+    assert (merged["epoch"] >= merged["start_epoch"]).all()
+    assert (merged["epoch"] <= merged["end_epoch"]).all()
+    # and session event counts agree with the assignment's group sizes
+    sizes = (
+        got.groupby(["user_id", "session_idx"])
+        .size()
+        .rename("sz")
+        .reset_index()
+    )
+    chk = sess.merge(sizes, on=["user_id", "session_idx"], how="outer")
+    assert (chk["n_events"] == chk["sz"]).all()

@@ -2,7 +2,9 @@
 entry at a given sf dir, run its oracle_sql twin in DuckDB, compare
 row-count / schema / order-insensitive values.
 
-Usage: python tools/check_driver.py [sf_dir]
+Usage: python tools/check_driver.py [sf_dir] [query_name ...]
+(with query names given, only those entries run — the full gate still runs
+everything)
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -57,6 +59,12 @@ def main(sf_dir: str) -> int:
         )
 
     qs = entrymod.queries()
+    if only:
+        unknown = [q for q in only if q not in qs]
+        if unknown:
+            print(f"FAIL  unknown query names: {unknown}")
+            return 1
+        qs = {k: qs[k] for k in only}
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -93,6 +101,9 @@ def main(sf_dir: str) -> int:
             continue
         print(f"ok    {name}: {len(mine)} rows match")
     # smoke entry()
+    if only:
+        ray.shutdown()
+        return failures
     try:
         res = to_pandas(entrymod.entry())
         print(f"ok    entry(): {len(res)} rows, cols {list(res.columns)}")
@@ -105,4 +116,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(min(main(sf), 1))
+    sys.exit(min(main(sf, sys.argv[2:] or None), 1))

@@ -19,6 +19,8 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/tmp/wse_bench_corpus_c444000_t8_r8000"
 DOCS_DIR = "/tmp/wse_dedup_stress"
 

@@ -5,8 +5,11 @@ bounded-log equivalents of the classic streaming ops are expressed as
 partial-aggregate ``map_batches`` + a window-routed partition exchange
 (tumbling + hopping windows) and a user-routed exchange with one vectorized
 sessionization pass per partition (session windows) — the patterns a
-transcript-event pipeline needs (nothing assumes global order). All three
-have exact DuckDB SQL twins in ``__ray_entry__``.
+transcript-event pipeline needs (nothing assumes global order). All
+partition functions are numpy/polars-vectorized with NO per-user Python
+loops, so a skewed partition (one user with millions of events) costs one
+lexsort, not interpreter time per user. All have exact DuckDB SQL twins in
+``__ray_entry__``.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
+import polars as pl
 import pyarrow as pa
 
 WINDOW_S = 3600
@@ -27,49 +30,77 @@ def _read_events(sf_dir: str, columns):
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+def _np(col: pa.ChunkedArray | pa.Array, dtype=np.int64) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
+def _epoch_us(t: pa.Table, col: str = "ts") -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds (exact; no tz math)."""
+    return _np(t[col].cast(pa.int64()))
+
+
+def _window_merge(t: pa.Table) -> pa.Table:
+    """Shared merge for tumbling/hopping partials: sum the per-batch
+    partials per (event_type, window_start), round like the SQL twin."""
+    g = (
+        pl.from_arrow(t)
+        .group_by(["event_type", "window_start"])
+        .agg(
+            pl.col("n_events_p").sum().alias("n_events"),
+            pl.col("sum_value_p").sum().alias("sum_value"),
+        )
+    )
+    out = g.to_arrow()
+    return pa.table(
+        {
+            "event_type": out["event_type"].cast(pa.string()),
+            "window_start": out["window_start"].cast(pa.int64()),
+            "n_events": out["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(
+                np.round(
+                    out["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64),
+                    6,
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _window_partial(batch: pa.Table, window_start: np.ndarray) -> pa.Table:
+    """Per-batch partial aggregate over a precomputed window_start vector
+    aligned with the batch rows (tumbling) or an expanded take of them
+    (hopping — caller passes the expanded batch)."""
+    rep = pa.table(
+        {
+            "event_type": batch["event_type"],
+            "window_start": pa.array(window_start, pa.int64()),
+            "value": batch["value"],
+        }
+    )
+    return (
+        pl.from_arrow(rep)
+        .group_by(["event_type", "window_start"])
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_events_p"),
+            pl.col("value").sum().alias("sum_value_p"),
+        )
+        .to_arrow()
+    )
+
+
 def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
     """Tumbling window per event_type: (event_type, window_start, n_events,
     sum_value). Pre-aggregated per batch (one row per (type, window) per
     batch) before the tiny groupby — the shuffle moves partials, not events."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = df["ts"].astype("int64") // 1_000_000
-        df["window_start"] = (epoch // window_s) * window_s
-        g = (
-            df.groupby(["event_type", "window_start"], as_index=False)
-            .agg(n_events_p=("event_id", "size"), sum_value_p=("value", "sum"))
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        epoch = _epoch_us(batch) // 1_000_000
+        return _window_partial(batch, (epoch // window_s) * window_s)
 
     from web_search_engine_ray.stages.exchange import exchange_map
-
-    def merge(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        g = (
-            pl.from_arrow(t)
-            .group_by(["event_type", "window_start"])
-            .agg(
-                pl.col("n_events_p").sum().alias("n_events"),
-                pl.col("sum_value_p").sum().alias("sum_value"),
-            )
-        )
-        out = g.to_arrow()
-        return pa.table(
-            {
-                "event_type": out["event_type"].cast(pa.string()),
-                "window_start": out["window_start"].cast(pa.int64()),
-                "n_events": out["n_events"].cast(pa.int64()),
-                "sum_value": pa.array(
-                    np.round(
-                        out["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64),
-                        6,
-                    ),
-                    pa.float64(),
-                ),
-            }
-        )
 
     ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow"
@@ -78,13 +109,9 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
     # window, so a window-keyed partition sees every partial it must merge)
     return exchange_map(
         ds,
-        lambda t: (
-            t["window_start"].combine_chunks().to_numpy(zero_copy_only=False)
-            // window_s
-        ).astype(np.int64)
-        % 32,
+        lambda t: (_np(t["window_start"]) // window_s) % 32,
         32,
-        merge,
+        _window_merge,
     )
 
 
@@ -95,58 +122,47 @@ def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
 
     Shuffle shape: a partition hash exchange on ``user_id`` (all of a user's
     events land in one partition), then the WHOLE partition is sessionized
-    in one vectorized pandas pass — sort by (user, ts, event_id), session
-    breaks = new-user OR gap, global cumsum re-based per user — instead of
-    one ``map_groups`` dispatch per user (users are numerous and tiny; the
-    per-group call overhead dwarfs the work)."""
+    in one vectorized numpy pass — lexsort by (user, ts, event_id), session
+    breaks = new-user OR gap, per-session aggregates from the break-index
+    vector — instead of one ``map_groups`` dispatch per user (users are
+    numerous and tiny; the per-group call overhead dwarfs the work)."""
 
     def sessions_part(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
-        epoch = df["ts"].astype("int64") // 1_000_000
-        new_user = df["user_id"].ne(df["user_id"].shift())
-        gap = epoch.diff().fillna(gap_s + 1) > gap_s
-        gsid = (new_user | gap).cumsum()
-        df = pd.DataFrame(
+        user = _np(t["user_id"])
+        epoch = _epoch_us(t) // 1_000_000
+        eid = _np(t["event_id"])
+        order = np.lexsort((eid, epoch, user))
+        user, epoch = user[order], epoch[order]
+        n = user.size
+        brk = np.ones(n, dtype=bool)
+        if n:
+            new_user = user[1:] != user[:-1]
+            brk[1:] = new_user | ((epoch[1:] - epoch[:-1]) > gap_s)
+        first = np.flatnonzero(brk)  # first event index of each session
+        ends = np.append(first[1:], n)  # one past each session's last event
+        s_user = user[first]
+        # 0-based session_idx within user: session ordinal minus the ordinal
+        # of the user's first session
+        new_user_sess = np.ones(s_user.size, dtype=bool)
+        new_user_sess[1:] = s_user[1:] != s_user[:-1]
+        first_sess = np.flatnonzero(new_user_sess)
+        seg = np.cumsum(new_user_sess) - 1
+        session_idx = np.arange(s_user.size, dtype=np.int64) - first_sess[seg]
+        return pa.table(
             {
-                "user_id": df["user_id"].to_numpy(),
-                "gsid": gsid.to_numpy(),
-                "epoch": epoch.to_numpy(),
+                "user_id": pa.array(s_user, pa.int64()),
+                "session_idx": pa.array(session_idx, pa.int64()),
+                "n_events": pa.array(ends - first, pa.int64()),
+                "start_epoch": pa.array(epoch[first], pa.int64()),
+                "end_epoch": pa.array(epoch[ends - 1], pa.int64()),
             }
-        )
-        df["session_idx"] = df["gsid"] - df.groupby("user_id")["gsid"].transform(
-            "min"
-        )
-        g = df.groupby(["user_id", "session_idx"], as_index=False).agg(
-            n_events=("epoch", "size"),
-            start_epoch=("epoch", "min"),
-            end_epoch=("epoch", "max"),
-        )
-        g = g[["user_id", "session_idx", "n_events", "start_epoch", "end_epoch"]]
-        return pa.Table.from_pandas(g, preserve_index=False).cast(
-            pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("session_idx", pa.int64()),
-                    ("n_events", pa.int64()),
-                    ("start_epoch", pa.int64()),
-                    ("end_epoch", pa.int64()),
-                ]
-            )
         )
 
     from web_search_engine_ray.stages.exchange import exchange_map
 
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
-    return exchange_map(
-        ds,
-        lambda t: (
-            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            % N
-        ),
-        N,
-        sessions_part,
-    )
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, sessions_part)
 
 
 HOP_S = 900
@@ -158,56 +174,23 @@ def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S)
     overlapping windows. (event_type, window_start, n_events, sum_value).
 
     Same scale shape as :func:`window_agg_ds`: the k-fold window expansion
-    and partial aggregation happen inside ``map_batches`` (the shuffle moves
-    one partial row per (type, window) per batch, never k x events), merged
-    by a window-routed partition exchange."""
+    (an Arrow ``take`` — no Python objects) and partial aggregation happen
+    inside ``map_batches`` (the shuffle moves one partial row per (type,
+    window) per batch, never k x events), merged by a window-routed
+    partition exchange."""
     assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
     k = window_s // hop_s
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
+        epoch = _epoch_us(batch) // 1_000_000
         base = (epoch // hop_s) * hop_s
-        n = len(df)
-        starts = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
-        rep = pd.DataFrame(
-            {
-                "event_type": np.repeat(df["event_type"].to_numpy(), k),
-                "window_start": starts,
-                "value": np.repeat(df["value"].to_numpy(), k),
-            }
+        n = epoch.size
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_s, n
         )
-        g = rep.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events_p=("value", "size"), sum_value_p=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def merge(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        g = (
-            pl.from_arrow(t)
-            .group_by(["event_type", "window_start"])
-            .agg(
-                pl.col("n_events_p").sum().alias("n_events"),
-                pl.col("sum_value_p").sum().alias("sum_value"),
-            )
-        )
-        out = g.to_arrow()
-        return pa.table(
-            {
-                "event_type": out["event_type"].cast(pa.string()),
-                "window_start": out["window_start"].cast(pa.int64()),
-                "n_events": out["n_events"].cast(pa.int64()),
-                "sum_value": pa.array(
-                    np.round(
-                        out["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64),
-                        6,
-                    ),
-                    pa.float64(),
-                ),
-            }
-        )
+        rep = batch.select(["event_type", "value"]).take(pa.array(idx))
+        return _window_partial(rep, starts)
 
     from web_search_engine_ray.stages.exchange import exchange_map
 
@@ -216,14 +199,55 @@ def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S)
     )
     return exchange_map(
         ds,
-        lambda t: (
-            t["window_start"].combine_chunks().to_numpy(zero_copy_only=False)
-            // hop_s
-        ).astype(np.int64)
-        % 32,
+        lambda t: (_np(t["window_start"]) // hop_s) % 32,
         32,
-        merge,
+        _window_merge,
     )
+
+
+_EMPTY_ASOF = pa.table(
+    {
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "prior_epoch_us": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+    }
+)
+
+
+def _asof_positions(
+    l_user: np.ndarray, l_ep: np.ndarray, r_user: np.ndarray, r_ep: np.ndarray
+) -> np.ndarray:
+    """For each left row, the index into the (user, ep)-sorted right arrays
+    of the latest right row with the same user and STRICTLY smaller ep, or
+    -1. Fully vectorized sort-merge: one lexsort over the union — left rows
+    sort BEFORE right rows at equal (user, ep), so equal timestamps never
+    count as prior — then per-user prefix counts of right rows. No per-user
+    Python loop, so a million-event user costs one sort, not interpreter
+    time (skew test: ``tests/test_events_skew.py``)."""
+    m, nl = r_user.size, l_user.size
+    cu = np.concatenate([r_user, l_user])
+    ce = np.concatenate([r_ep, l_ep])
+    cf = np.concatenate(
+        [np.ones(m, dtype=np.int8), np.zeros(nl, dtype=np.int8)]
+    )
+    order = np.lexsort((cf, ce, cu))
+    is_right = cf[order] == 1
+    # right rows strictly before each position
+    before = np.cumsum(is_right) - is_right
+    cu_s = cu[order]
+    user_change = np.ones(cu_s.size, dtype=bool)
+    user_change[1:] = cu_s[1:] != cu_s[:-1]
+    seg = np.cumsum(user_change) - 1
+    seg_base = before[np.flatnonzero(user_change)]
+    n_prior = before - seg_base[seg]  # same-user right rows strictly prior
+    left_pos = np.flatnonzero(~is_right)
+    orig_left = order[left_pos] - m
+    seg_lo = np.searchsorted(r_user, l_user[orig_left], side="left")
+    pos = np.full(nl, -1, dtype=np.int64)
+    np_l = n_prior[left_pos]
+    pos[orig_left] = np.where(np_l > 0, seg_lo + np_l - 1, -1)
+    return pos
 
 
 def asof_join_ds(
@@ -238,13 +262,13 @@ def asof_join_ds(
 
     Shuffle shape: one partition hash exchange on ``user_id`` (both sides
     ride the same exchange — the filter to the two types happens before it,
-    so only relevant events move), then each partition resolves every left
-    event with ONE ``np.searchsorted`` against its users' sorted right
-    timestamps. Epochs stay in integer microseconds end-to-end, so engine
-    and SQL agree exactly. The output carries the prior event's TIMESTAMP
-    (unique per user-instant) rather than its event_id — two right events
-    on the same microsecond would make an id choice arbitrary in both
-    engines."""
+    so only relevant events move), then each partition resolves ALL left
+    events at once with the vectorized sort-merge in
+    :func:`_asof_positions`. Epochs stay in integer microseconds
+    end-to-end, so engine and SQL agree exactly. The output carries the
+    prior event's TIMESTAMP (unique per user-instant) rather than its
+    event_id — two right events on the same microsecond would make an id
+    choice arbitrary in both engines."""
     import pyarrow.compute as pc
 
     from web_search_engine_ray.stages.exchange import exchange_map
@@ -257,80 +281,38 @@ def asof_join_ds(
         return batch.filter(mask)
 
     def join_part(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        if df.empty:
-            return pa.table(
-                {
-                    "event_id": pa.array([], pa.int64()),
-                    "user_id": pa.array([], pa.int64()),
-                    "prior_epoch_us": pa.array([], pa.int64()),
-                    "gap_us": pa.array([], pa.int64()),
-                }
-            )
-        df["ep"] = df["ts"].astype("int64")  # microseconds
-        # composite sort key (user, ep): searchsorted over the concatenated
-        # right side works across users because users are contiguous
-        right = (
-            df[df["event_type"] == right_type]
-            .sort_values(["user_id", "ep"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        left = df[df["event_type"] == left_type]
-        if right.empty or left.empty:
-            return pa.table(
-                {
-                    "event_id": pa.array([], pa.int64()),
-                    "user_id": pa.array([], pa.int64()),
-                    "prior_epoch_us": pa.array([], pa.int64()),
-                    "gap_us": pa.array([], pa.int64()),
-                }
-            )
-        r_user = right["user_id"].to_numpy()
-        r_ep = right["ep"].to_numpy()
-        l_user = left["user_id"].to_numpy()
-        l_ep = left["ep"].to_numpy()
-        l_id = left["event_id"].to_numpy()
-        # per-user segment of the (user, ep)-sorted right side, then one
-        # vectorized searchsorted per user over its left events
-        seg_lo = np.searchsorted(r_user, l_user, side="left")
-        pos = np.full(l_user.size, -1, dtype=np.int64)
-        lorder = np.lexsort((l_ep, l_user))
-        i = 0
-        while i < lorder.size:
-            j = i + 1
-            u = l_user[lorder[i]]
-            while j < lorder.size and l_user[lorder[j]] == u:
-                j += 1
-            li = lorder[i:j]
-            s0 = int(seg_lo[li[0]])
-            e0 = int(np.searchsorted(r_user, u, side="right"))
-            if e0 > s0:
-                p_ = s0 + np.searchsorted(r_ep[s0:e0], l_ep[li], side="left") - 1
-                pos[li] = np.where(p_ >= s0, p_, -1)
-            i = j
+        if t.num_rows == 0:
+            return _EMPTY_ASOF
+        ep = _epoch_us(t)  # microseconds
+        user = _np(t["user_id"])
+        eid = _np(t["event_id"])
+        etype = t["event_type"]
+        right_m = _np(pa.compute.equal(etype, right_type), np.bool_)
+        r_idx = np.flatnonzero(right_m)
+        l_idx = np.flatnonzero(~right_m)  # only the two types survive filter
+        if r_idx.size == 0 or l_idx.size == 0:
+            return _EMPTY_ASOF
+        r_order = np.lexsort((ep[r_idx], user[r_idx]))
+        r_user = user[r_idx][r_order]
+        r_ep = ep[r_idx][r_order]
+        pos = _asof_positions(user[l_idx], ep[l_idx], r_user, r_ep)
         ok = pos >= 0
         pe = r_ep[pos[ok]]
+        l_user = user[l_idx][ok]
+        l_ep = ep[l_idx][ok]
         return pa.table(
             {
-                "event_id": pa.array(l_id[ok], pa.int64()),
-                "user_id": pa.array(l_user[ok], pa.int64()),
+                "event_id": pa.array(eid[l_idx][ok], pa.int64()),
+                "user_id": pa.array(l_user, pa.int64()),
                 "prior_epoch_us": pa.array(pe, pa.int64()),
-                "gap_us": pa.array(l_ep[ok] - pe, pa.int64()),
+                "gap_us": pa.array(l_ep - pe, pa.int64()),
             }
         )
 
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(keep_types, batch_format="pyarrow")
-    return exchange_map(
-        ds,
-        lambda t: (
-            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            % N
-        ),
-        N,
-        join_part,
-    )
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, join_part)
 
 
 def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
@@ -339,17 +321,18 @@ def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
     session_idx).
 
     Per partition (user-routed exchange, so an interval and its points are
-    co-located), session intervals are derived and each event resolves its
-    interval with ONE ``np.searchsorted`` against the user's sorted session
-    starts — the general interval-assignment mechanic; any other interval
-    table (ad campaigns, deploy windows) would ride the same exchange. The
-    SQL twin is the literal range join: events JOIN sessions ON user AND
-    ep BETWEEN start AND end (session intervals are disjoint per user, so
-    the join is one-to-one and row count == event count)."""
+    co-located), session breaks are derived on the (user, ts, event_id)-
+    sorted events and each event's interval is the running count of breaks
+    in its user segment — a cumsum, no per-user loop. (When the intervals
+    come from a separate relation — ad campaigns, deploy windows — the same
+    exchange co-locates them and :func:`_asof_positions`'s sort-merge is
+    the general assignment mechanic.) The SQL twin is the literal range
+    join: events JOIN sessions ON user AND ep BETWEEN start AND end
+    (session intervals are disjoint per user, so the join is one-to-one and
+    row count == event count)."""
 
     def join_part(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
-        if df.empty:
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "event_id": pa.array([], pa.int64()),
@@ -357,32 +340,21 @@ def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
                     "session_idx": pa.array([], pa.int64()),
                 }
             )
-        epoch = (df["ts"].astype("int64") // 1_000_000).to_numpy()
-        user = df["user_id"].to_numpy()
-        eid = df["event_id"].to_numpy()
-        new_user = np.ones(user.size, dtype=bool)
-        new_user[1:] = user[1:] != user[:-1]
-        gap = np.ones(user.size, dtype=bool)
-        gap[1:] = (epoch[1:] - epoch[:-1]) > gap_s
-        brk = new_user | gap
-        # session interval starts (the break rows), per user
-        starts = epoch[brk]
-        s_user = user[brk]
-        # assign every event by searchsorted over ITS user's session starts
-        out_idx = np.empty(user.size, dtype=np.int64)
-        i = 0
+        user = _np(t["user_id"])
+        epoch = _epoch_us(t) // 1_000_000
+        eid = _np(t["event_id"])
+        order = np.lexsort((eid, epoch, user))
+        user, epoch, eid = user[order], epoch[order], eid[order]
         n = user.size
-        while i < n:
-            j = i + 1
-            u = user[i]
-            while j < n and user[j] == u:
-                j += 1
-            s_lo = int(np.searchsorted(s_user, u, side="left"))
-            s_hi = int(np.searchsorted(s_user, u, side="right"))
-            out_idx[i:j] = (
-                np.searchsorted(starts[s_lo:s_hi], epoch[i:j], side="right") - 1
-            )
-            i = j
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (epoch[1:] - epoch[:-1]) > gap_s
+        # session index = sessions started in this user segment so far - 1
+        gsid = np.cumsum(brk)
+        seg = np.cumsum(new_user) - 1
+        base = gsid[np.flatnonzero(new_user)]
+        out_idx = gsid - base[seg]
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
@@ -395,12 +367,4 @@ def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
 
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
-    return exchange_map(
-        ds,
-        lambda t: (
-            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            % N
-        ),
-        N,
-        join_part,
-    )
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, join_part)
