@@ -49,3 +49,26 @@ def test_write_curated_corpus_roundtrip(ray_session, tmp_path):
     rep3 = write_curated_corpus(SF, out, n_parts=8)
     assert rep3["n_resumed"] == 7
     assert rep3["n_rows"] == rep["n_rows"]
+
+
+def test_resume_refuses_on_routing_probe_change(ray_session, tmp_path):
+    """The params fingerprint pins the partition routing via sentinel-hash
+    probes; a tampered probe (standing in for a polars hash change across
+    an upgrade) must refuse to resume rather than mix two routings."""
+    import json
+
+    import pytest as _pytest
+
+    from web_search_engine_ray.pipelines.curate import write_curated_corpus
+
+    out = str(tmp_path / "curated_probe")
+    write_curated_corpus(SF, out, n_parts=4)
+    fp_path = os.path.join(out, "_curation_params.json")
+    with open(fp_path) as f:
+        fp = json.load(f)
+    assert "routing_probe" in fp and len(fp["routing_probe"]) == 3
+    fp["routing_probe"] = [(p + 1) % 4 for p in fp["routing_probe"]]
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
+    with _pytest.raises(ValueError, match="different parameters"):
+        write_curated_corpus(SF, out, n_parts=4)

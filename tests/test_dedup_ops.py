@@ -204,3 +204,30 @@ def test_minhash_guard_caps_giant_bucket(ray_session, dup_heavy_dir):
         (a, b) for a, b in zip(capped["docid_a"], capped["docid_b"]) if b < 40
     }
     assert len(capped_clone) == 8 * 7 // 2  # truncated to the 8 smallest docids
+
+
+def test_fast_hash_path_matches_md5(ray_session, dup_heavy_dir):
+    """hash_fn='fast' (vectorized 64-bit polars hash) must pick the same
+    survivors as the oracle-checked md5 path — collisions are a 10^9-doc
+    concern, not a fixture concern."""
+    from web_search_engine_ray.pipelines.curate import curated_docs_ds
+    from web_search_engine_ray.pipelines.dedup import exact_dedup_ds
+
+    md5 = exact_dedup_ds(dup_heavy_dir).to_pandas()
+    fast = exact_dedup_ds(dup_heavy_dir, hash_fn="fast").to_pandas()
+    assert sorted(md5["docid"]) == sorted(fast["docid"])
+    assert str(fast["text_hash"].dtype) == "uint64"
+
+    c_md5 = curated_docs_ds(dup_heavy_dir).to_pandas()
+    c_fast = curated_docs_ds(dup_heavy_dir, hash_fn="fast").to_pandas()
+    assert sorted(c_md5["docid"]) == sorted(c_fast["docid"])
+
+
+def test_text_hash_column_rejects_unknown():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from web_search_engine_ray.pipelines.dedup import text_hash_column
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        text_hash_column(pa.array(["x"], pa.string()), "sha1")

@@ -68,6 +68,7 @@ def main() -> None:
 
     ops = [
         ("exact_dedup", lambda: dedup.exact_dedup_ds(d).count()),
+        ("exact_dedup_fast", lambda: dedup.exact_dedup_ds(d, hash_fn="fast").count()),
         ("simhash_dups_guard64", lambda: dedup.simhash_dups(d, max_bucket=64).count()),
         ("minhash_guard64", lambda: dedup.minhash_lsh_candidates_ds(d, max_bucket=64).count()),
         # the full candidate->verify path: candidate pairs stay a Dataset

@@ -21,7 +21,6 @@ multi-table layout would add per-table docid offsets before this stage).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -42,11 +41,18 @@ def _read_docs(sf_dir: str):
     )
 
 
-def _doc_signals(batch: pa.Table, min_tokens: int, max_stop_ratio: float) -> pa.Table:
+def _doc_signals(
+    batch: pa.Table,
+    min_tokens: int,
+    max_stop_ratio: float,
+    hash_fn: str = "md5",
+) -> pa.Table:
     """Vectorized per-doc signals: (text_hash, p_ok, p_tok, ok_int).
 
     ``p_ok``/``p_tok`` pack (docid, flag/count) so a Min aggregate selects
-    the min-docid survivor AND its payload in one shuffle."""
+    the min-docid survivor AND its payload in one shuffle. ``hash_fn``
+    picks md5 (oracle twin) or polars' vectorized 64-bit hash
+    (:func:`web_search_engine_ray.pipelines.dedup.text_hash_column`)."""
     toks = token_lists(batch["text"])
     n = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
     stops = _stop_hits(toks, STOPWORDS)
@@ -57,13 +63,11 @@ def _doc_signals(batch: pa.Table, min_tokens: int, max_stop_ratio: float) -> pa.
     )
     if docid.size and int(docid.max()) >= (1 << 41):
         raise ValueError("docid exceeds curation packing bound (2^41)")
-    hashes = [
-        hashlib.md5((t or "").encode("utf-8")).hexdigest()
-        for t in batch["text"].to_pylist()
-    ]
+    from web_search_engine_ray.pipelines.dedup import text_hash_column
+
     return pa.table(
         {
-            "text_hash": pa.array(hashes, pa.string()),
+            "text_hash": text_hash_column(batch["text"], hash_fn),
             "p_ok": pa.array(docid * 2 + ok, pa.int64()),
             "p_tok": pa.array(
                 docid * (_TOK_MAX + 1) + np.minimum(n, _TOK_MAX), pa.int64()
@@ -73,14 +77,21 @@ def _doc_signals(batch: pa.Table, min_tokens: int, max_stop_ratio: float) -> pa.
     )
 
 
-def _signals_ds(sf_dir: str, min_tokens: int, max_stop_ratio: float):
+def _signals_ds(
+    sf_dir: str, min_tokens: int, max_stop_ratio: float, hash_fn: str = "md5"
+):
     def signals(batch: pa.Table) -> pa.Table:
-        return _doc_signals(batch, min_tokens, max_stop_ratio)
+        return _doc_signals(batch, min_tokens, max_stop_ratio, hash_fn)
 
     return _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
 
 
-def curated_docs_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6):
+def curated_docs_ds(
+    sf_dir: str,
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.6,
+    hash_fn: str = "md5",
+):
     """(docid): survivors — each exact-dup group's min-docid doc, kept only
     if it passes the quality gate. One partition hash exchange on the
     content hash with a local polars min per partition; everything
@@ -96,7 +107,7 @@ def curated_docs_ds(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.
         keep = (p & 1) == 1
         return pa.table({"docid": pa.array(p[keep] >> 1, pa.int64())})
 
-    sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio)
+    sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio, hash_fn)
     return exchange_map(sig, _hash_route("text_hash"), 32, merge)
 
 
@@ -186,6 +197,18 @@ def write_curated_corpus(
     # instead of silently returning stale partitions as success
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # partition routing uses polars' hash(), which polars does NOT pin
+    # across releases: a resume under a different routing would mix two
+    # layouts (dup/drop docs, split dup-groups across files). Probe the
+    # actual routing on sentinel keys and refuse to resume if it moved.
+    import polars as pl
+
+    routing_probe = (
+        pl.Series(["wse-routing-probe-a", "wse-routing-probe-b", ""])
+        .hash(seed=7)
+        .to_numpy()
+        % np.uint64(n_parts)
+    ).tolist()
     fp = {
         "src": src,
         "src_size": st.st_size,
@@ -193,6 +216,7 @@ def write_curated_corpus(
         "min_tokens": min_tokens,
         "max_stop_ratio": max_stop_ratio,
         "n_parts": n_parts,
+        "routing_probe": routing_probe,
     }
     fp_path = os.path.join(out_dir, "_curation_params.json")
     if os.path.exists(fp_path):

@@ -81,22 +81,52 @@ def _hash_route(col: str, n: int = 32):
 # ---------------------------------------------------------------- exact
 
 
-def exact_dedup_ds(sf_dir: str):
-    """(text_hash, docid): md5 of raw text -> min doc_id survivor per group.
+def text_hash_column(
+    texts: pa.Array | pa.ChunkedArray, hash_fn: str = "md5"
+) -> pa.Array:
+    """Content-hash column for exact dedup / curation.
+
+    - ``"md5"`` (default): hex md5 per row — the oracle-checked path (md5
+      is the only hash this engine and DuckDB share) and 128-bit, so
+      collision-safe at any corpus size. Per-row Python loop, but each
+      digest runs at C speed.
+    - ``"fast"``: polars' vectorized 64-bit hash (``pl.Series.hash``) —
+      no per-row interpreter work. 64 bits means birthday collisions
+      become likely past ~10^9 docs, and a collision silently merges two
+      distinct docs; use it for throughput-bound pipeline work, keep md5
+      for archival dedup and anything oracle-compared."""
+    if hash_fn == "md5":
+        return pa.array(
+            [
+                hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts.to_pylist()
+            ],
+            pa.string(),
+        )
+    if hash_fn == "fast":
+        s = pl.from_arrow(texts)
+        if isinstance(s, pl.DataFrame):  # pragma: no cover - defensive
+            s = s.to_series(0)
+        return pa.array(s.hash(seed=7).to_numpy(), pa.uint64())
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'fast')")
+
+
+def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
+    """(text_hash, docid): content hash of raw text -> min doc_id survivor
+    per group. ``hash_fn`` picks the hashing path (see
+    :func:`text_hash_column`); md5 stays the oracle-checked default.
 
     The shuffle is a partition hash exchange on the content hash (the key is
     already uniform — no skew) with a local polars min per partition; one
     (hash, docid) row per doc moves, never the text."""
     from web_search_engine_ray.stages.exchange import exchange_map
 
+    hash_type = pa.string() if hash_fn == "md5" else pa.uint64()
+
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
         return pa.table(
             {
-                "text_hash": pa.array(hashes, pa.string()),
+                "text_hash": text_hash_column(batch["text"], hash_fn),
                 "docid": batch["doc_id"].cast(pa.int64()),
             }
         )
@@ -108,7 +138,7 @@ def exact_dedup_ds(sf_dir: str):
             .agg(pl.col("docid").min())
             .to_arrow()
             .select(["text_hash", "docid"])
-            .cast(pa.schema([("text_hash", pa.string()), ("docid", pa.int64())]))
+            .cast(pa.schema([("text_hash", hash_type), ("docid", pa.int64())]))
         )
 
     ds = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")

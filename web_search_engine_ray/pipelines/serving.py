@@ -209,16 +209,23 @@ def wand_daat_equivalence_table(
     DAAT cursor loop on every fixed query: same docids, bit-identical
     scores. WAND's pruning is score-exact by construction (pytest pins it);
     this surfaces the equivalence in the driver gate (rows-only — the heap
-    tie semantics both paths share are not SQL-expressible)."""
+    tie semantics both paths share are not SQL-expressible). A divergence
+    RAISES — the gate run itself must fail, not print ok over
+    identical=False rows."""
     s = documents_searcher(sf_dir)
     queries = queries if queries is not None else FIXED_QUERIES
     q_l, n_l, e_l = [], [], []
     for qid, q in enumerate(queries):
         w = s.search_topk_wand(q, topk=topk)
         d = s.search_topk_daat(q, topk=topk, mode="OR")
+        if w != d:
+            raise AssertionError(
+                f"WAND/DAAT divergence on query {qid} ({q!r}): "
+                f"wand={w[:3]}... daat={d[:3]}..."
+            )
         q_l.append(qid)
         n_l.append(len(w))
-        e_l.append(bool(w == d))
+        e_l.append(True)
     return pa.table(
         {
             "query_id": pa.array(q_l, pa.int64()),
