@@ -89,3 +89,58 @@ def test_midscale_dedup_oracles(ray_session):
         got = canon(fn())
         want = canon(con.sql(sqls[name]).df())
         assert got.equals(want), name
+
+
+def test_midscale_rows_only_contracts(ray_session):
+    """The rows-only entries' property contracts at sf0.1 (the sf0.01
+    versions run in the default suite): IVF recall vs exact kNN,
+    embedding-LSH subset + recall vs the exact block-pair answer, and the
+    HLL estimate inside its theoretical error bound vs the exact distinct
+    count."""
+    import duckdb
+    import pytest as _pytest
+
+    from web_search_engine_ray.pipelines import dedup
+    from web_search_engine_ray.pipelines.similarity import ivf_knn, knn_cosine
+    from web_search_engine_ray.pipelines.sketch import HLL_P, hll_distinct_terms
+
+    sf = "/root/testdata/sf0.1"
+
+    # IVF recall: nprobe=4 of 16 cells must keep >= half the exact top-k
+    exact = knn_cosine(sf, n_queries=3, topk=10).to_pandas()
+    approx = ivf_knn(sf, n_queries=3, topk=10, n_cells=16, nprobe=4).to_pandas()
+    em = {(q, v): c for q, v, c in exact.itertuples(index=False)}
+    hits = 0
+    for q, v, c in approx.itertuples(index=False):
+        if (q, v) in em:
+            hits += 1
+            assert abs(em[(q, v)] - c) < 1e-9
+    assert hits / len(exact) >= 0.5, hits / len(exact)
+
+    # embedding LSH: subset of exact, recall >= 0.8, cos agree on shared
+    e_pairs = dedup.embedding_dups(sf, tau=0.45).to_pandas()
+    a_pairs = dedup.embedding_dups_lsh(sf, tau=0.45).to_pandas()
+    ke = set(zip(e_pairs["vec_id_a"], e_pairs["vec_id_b"]))
+    ka = set(zip(a_pairs["vec_id_a"], a_pairs["vec_id_b"]))
+    assert ka <= ke
+    assert len(ka & ke) / max(1, len(ke)) >= 0.8
+    ecos = {(a, b): c for a, b, c in e_pairs.itertuples(index=False)}
+    for a, b, c in a_pairs.itertuples(index=False):
+        assert ecos[(a, b)] == _pytest.approx(c, abs=2e-6)  # f32 transport
+
+    # HLL estimate vs exact distinct terms (DuckDB twin of the tokenizer's
+    # distinct-count is not available, so count via the engine's term_stats
+    # oracle instead)
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exact_terms = con.sql(
+        f"SELECT COUNT(*) AS n FROM ({entrymod.oracle_sql()['term_stats']})"
+    ).fetchone()[0]
+    est = hll_distinct_terms(sf)["estimate"][0].as_py()
+    rel_err = abs(est - exact_terms) / exact_terms
+    # 3 sigma of the HLL standard error 1.04/sqrt(2^p)
+    assert rel_err <= 3 * 1.04 / (1 << HLL_P) ** 0.5, (est, exact_terms)
