@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         dedup,
         events,
+        legacy,
         serving,
         similarity,
         sketch,
@@ -96,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(
             sf, k1=RERANK_K1, k2=RERANK_K2
         ),
+        # ---- legacy run interop (SURVEY S4/S5): corpus -> reference-format
+        # TSV+RUN1 runs -> autodetected import -> native index -> decode all
+        # postings; must equal the corpus postings relation
+        "postings_legacy_runs": legacy.postings_via_legacy_runs,
         # ---- crawl (HW1 pipeline over the injected fake web) ----
         "crawl_log": lambda sf: serving.crawl_log_table(sf),
         # ---- dedup family + composed curation ----
@@ -167,6 +172,11 @@ WITH {tok_cte},
 
     return {
         "postings": f"""
+WITH {tok_cte}
+SELECT term, doc_id AS docid, count(*)::BIGINT AS tf
+FROM tok GROUP BY term, doc_id
+""",
+        "postings_legacy_runs": f"""
 WITH {tok_cte}
 SELECT term, doc_id AS docid, count(*)::BIGINT AS tf
 FROM tok GROUP BY term, doc_id

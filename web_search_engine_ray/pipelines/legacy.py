@@ -287,3 +287,137 @@ def build_index_from_runs(
     }
     mf.write_manifest(os.path.join(out_dir, "build.json"), build)
     return build
+
+
+def export_legacy_runs(
+    sf_dir: str, run_dir: str, n_partitions: int = 4
+) -> int:
+    """Export half of the interop story: tokenize the documents corpus into
+    reference-format run files a reference merge can consume — alternating
+    legacy TSV / binary RUN1 per partition, each (term, docid)-sorted. One
+    Ray task per partition (row-group-pruned reads). Returns n_docs."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.functions.tokenize import batch_postings
+    from web_search_engine_ray.sources.transcripts import (
+        partition_docids,
+        plan_partitions,
+        read_partition,
+    )
+    from web_search_engine_ray.sources.legacy_runs import (
+        write_run1,
+        write_tsv_run,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = pq.read_metadata(path).num_rows
+    descs, n_docs = plan_partitions(
+        [path], partition_rows=max(1, -(-n_rows // n_partitions))
+    )
+    os.makedirs(run_dir, exist_ok=True)
+
+    def _one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for desc in batch.to_pylist():
+            t = read_partition(desc, columns=["text"])
+            postings, _ = batch_postings(partition_docids(desc), t["text"])
+            pid = int(desc["pid"])
+            if pid % 2 == 0:
+                p = os.path.join(run_dir, f"run_{pid:04d}.tsv")
+                write_tsv_run(postings, p)
+            else:
+                p = os.path.join(run_dir, f"run_{pid:04d}.run")
+                write_run1(postings, p)
+            outs.append(p)
+        return pa.table({"path": pa.array(outs, pa.string())})
+
+    ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
+    ds.map_batches(_one, batch_format="pyarrow", batch_size=None).materialize()
+    return n_docs
+
+
+def decode_all_postings(index_dir: str):
+    """Every (term, docid, tf) stored in a built index, decoded from the
+    blocked varbyte shards — one Ray task per shard."""
+    import glob as _glob
+
+    import ray.data
+
+    from web_search_engine_ray.state.lexicon import LexiconShard
+    from web_search_engine_ray.state.listio import PostingsShardReader
+
+    lex_files = sorted(
+        _glob.glob(os.path.join(index_dir, "index", "*.lexicon"))
+    )
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        lens: list[int] = []
+        docs: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        for r in batch.to_pylist():
+            lex = LexiconShard.load(r["path"])
+            reader = PostingsShardReader(
+                r["path"][: -len(".lexicon")] + ".postings"
+            )
+            for term in lex.terms:
+                d, f = reader.read_postings(lex.get(term))
+                terms.append(term)
+                lens.append(d.size)
+                docs.append(d)
+                tfs.append(f)
+            reader.close()
+        idx = np.repeat(np.arange(len(terms), dtype=np.int64), lens)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "term": pc.take(pa.array(terms, pa.string()), pa.array(idx)),
+                "docid": pa.array(
+                    np.concatenate(docs) if docs else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "tf": pa.array(
+                    np.concatenate(tfs) if tfs else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    ds = ray.data.from_items(
+        [{"path": p} for p in lex_files],
+        override_num_blocks=max(1, len(lex_files)),
+    )
+    return ds.map_batches(_decode, batch_format="pyarrow", batch_size=None)
+
+
+def postings_via_legacy_runs(sf_dir: str) -> "pa.Table":
+    """Driver-gate conformance relation for the WHOLE S4/S5 interop path:
+    corpus -> reference-format runs (TSV + RUN1 mixed) -> autodetect ->
+    native index build -> decode every posting back out. Must equal the
+    corpus postings relation (same SQL oracle as ``postings``)."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="wse_legacy_", dir="/tmp")
+    try:
+        run_dir = os.path.join(scratch, "runs")
+        idx_dir = os.path.join(scratch, "idx")
+        n_docs = export_legacy_runs(sf_dir, run_dir)
+        build_index_from_runs(
+            run_dir, idx_dir, n_docs=n_docs, num_shards=4, n_salts=4
+        )
+        out = decode_all_postings(idx_dir)
+        t = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow")]
+        )
+        return pa.table(
+            {
+                "term": t["term"],
+                "docid": t["docid"].cast(pa.int64()),
+                "tf": t["tf"].cast(pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
