@@ -258,15 +258,22 @@ def lm_score_ds(sf_dir: str):
         ).filter(pl.col("w").list.len() >= 2)
         out = np.zeros(n_rows, dtype=np.float64)
         if df.height:
+            pairs = df.select(
+                "rid",
+                w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+                w2=pl.col("w").list.slice(1),
+            ).explode(["w1", "w2"])
+            # model lookups via the batch's DISTINCT bigrams/prefixes: the
+            # inner join builds its hash on the small distinct side and
+            # streams the model through it — joining the model directly
+            # would rebuild a vocab^2-scale hash table EVERY batch (the
+            # measured 3x cost on the 2M-doc stress)
+            dp = pairs.select("w1", "w2").unique()
+            mbi = bi.join(dp, on=["w1", "w2"], how="inner")
+            mpre = pre.join(dp.select("w1").unique(), on="w1", how="inner")
             pairs = (
-                df.select(
-                    "rid",
-                    w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
-                    w2=pl.col("w").list.slice(1),
-                )
-                .explode(["w1", "w2"])
-                .join(bi, on=["w1", "w2"], how="left")
-                .join(pre, on="w1", how="left")
+                pairs.join(mbi, on=["w1", "w2"], how="left")
+                .join(mpre, on="w1", how="left")
                 .with_columns(
                     s=(
                         (pl.col("c2").fill_null(0.0) + 1.0)
