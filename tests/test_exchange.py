@@ -222,3 +222,64 @@ def test_exchange_property_random(ray_session):
         want = want.sort_values("k").reset_index(drop=True)
         assert got["k"].tolist() == want["k"].tolist(), trial
         assert got["v"].tolist() == want["v"].tolist(), trial
+
+
+def test_exchange_auto_shrink_invariance(ray_session):
+    """auto_shrink picks a divisor partition count from the block count;
+    per-key merge results must be identical to the unshrunk exchange, and
+    with_index + auto_shrink must refuse."""
+    import polars as pl
+    import pytest as _pytest
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    ds_small = _make_ds(n_rows=200, n_blocks=2)
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("k").agg(pl.col("v").sum()).to_arrow()
+        )
+
+    a = (
+        exchange_map(
+            _make_ds(200, 2), lambda t: t["k"].to_numpy() % 64, 64, merge
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    b = (
+        exchange_map(
+            ds_small,
+            lambda t: t["k"].to_numpy() % 64,
+            64,
+            merge,
+            auto_shrink=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # shrunk: far fewer output blocks than 64 for a 2-block input
+    n_blocks = len(
+        exchange_map(
+            _make_ds(200, 2),
+            lambda t: t["k"].to_numpy() % 64,
+            64,
+            merge,
+            auto_shrink=True,
+        ).to_arrow_refs()
+    )
+    assert n_blocks <= 8
+
+    with _pytest.raises(ValueError, match="with_index"):
+        exchange_map(
+            ds_small,
+            lambda t: t["k"].to_numpy() % 64,
+            64,
+            merge,
+            with_index=True,
+            auto_shrink=True,
+        )

@@ -233,7 +233,7 @@ def lm_score_ds(sf_dir: str):
 
     ds = _read_docs(sf_dir)
     partials = ds.map_batches(_bigram_partials, batch_format="pyarrow")
-    merged = exchange_map(partials, _part, 32, _merge)
+    merged = exchange_map(partials, _part, 32, _merge, auto_shrink=True)
     # collect the finished model COLUMNAR (arrow concat — no Python loop over
     # millions of bigram rows) and derive prefix counts / V in polars
     model = pl.from_arrow(pa.concat_tables(ray.get(merged.to_arrow_refs())))

@@ -100,7 +100,7 @@ def term_stats_ds(sf_dir: str):
     ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
     # partition hash exchange + local polars merge (routing is
     # correctness-neutral; merged sums are partition-invariant)
-    return exchange_map(ds, route, 32, merge)
+    return exchange_map(ds, route, 32, merge, auto_shrink=True)
 
 
 def dl_from_postings_ds(sf_dir: str):

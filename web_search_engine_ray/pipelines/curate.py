@@ -108,7 +108,7 @@ def curated_docs_ds(
         return pa.table({"docid": pa.array(p[keep] >> 1, pa.int64())})
 
     sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio, hash_fn)
-    return exchange_map(sig, _hash_route("text_hash"), 32, merge)
+    return exchange_map(sig, _hash_route("text_hash"), 32, merge, auto_shrink=True)
 
 
 def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6) -> pa.Table:
@@ -152,7 +152,9 @@ def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float
         )
 
     sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio)
-    parts = exchange_map(sig, _hash_route("text_hash"), 32, partial).to_pandas()
+    parts = exchange_map(
+        sig, _hash_route("text_hash"), 32, partial, auto_shrink=True
+    ).to_pandas()
     return pa.table(
         {
             "n_input": pa.array([int(parts["n_input"].sum())], pa.int64()),

@@ -142,7 +142,7 @@ def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
         )
 
     ds = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
-    return exchange_map(ds, _hash_route("text_hash"), 32, merge)
+    return exchange_map(ds, _hash_route("text_hash"), 32, merge, auto_shrink=True)
 
 
 # ------------------------------------------------------------- hashing core
@@ -370,13 +370,21 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     # a coarse int and the pair fn is vectorized over a whole partition —
     # a sort shuffle would pay its multi-second floor for nothing
     pairs = exchange_map(
-        ds, lambda t: _col(t, "bhash") % N_PARTS, N_PARTS, partition_pairs
+        ds,
+        lambda t: _col(t, "bhash") % N_PARTS,
+        N_PARTS,
+        partition_pairs,
+        auto_shrink=True,
     )
     # the same pair can surface from several bands (different bhash -> maybe
     # a different partition): dedupe in a second coarse exchange keyed on
     # docid_a ranges, vectorized within each group
     return exchange_map(
-        pairs, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, dedup_pairs
+        pairs,
+        lambda t: _col(t, "docid_a") % N_PARTS,
+        N_PARTS,
+        dedup_pairs,
+        auto_shrink=True,
     )
 
 
@@ -604,9 +612,12 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
         lambda t: _col(t, "jkey") % N_PARTS,
         N_PARTS,
         join_shingles,
+        auto_shrink=True,
     )
     pair_rows = cand.map_batches(pairs_to_rows, batch_format="pyarrow")
-    return exchange_map(shingle_rows.union(pair_rows), "p", N_PARTS, verify)
+    return exchange_map(
+        shingle_rows.union(pair_rows), "p", N_PARTS, verify, auto_shrink=True
+    )
 
 
 # ---------------------------------------------------------------- simhash
@@ -822,7 +833,11 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
         band_pairs,
     )
     return exchange_map(
-        pairs, lambda t: _col(t, "docid_a") % N_PARTS, N_PARTS, dedup_pairs
+        pairs,
+        lambda t: _col(t, "docid_a") % N_PARTS,
+        N_PARTS,
+        dedup_pairs,
+        auto_shrink=True,
     )
 
 
@@ -1096,7 +1111,12 @@ def embedding_dups_lsh(
         lambda t: (_col(t, "bucket") + _col(t, "rep") * 131) % N_PARTS,
         N_PARTS,
         bucket_pairs,
+        auto_shrink=True,
     )
     return exchange_map(
-        pairs, lambda t: _col(t, "vec_id_a") % N_PARTS, N_PARTS, dedup_pairs
+        pairs,
+        lambda t: _col(t, "vec_id_a") % N_PARTS,
+        N_PARTS,
+        dedup_pairs,
+        auto_shrink=True,
     )

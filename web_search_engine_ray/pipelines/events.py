@@ -112,6 +112,7 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
         lambda t: (_np(t["window_start"]) // window_s) % 32,
         32,
         _window_merge,
+        auto_shrink=True,
     )
 
 
@@ -162,7 +163,9 @@ def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
 
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
-    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, sessions_part)
+    return exchange_map(
+        ds, lambda t: _np(t["user_id"]) % N, N, sessions_part, auto_shrink=True
+    )
 
 
 HOP_S = 900
@@ -202,6 +205,7 @@ def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S)
         lambda t: (_np(t["window_start"]) // hop_s) % 32,
         32,
         _window_merge,
+        auto_shrink=True,
     )
 
 
@@ -312,7 +316,9 @@ def asof_join_ds(
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(keep_types, batch_format="pyarrow")
-    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, join_part)
+    return exchange_map(
+        ds, lambda t: _np(t["user_id"]) % N, N, join_part, auto_shrink=True
+    )
 
 
 def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
@@ -367,4 +373,6 @@ def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
 
     N = 32
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
-    return exchange_map(ds, lambda t: _np(t["user_id"]) % N, N, join_part)
+    return exchange_map(
+        ds, lambda t: _np(t["user_id"]) % N, N, join_part, auto_shrink=True
+    )

@@ -57,6 +57,7 @@ def exchange_map(
     drop_part_col: bool = True,
     max_split_tasks: int = 16,
     with_index: bool = False,
+    auto_shrink: bool = False,
 ):
     """Apply ``fn`` once per hash partition of ``ds``, without a sort
     shuffle. ``part`` is either the name of an int column with values in
@@ -74,9 +75,32 @@ def exchange_map(
     ``max_split_tasks`` toward the node count so splitters parallelize.
 
     ``with_index=True`` calls ``fn(table, partition_index)`` — for sinks
-    that need a deterministic per-partition output name."""
+    that need a deterministic per-partition output name.
+
+    ``auto_shrink=True`` lowers the partition count for small inputs: the
+    effective count is the largest power-of-two DIVISOR of ``n_parts`` not
+    far above twice the input block count, and routing values are re-modded
+    (``(x % n) % d == x % d`` when ``d | n``), so every key still lands
+    whole in one partition. Use ONLY for per-key merge fns whose result is
+    partition-count invariant (aggregates, dedup, pair verify) — never for
+    sinks or ``with_index`` fns, where the partition index is part of the
+    output contract (raises on that combination). A tiny sf-scale input
+    then pays ~4 apply tasks instead of 64; at corpus scale the count is
+    unchanged."""
     import ray
     import ray.data
+
+    if auto_shrink and with_index:
+        raise ValueError("auto_shrink would change with_index partition ids")
+
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        raise ValueError("exchange_map needs at least one input block")
+    orig_parts = n_parts
+    if auto_shrink:
+        target = max(4, 2 * len(blocks))
+        while n_parts % 2 == 0 and n_parts >= 2 * target:
+            n_parts //= 2
 
     @ray.remote(num_returns=n_parts)
     def split(*ts: pa.Table):
@@ -95,11 +119,13 @@ def exchange_map(
             p = t[part].combine_chunks().to_numpy(zero_copy_only=False)
             if drop_part_col:
                 t = t.drop_columns([part])
-        if p.size and (p.min() < 0 or p.max() >= n_parts):
+        if p.size and (p.min() < 0 or p.max() >= orig_parts):
             raise ValueError(
-                f"partition values outside [0, {n_parts}): "
+                f"partition values outside [0, {orig_parts}): "
                 f"[{p.min()}, {p.max()}] — rows would be dropped silently"
             )
+        if n_parts != orig_parts:
+            p = p % n_parts  # n_parts | orig_parts, so keys stay whole
         order = np.argsort(p, kind="stable")
         sorted_p = p[order]
         bounds = np.searchsorted(sorted_p, np.arange(n_parts + 1))
@@ -125,9 +151,6 @@ def exchange_map(
             t = trusted[0] if trusted else parts[0]
         return fn(t, pi) if with_index else fn(t)
 
-    blocks = ds.to_arrow_refs()
-    if not blocks:
-        raise ValueError("exchange_map needs at least one input block")
     gsize = max(1, -(-len(blocks) // max_split_tasks))
     groups = [blocks[i : i + gsize] for i in range(0, len(blocks), gsize)]
     per_group = [split.remote(*g) for g in groups]
