@@ -110,3 +110,53 @@ def test_lexicon_shard_roundtrip(tmp_path):
         d, f = r.read_postings(e)
         assert d.tolist() == list(range(20))
     assert lex2.get("zz") is None
+
+
+def test_decoded_lru_cache(tmp_path):
+    """T4 parity (reference profkit.LRU): repeated term reads hit the
+    decoded cache, results identical, byte bound enforced, cached arrays
+    read-only."""
+    import numpy as np
+    import pytest as _pytest
+
+    from web_search_engine_ray.state.listio import (
+        PostingsShardReader,
+        PostingsShardWriter,
+    )
+
+    path = str(tmp_path / "shard.postings")
+    w = PostingsShardWriter(path, block_size=4)
+    entries = {}
+    for i, term in enumerate(["alpha", "beta", "gamma"]):
+        d = np.arange(i, i + 300, dtype=np.uint64) * 3
+        f = (d % 7 + 1).astype(np.uint64)
+        entries[term] = (w.add_term(term, d, f), d, f)
+    w.close()
+
+    r = PostingsShardReader(path, cache_bytes=1 << 20)
+    for term, (e, d, f) in entries.items():
+        d1, f1 = r.read_postings(e)
+        d2, f2 = r.read_postings(e)
+        assert np.array_equal(d1, d) and np.array_equal(f1, f)
+        assert np.array_equal(d2, d) and np.array_equal(f2, f)
+    assert r.cache.hits >= 3
+    with _pytest.raises(ValueError):
+        r.read_postings(entries["alpha"][0])[0][0] = 1  # read-only
+    # block decodes cache independently
+    b1 = r._decode_block(entries["alpha"][0], 0)
+    b2 = r._decode_block(entries["alpha"][0], 0)
+    assert np.array_equal(b1[0], b2[0])
+    r.close()
+
+    # tiny budget: evicts, never exceeds the bound
+    r2 = PostingsShardReader(path, cache_bytes=4096)
+    for term, (e, d, f) in entries.items():
+        r2.read_postings(e)
+        assert r2.cache.bytes <= 4096
+    # disabled cache path still works
+    r3 = PostingsShardReader(path, cache_bytes=0)
+    d1, f1 = r3.read_postings(entries["beta"][0])
+    assert np.array_equal(d1, entries["beta"][1])
+    assert r3.cache is None
+    r2.close()
+    r3.close()

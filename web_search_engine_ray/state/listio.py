@@ -192,15 +192,54 @@ class PostingsShardWriter:
         return self._offset
 
 
+class _DecodedLRU:
+    """Byte-bounded LRU for decoded posting arrays (the engine's version of
+    the reference's decoded-block cache, ``HW2/profkit.py:30-47``). Values
+    are (docids, freqs) numpy pairs, marked read-only before caching so a
+    mutating caller fails loudly instead of corrupting later hits."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+        self._d: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+    def get(self, key: tuple):
+        got = self._d.get(key)
+        if got is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        self._d[key] = self._d.pop(key)  # refresh LRU position
+        return got
+
+    def put(self, key: tuple, docids: np.ndarray, freqs: np.ndarray):
+        sz = int(docids.nbytes + freqs.nbytes)
+        if sz > self.max_bytes:
+            return  # one giant list must not evict the whole cache
+        docids.setflags(write=False)
+        freqs.setflags(write=False)
+        while self.bytes + sz > self.max_bytes and self._d:
+            oldest = next(iter(self._d))
+            d, f = self._d.pop(oldest)
+            self.bytes -= int(d.nbytes + f.nbytes)
+        self._d[key] = (docids, freqs)
+        self.bytes += sz
+
+
 class PostingsShardReader:
     """Reads a postings shard written by :class:`PostingsShardWriter`.
 
     The shard file is memory-mapped read-only: block decodes slice the map
     directly (zero syscalls per block, OS page cache shared across query
     actors on a node — the serving model the reference approximates with one
-    open fd per Searcher, ``HW2/engine/searcher.py:28``)."""
+    open fd per Searcher, ``HW2/engine/searcher.py:28``). On top of the page
+    cache sits a byte-bounded LRU of DECODED arrays (``cache_bytes``, 0
+    disables) keyed per block and per whole term — repeated terms (stopword
+    queries, WAND re-seeks) skip the varbyte decode entirely."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, cache_bytes: int = 32 << 20):
         import mmap
 
         self.path = path
@@ -210,6 +249,7 @@ class PostingsShardReader:
             mmap.mmap(self.file.fileno(), 0, access=mmap.ACCESS_READ) if size else None
         )
         self._view = memoryview(self._mm) if self._mm is not None else memoryview(b"")
+        self.cache = _DecodedLRU(cache_bytes) if cache_bytes else None
 
     def close(self) -> None:
         self._view.release()
@@ -231,7 +271,13 @@ class PostingsShardReader:
     def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
         """Full postings of a term -> (docids u64, freqs u64), whole-term
         vectorized decode (gap chaining makes concatenated doc segments one
-        valid gap stream with base 0)."""
+        valid gap stream with base 0). Cached per term (read-only arrays —
+        copy before mutating)."""
+        if self.cache is not None:
+            key = ("t", int(entry["offset"]))
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit
         buf = self._read_extent(entry)
         db, fb = entry["blk_doc_bytes"], entry["blk_freq_bytes"]
         rel = entry["blk_offset"] - entry["offset"]
@@ -245,9 +291,16 @@ class PostingsShardReader:
             freq_parts = [buf[int(r + n) : int(r + n + m)] for r, n, m in zip(rel, db, fb)]
             docids = np.frombuffer(b"".join(doc_parts), dtype="<u8").astype(np.uint64)
             freqs = np.frombuffer(b"".join(freq_parts), dtype="<u4").astype(np.uint64)
+        if self.cache is not None:
+            self.cache.put(("t", int(entry["offset"])), docids, freqs)
         return docids, freqs
 
     def _decode_block(self, entry: dict, bidx: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.cache is not None:
+            key = ("b", int(entry["offset"]), bidx)
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit
         off = int(entry["blk_offset"][bidx])
         db = int(entry["blk_doc_bytes"][bidx])
         fb = int(entry["blk_freq_bytes"][bidx])
@@ -261,6 +314,8 @@ class PostingsShardReader:
             freqs = np.frombuffer(raw[db:], dtype="<u4").astype(np.uint64)
         if docids.size != freqs.size:
             raise ValueError("corrupt block: docid/freq length mismatch")
+        if self.cache is not None:
+            self.cache.put(("b", int(entry["offset"]), bidx), docids, freqs)
         return docids, freqs
 
     def read_tfs_for(self, entry: dict, targets: np.ndarray) -> np.ndarray:
