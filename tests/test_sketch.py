@@ -191,3 +191,28 @@ def test_hybrid_rerank_shape_and_determinism(ray_session):
         g = grp.reset_index(drop=True)
         for i in range(len(g) - 1):
             assert g["cos"][i] >= g["cos"][i + 1]
+
+
+def test_sample_fast_hash_path(ray_session):
+    """hash_fn='fast': pure-numpy splitmix priorities — k rows,
+    deterministic, and a valid (different) uniform sample; md5 stays the
+    oracle default."""
+    import pytest as _pytest
+
+    from web_search_engine_ray.pipelines.sketch import (
+        sample_docs,
+        sample_per_type,
+    )
+
+    a = sample_docs(SF, k=50, hash_fn="fast")
+    b = sample_docs(SF, k=50, hash_fn="fast")
+    assert a.num_rows == 50 and a.equals(b)
+    md5 = sample_docs(SF, k=50)
+    assert set(a["docid"].to_pylist()) != set(md5["docid"].to_pylist())
+
+    s1 = sample_per_type(SF, k=5, hash_fn="fast")
+    s2 = sample_per_type(SF, k=5, hash_fn="fast")
+    assert s1.equals(s2) and s1.num_rows > 0
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        sample_docs(SF, k=5, hash_fn="sha1")

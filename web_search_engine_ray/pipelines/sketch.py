@@ -102,23 +102,39 @@ def hll_distinct_terms(sf_dir: str, p: int = HLL_P) -> pa.Table:
     )
 
 
-def sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
-    """(docid): deterministic k-sample — the k docids with the smallest
-    md5-low-64 priority. Per-batch top-k partials; the driver merges k-row
-    tables. Exact SQL twin: ORDER BY md5_number_lower(doc_id::VARCHAR),
-    doc_id LIMIT k."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        prio = np.array(
+def _sample_priorities(ids: np.ndarray, hash_fn: str) -> np.ndarray:
+    """Deterministic per-id sampling priority. "md5" (default) is the
+    oracle-checked path (DuckDB ``md5_number_lower`` twin; per-row loop at
+    C digest speed). "fast" is a pure-numpy splitmix64 over the id — no
+    per-row Python at all; use for production sampling where no SQL twin
+    is needed (different — but equally uniform — sample)."""
+    if hash_fn == "md5":
+        return np.array(
             [
                 int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
                 for d in ids
             ],
             dtype=np.uint64,
         )
+    if hash_fn == "fast":
+        from web_search_engine_ray.pipelines.dedup import _splitmix
+
+        return _splitmix(ids.astype(np.uint64) ^ np.uint64(0xA5A5A5A55A5A5A5A))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'fast')")
+
+
+def sample_docs(sf_dir: str, k: int = 100, hash_fn: str = "md5") -> pa.Table:
+    """(docid): deterministic k-sample — the k docids with the smallest
+    hash priority (:func:`_sample_priorities`). Per-batch top-k partials;
+    the driver merges k-row tables. Exact SQL twin for the md5 default:
+    ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id LIMIT k."""
+    _sample_priorities(np.empty(0, np.int64), hash_fn)  # validate eagerly
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        prio = _sample_priorities(ids, hash_fn)
         kk = min(k, ids.size)
         if kk == 0:
             return pa.table(
@@ -139,13 +155,15 @@ def sample_docs(sf_dir: str, k: int = 100) -> pa.Table:
     return pa.table({"docid": pa.array(np.sort(ids[order]), pa.int64())})
 
 
-def sample_per_type(sf_dir: str, k: int = 20) -> pa.Table:
+def sample_per_type(sf_dir: str, k: int = 20, hash_fn: str = "md5") -> pa.Table:
     """(event_type, event_id): stratified deterministic sample — the k
     smallest md5-low-64 priorities WITHIN each event_type of the events
     table. Per-batch per-type top-k partials (vectorized lexsort over the
     batch), driver merges #types x k rows. Exact SQL twin: row_number OVER
     (PARTITION BY type ORDER BY hash) <= k."""
     import ray.data
+
+    _sample_priorities(np.empty(0, np.int64), hash_fn)  # validate eagerly
 
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -154,13 +172,7 @@ def sample_per_type(sf_dir: str, k: int = 20) -> pa.Table:
             np.int64
         )
         types = pl.from_arrow(batch["event_type"])
-        prio = np.array(
-            [
-                int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
-                for i in ids
-            ],
-            dtype=np.uint64,
-        )
+        prio = _sample_priorities(ids, hash_fn)
         d = pl.DataFrame(
             {"event_type": types, "event_id": ids, "prio": prio}
         )
