@@ -27,6 +27,14 @@ QUERIES = [
     "Machine LEARNING",         # case-insensitive query path
     "v1.2-beta",
     "w0003 w0004 w0005",        # 3-term
+    # the reference's literal benchmark query set (HW2/benchmark.txt
+    # boolean-vs-DAAT section) — rank identity must hold on these exact
+    # strings regardless of which terms the synthetic corpus contains
+    "overturned carriage",
+    "communication policy",
+    "manhattan project bomb",
+    "u.s policy",
+    "3.14 math",
 ]
 
 
