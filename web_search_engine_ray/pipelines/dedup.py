@@ -455,14 +455,18 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
         a = _col(t, "docid_a")
         b = _col(t, "docid_b")
         p = a % N_PARTS
+        # per-batch (jkey, p) dedup: clone-heavy corpora repeat endpoints
+        # across thousands of pairs — ship each request once per batch
+        jk = np.concatenate([a, b])
+        pp = np.concatenate([p, p])
+        u = np.unique(np.stack([jk, pp], axis=1), axis=0)
+        n = u.shape[0]
         return pa.table(
             {
-                "jkey": pa.array(np.concatenate([a, b]), pa.int64()),
-                "kind": pa.array(
-                    np.full(2 * a.size, _JK_REQUEST, np.int8), pa.int8()
-                ),
-                "p": pa.array(np.concatenate([p, p]), pa.int64()),
-                "text": pa.nulls(2 * a.size, pa.string()),
+                "jkey": pa.array(u[:, 0], pa.int64()),
+                "kind": pa.array(np.full(n, _JK_REQUEST, np.int8), pa.int8()),
+                "p": pa.array(u[:, 1], pa.int64()),
+                "text": pa.nulls(n, pa.string()),
             }
         )
 
@@ -498,6 +502,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
             .sort(["jkey", "p"])
         )
         # shingle each distinct doc once, then fan its set out per partition
+        # with a vectorized offset gather (no per-(doc, partition) Python)
         docs = need.unique(subset="jkey", maintain_order=True)
         sh_per_doc = (
             [
@@ -507,14 +512,26 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
             if docs.height
             else []
         )
-        doc_row = {int(d): i for i, d in enumerate(docs["jkey"])}
-        rows = [sh_per_doc[doc_row[int(d)]] for d in need["jkey"]]
-        lens = np.array([r.size for r in rows], dtype=np.int64)
+        doc_lens = np.array([r.size for r in sh_per_doc], dtype=np.int64)
+        doc_offs = np.zeros(doc_lens.size + 1, dtype=np.int64)
+        np.cumsum(doc_lens, out=doc_offs[1:])
+        doc_values = (
+            np.concatenate(sh_per_doc)
+            if sh_per_doc
+            else np.empty(0, dtype=np.uint64)
+        )
+        dkeys = docs["jkey"].to_numpy()  # ascending (need sorted by jkey)
+        idx = np.searchsorted(dkeys, need["jkey"].to_numpy())
+        lens = doc_lens[idx]
         offsets = np.zeros(lens.size + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        values = (
-            np.concatenate(rows) if rows else np.empty(0, dtype=np.uint64)
+        total = int(offsets[-1])
+        pos = (
+            np.repeat(doc_offs[idx], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)
         )
+        values = doc_values[pos]
         shingles = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
         ).cast(pa.list_(pa.uint64()))
@@ -571,22 +588,35 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
             )
         offs = sh.offsets.to_numpy()
         vals = sh.values.to_numpy(zero_copy_only=False)
-        row_of = {int(d): i for i, d in enumerate(did)}
+        # docid -> shingle row, vectorized (a doc can appear twice after an
+        # auto-shrunk exchange merges two p-values — copies are identical,
+        # any row works)
+        sorder = np.argsort(did, kind="stable")
+        dsorted = did[sorder]
+
+        def locate(x: np.ndarray) -> np.ndarray:
+            if dsorted.size == 0:
+                return np.full(x.size, -1, dtype=np.int64)
+            p_ = np.searchsorted(dsorted, x)
+            p_c = np.minimum(p_, dsorted.size - 1)
+            ok = dsorted[p_c] == x
+            return np.where(ok, sorder[p_c], -1)
+
+        ia_all = locate(a)
+        ib_all = locate(b)
         a_l, b_l, j_l = [], [], []
         for i in range(a.size):
-            ia = row_of.get(int(a[i]))
-            ib = row_of.get(int(b[i]))
-            sa = (
-                vals[offs[ia] : offs[ia + 1]]
-                if ia is not None
-                else vals[:0]
-            )
-            sb = (
-                vals[offs[ib] : offs[ib + 1]]
-                if ib is not None
-                else vals[:0]
-            )
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            ra, rb = int(ia_all[i]), int(ib_all[i])
+            sa = vals[offs[ra] : offs[ra + 1]] if ra >= 0 else vals[:0]
+            sb = vals[offs[rb] : offs[rb + 1]] if rb >= 0 else vals[:0]
+            if sa.size and sb.size:
+                # both sorted unique (_shingle_hashes is np.unique output):
+                # membership count beats intersect1d's concat+sort
+                p_ = np.searchsorted(sa, sb)
+                p_[p_ == sa.size] = sa.size - 1
+                inter = int(np.count_nonzero(sa[p_] == sb))
+            else:
+                inter = 0
             denom = sa.size + sb.size - inter
             if denom == 0:
                 continue
