@@ -174,6 +174,20 @@ def run_bench() -> dict:
 
     curate.curated_docs_ds(SF_DIR).count()
     timings["curated_docs_sf"] = round(time.perf_counter() - t0, 3)
+    from web_search_engine_ray.pipelines import events, sketch
+
+    t0 = time.perf_counter()
+    events.asof_join_ds(SF_DIR).count()
+    timings["events_asof_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    events.sessionize_ds(SF_DIR).count()
+    timings["events_sessionize_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    similarity.ivf_knn(SF_DIR)
+    timings["knn_ivf_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sketch.hll_distinct_terms(SF_DIR)
+    timings["hll_distinct_sf"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",

@@ -47,6 +47,9 @@ def detect_run_format(path: str) -> str:
 
 
 def read_tsv_run(path: str) -> pa.Table:
+    if os.path.getsize(path) == 0:
+        # the reference RunReader yields nothing for an empty run file
+        return RUN_SCHEMA.empty_table()
     t = pacsv.read_csv(
         path,
         read_options=pacsv.ReadOptions(
