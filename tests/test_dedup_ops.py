@@ -231,3 +231,30 @@ def test_text_hash_column_rejects_unknown():
 
     with _pytest.raises(ValueError, match="hash_fn"):
         text_hash_column(pa.array(["x"], pa.string()), "sha1")
+
+
+def test_null_text_groups_like_sql(ray_session, tmp_path):
+    """NULL-text docs form one dedup group, SEPARATE from empty-string
+    docs — SQL GROUP BY md5(text) semantics (md5(NULL) IS NULL, NULLs
+    group together)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.dedup import exact_dedup_ds
+
+    d = str(tmp_path / "nulls")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, "", None, "", "x"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = exact_dedup_ds(d).to_pandas()
+    # groups: {0,2} nulls, {1,3} empties, {4} -> 3 survivors 0, 1, 4
+    assert sorted(got["docid"]) == [0, 1, 4]
+    fast = exact_dedup_ds(d, hash_fn="fast").to_pandas()
+    assert sorted(fast["docid"]) == [0, 1, 4]

@@ -119,3 +119,38 @@ def test_range_join_skewed_user(ray_session, skew_dir):
     )
     chk = sess.merge(sizes, on=["user_id", "session_idx"], how="outer")
     assert (chk["n_events"] == chk["sz"]).all()
+
+
+def test_asof_self_join(ray_session, skew_dir):
+    """left_type == right_type is a SELF as-of join: each view event joins
+    its user's strictly-prior view (never itself), matching DuckDB."""
+    from web_search_engine_ray.pipelines.events import asof_join_ds
+
+    got = (
+        asof_join_ds(skew_dir, left_type="view", right_type="view")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{skew_dir}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT l.event_id, l.user_id,
+               epoch_us(r.ts) AS prior_epoch_us,
+               epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') l
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts > r.ts
+        ORDER BY l.event_id
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ["event_id", "user_id", "prior_epoch_us", "gap_us"]:
+        assert np.array_equal(
+            got[c].to_numpy().astype(np.int64),
+            want[c].to_numpy().astype(np.int64),
+        ), c

@@ -186,3 +186,20 @@ def test_dl_from_runs_matches_token_counts(ray_session, legacy_run_dir, tmp_path
             pl.get(docid, 0) for pl in oracle.index.values()
         )
         assert got[docid] == want, docid
+
+
+def test_build_from_runs_refuses_stale_conversions(
+    ray_session, legacy_run_dir, tmp_path
+):
+    """An out_dir holding conversions beyond the current source set must
+    refuse — stale runs would silently fold foreign postings in."""
+    import pytest as _pytest
+
+    from web_search_engine_ray.pipelines.legacy import build_index_from_runs
+
+    d, n_docs = legacy_run_dir
+    out = str(tmp_path / "stale")
+    files = sorted(glob.glob(d + "/*"))
+    build_index_from_runs(files, out, n_docs=n_docs, num_shards=4)
+    with _pytest.raises(ValueError, match="not in this source set"):
+        build_index_from_runs(files[:2], out, n_docs=n_docs, num_shards=4)

@@ -80,6 +80,10 @@ def _doc_signals(
 def _signals_ds(
     sf_dir: str, min_tokens: int, max_stop_ratio: float, hash_fn: str = "md5"
 ):
+    from web_search_engine_ray.pipelines.dedup import text_hash_column
+
+    text_hash_column(pa.array([], pa.string()), hash_fn)  # validate eagerly
+
     def signals(batch: pa.Table) -> pa.Table:
         return _doc_signals(batch, min_tokens, max_stop_ratio, hash_fn)
 

@@ -94,11 +94,20 @@ def text_hash_column(
       no per-row interpreter work. 64 bits means birthday collisions
       become likely past ~10^9 docs, and a collision silently merges two
       distinct docs; use it for throughput-bound pipeline work, keep md5
-      for archival dedup and anything oracle-compared."""
+      for archival dedup and anything oracle-compared.
+
+    NULL text hashes to the literal key ``"NULL"`` (not a 32-char hex
+    digest, so it cannot collide with any real md5): all NULL-text docs
+    form ONE group, SEPARATE from empty-string docs — exactly SQL's
+    ``GROUP BY md5(text)``, where ``md5(NULL)`` is NULL and NULLs group
+    together. (Polars' hash already keeps null distinct from "" on the
+    fast path.)"""
     if hash_fn == "md5":
         return pa.array(
             [
-                hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                "NULL"
+                if t is None
+                else hashlib.md5(t.encode("utf-8")).hexdigest()
                 for t in texts.to_pylist()
             ],
             pa.string(),
@@ -121,6 +130,7 @@ def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
     (hash, docid) row per doc moves, never the text."""
     from web_search_engine_ray.stages.exchange import exchange_map
 
+    text_hash_column(pa.array([], pa.string()), hash_fn)  # validate eagerly
     hash_type = pa.string() if hash_fn == "md5" else pa.uint64()
 
     def hash_batch(batch: pa.Table) -> pa.Table:
@@ -389,16 +399,6 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
 
 
 # ---------------------------------------------------------- ngram jaccard
-
-
-def _empty_jaccard_table() -> pa.Table:
-    return pa.table(
-        {
-            "docid_a": pa.array([], pa.int64()),
-            "docid_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
 
 
 # Row kinds for the union relations flowing through the jaccard exchanges.

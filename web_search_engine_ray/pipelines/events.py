@@ -291,9 +291,13 @@ def asof_join_ds(
         user = _np(t["user_id"])
         eid = _np(t["event_id"])
         etype = t["event_type"]
+        # explicit masks so left_type == right_type is a valid SELF as-of
+        # join (every event against its user's strictly-prior same-type
+        # event) rather than an empty left side
         right_m = _np(pa.compute.equal(etype, right_type), np.bool_)
+        left_m = _np(pa.compute.equal(etype, left_type), np.bool_)
         r_idx = np.flatnonzero(right_m)
-        l_idx = np.flatnonzero(~right_m)  # only the two types survive filter
+        l_idx = np.flatnonzero(left_m)
         if r_idx.size == 0 or l_idx.size == 0:
             return _EMPTY_ASOF
         r_order = np.lexsort((ep[r_idx], user[r_idx]))

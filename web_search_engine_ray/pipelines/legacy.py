@@ -216,6 +216,23 @@ def build_index_from_runs(
             {"manifest": pa.array([json.dumps(m) for m in out], pa.string())}
         )
 
+    # refuse an out_dir holding conversions beyond this source set: stale
+    # run_NNNN.parquet from a previous, larger invocation would otherwise
+    # be globbed into the doclens exchange and the merge silently
+    expected = {f"run_{i:06d}.parquet" for i in range(len(paths))}
+    stale = sorted(
+        f
+        for f in os.listdir(cfg.runs_dir)
+        if f.startswith("run_") and f.endswith(".parquet") and f not in expected
+    )
+    if stale:
+        raise ValueError(
+            f"{cfg.runs_dir} holds converted runs not in this source set "
+            f"({stale[:4]}{'...' if len(stale) > 4 else ''}); use a fresh "
+            "out_dir — mixing conversions would fold foreign postings into "
+            "the index"
+        )
+
     items = [{"path": p, "ordinal": i} for i, p in enumerate(paths)]
     ds = ray.data.from_items(items, override_num_blocks=len(items))
     conv = [
@@ -358,16 +375,19 @@ def decode_all_postings(index_dir: str):
         tfs: list[np.ndarray] = []
         for r in batch.to_pylist():
             lex = LexiconShard.load(r["path"])
+            # single-pass scan: decoded-LRU off (every term read once)
             reader = PostingsShardReader(
-                r["path"][: -len(".lexicon")] + ".postings"
+                r["path"][: -len(".lexicon")] + ".postings", cache_bytes=0
             )
-            for term in lex.terms:
-                d, f = reader.read_postings(lex.get(term))
-                terms.append(term)
-                lens.append(d.size)
-                docs.append(d)
-                tfs.append(f)
-            reader.close()
+            try:
+                for term in lex.terms:
+                    d, f = reader.read_postings(lex.get(term))
+                    terms.append(term)
+                    lens.append(d.size)
+                    docs.append(d)
+                    tfs.append(f)
+            finally:
+                reader.close()
         idx = np.repeat(np.arange(len(terms), dtype=np.int64), lens)
         import pyarrow.compute as pc
 

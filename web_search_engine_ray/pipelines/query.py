@@ -169,6 +169,11 @@ class Searcher:
         self._df_override: dict[str, int] = {}
         self._lex: dict[int, LexiconShard | None] = {}
         self._readers: dict[int, PostingsShardReader] = {}
+        # ONE decoded-postings budget for the whole searcher, shared by all
+        # shard readers — per-reader caches would scale with shard count
+        from web_search_engine_ray.state.listio import _DecodedLRU
+
+        self._decoded_cache = _DecodedLRU(64 << 20)
 
     def set_global_stats(self, n: int, avgdl: float, df_override: dict[str, int]) -> None:
         """Override corpus stats for doc-range-partitioned serving: this index
@@ -193,7 +198,7 @@ class Searcher:
         r = self._readers.get(sid)
         if r is None:
             path = os.path.join(self.dir, "index", f"shard_{sid:05d}.postings")
-            r = PostingsShardReader(path)
+            r = PostingsShardReader(path, cache=self._decoded_cache)
             self._readers[sid] = r
         return r
 

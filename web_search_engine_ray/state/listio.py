@@ -237,9 +237,20 @@ class PostingsShardReader:
     open fd per Searcher, ``HW2/engine/searcher.py:28``). On top of the page
     cache sits a byte-bounded LRU of DECODED arrays (``cache_bytes``, 0
     disables) keyed per block and per whole term — repeated terms (stopword
-    queries, WAND re-seeks) skip the varbyte decode entirely."""
+    queries, WAND re-seeks) skip the varbyte decode entirely. Pass an
+    existing :class:`_DecodedLRU` as ``cache`` to SHARE one budget across
+    many readers (a Searcher over thousands of shards must have one global
+    bound, not one per shard — keys carry the shard path).
 
-    def __init__(self, path: str, cache_bytes: int = 32 << 20):
+    Copy before mutating anything returned by read_postings/_decode_block:
+    cached arrays are read-only."""
+
+    def __init__(
+        self,
+        path: str,
+        cache_bytes: int = 32 << 20,
+        cache: "_DecodedLRU | None" = None,
+    ):
         import mmap
 
         self.path = path
@@ -249,7 +260,10 @@ class PostingsShardReader:
             mmap.mmap(self.file.fileno(), 0, access=mmap.ACCESS_READ) if size else None
         )
         self._view = memoryview(self._mm) if self._mm is not None else memoryview(b"")
-        self.cache = _DecodedLRU(cache_bytes) if cache_bytes else None
+        if cache is not None:
+            self.cache = cache
+        else:
+            self.cache = _DecodedLRU(cache_bytes) if cache_bytes else None
 
     def close(self) -> None:
         self._view.release()
@@ -274,7 +288,7 @@ class PostingsShardReader:
         valid gap stream with base 0). Cached per term (read-only arrays —
         copy before mutating)."""
         if self.cache is not None:
-            key = ("t", int(entry["offset"]))
+            key = ("t", self.path, int(entry["offset"]))
             hit = self.cache.get(key)
             if hit is not None:
                 return hit
@@ -292,12 +306,12 @@ class PostingsShardReader:
             docids = np.frombuffer(b"".join(doc_parts), dtype="<u8").astype(np.uint64)
             freqs = np.frombuffer(b"".join(freq_parts), dtype="<u4").astype(np.uint64)
         if self.cache is not None:
-            self.cache.put(("t", int(entry["offset"])), docids, freqs)
+            self.cache.put(("t", self.path, int(entry["offset"])), docids, freqs)
         return docids, freqs
 
     def _decode_block(self, entry: dict, bidx: int) -> tuple[np.ndarray, np.ndarray]:
         if self.cache is not None:
-            key = ("b", int(entry["offset"]), bidx)
+            key = ("b", self.path, int(entry["offset"]), bidx)
             hit = self.cache.get(key)
             if hit is not None:
                 return hit
@@ -315,7 +329,7 @@ class PostingsShardReader:
         if docids.size != freqs.size:
             raise ValueError("corrupt block: docid/freq length mismatch")
         if self.cache is not None:
-            self.cache.put(("b", int(entry["offset"]), bidx), docids, freqs)
+            self.cache.put(("b", self.path, int(entry["offset"]), bidx), docids, freqs)
         return docids, freqs
 
     def read_tfs_for(self, entry: dict, targets: np.ndarray) -> np.ndarray:
