@@ -156,7 +156,13 @@ def _heap_topk_select(docids: np.ndarray, scores: np.ndarray, k: int) -> list[in
 class Searcher:
     """Query-time state over a built index directory (one per process/actor)."""
 
-    def __init__(self, index_dir: str, k1: float = K1, b: float = B):
+    def __init__(
+        self,
+        index_dir: str,
+        k1: float = K1,
+        b: float = B,
+        cache_bytes: int = 64 << 20,
+    ):
         self.dir = index_dir
         with open(os.path.join(index_dir, "build.json")) as f:
             self.build = json.load(f)
@@ -173,7 +179,7 @@ class Searcher:
         # shard readers — per-reader caches would scale with shard count
         from web_search_engine_ray.state.listio import _DecodedLRU
 
-        self._decoded_cache = _DecodedLRU(64 << 20)
+        self._decoded_cache = _DecodedLRU(cache_bytes) if cache_bytes else None
 
     def set_global_stats(self, n: int, avgdl: float, df_override: dict[str, int]) -> None:
         """Override corpus stats for doc-range-partitioned serving: this index
@@ -198,7 +204,11 @@ class Searcher:
         r = self._readers.get(sid)
         if r is None:
             path = os.path.join(self.dir, "index", f"shard_{sid:05d}.postings")
-            r = PostingsShardReader(path, cache=self._decoded_cache)
+            r = (
+                PostingsShardReader(path, cache=self._decoded_cache)
+                if self._decoded_cache is not None
+                else PostingsShardReader(path, cache_bytes=0)
+            )
             self._readers[sid] = r
         return r
 
