@@ -214,13 +214,15 @@ def lm_score_ds(sf_dir: str):
     oracle computes the identical quantity."""
     import ray
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
 
     def _part(t: pa.Table) -> np.ndarray:
         # any deterministic-within-run routing works: merged counts are
         # partition-invariant, the hash only balances the exchange
         return (
-            pl.from_arrow(t["w1"]).hash(seed=7).to_numpy() % np.uint64(32)
+            pl.from_arrow(t["w1"]).hash(seed=7).to_numpy() % np.uint64(np_)
         ).astype(np.int64)
 
     def _merge(t: pa.Table) -> pa.Table:
@@ -233,7 +235,7 @@ def lm_score_ds(sf_dir: str):
 
     ds = _read_docs(sf_dir)
     partials = ds.map_batches(_bigram_partials, batch_format="pyarrow")
-    merged = exchange_map(partials, _part, 32, _merge, auto_shrink=True)
+    merged = exchange_map(partials, _part, np_, _merge, auto_shrink=True)
     # collect the finished model COLUMNAR (arrow concat — no Python loop over
     # millions of bigram rows) and derive prefix counts / V in polars
     model = pl.from_arrow(pa.concat_tables(ray.get(merged.to_arrow_refs())))

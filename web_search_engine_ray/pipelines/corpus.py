@@ -71,7 +71,9 @@ def term_stats_ds(sf_dir: str):
     small groupby-sum — the pre-aggregation pattern that keeps the shuffle
     tiny at scale."""
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
 
     def partial(batch: pa.Table) -> pa.Table:
         p = _to_postings(batch)
@@ -94,13 +96,13 @@ def term_stats_ds(sf_dir: str):
 
     def route(t: pa.Table) -> np.ndarray:
         return (
-            pl.from_arrow(t["term"]).hash(seed=7).to_numpy() % np.uint64(32)
+            pl.from_arrow(t["term"]).hash(seed=7).to_numpy() % np.uint64(np_)
         ).astype(np.int64)
 
     ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
     # partition hash exchange + local polars merge (routing is
     # correctness-neutral; merged sums are partition-invariant)
-    return exchange_map(ds, route, 32, merge, auto_shrink=True)
+    return exchange_map(ds, route, np_, merge, auto_shrink=True)
 
 
 def dl_from_postings_ds(sf_dir: str):

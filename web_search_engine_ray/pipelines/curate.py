@@ -103,7 +103,9 @@ def curated_docs_ds(
     import polars as pl
 
     from web_search_engine_ray.pipelines.dedup import _hash_route
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
 
     def merge(t: pa.Table) -> pa.Table:
         d = pl.from_arrow(t).group_by("text_hash").agg(pl.col("p_ok").min())
@@ -112,7 +114,9 @@ def curated_docs_ds(
         return pa.table({"docid": pa.array(p[keep] >> 1, pa.int64())})
 
     sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio, hash_fn)
-    return exchange_map(sig, _hash_route("text_hash"), 32, merge, auto_shrink=True)
+    return exchange_map(
+        sig, _hash_route("text_hash", np_), np_, merge, auto_shrink=True
+    )
 
 
 def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float = 0.6) -> pa.Table:
@@ -125,7 +129,9 @@ def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float
     import polars as pl
 
     from web_search_engine_ray.pipelines.dedup import _hash_route
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
 
     def partial(t: pa.Table) -> pa.Table:
         d = (
@@ -157,7 +163,7 @@ def curation_stats_table(sf_dir: str, min_tokens: int = 5, max_stop_ratio: float
 
     sig = _signals_ds(sf_dir, min_tokens, max_stop_ratio)
     parts = exchange_map(
-        sig, _hash_route("text_hash"), 32, partial, auto_shrink=True
+        sig, _hash_route("text_hash", np_), np_, partial, auto_shrink=True
     ).to_pandas()
     return pa.table(
         {

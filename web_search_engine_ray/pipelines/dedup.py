@@ -48,7 +48,11 @@ MINHASH_PERMS = 64
 LSH_ROWS = 2  # rows per band
 LSH_BANDS = 32
 SHINGLE_K = 3
-N_PARTS = 64  # coarse shuffle partitions for bucket/pair groupbys
+N_PARTS = 64  # MINIMUM coarse shuffle partitions for bucket/pair groupbys
+# (ops call cluster_parts(N_PARTS) at runtime: the count grows with the
+# cluster's CPU total so per-partition state stays bounded at 100 TB, and
+# auto_shrink trims it back down for small inputs — both directions rely
+# on per-key merges being partition-count invariant)
 
 
 def _col(t: pa.Table, name: str, dtype=np.int64) -> np.ndarray:
@@ -128,9 +132,10 @@ def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
     The shuffle is a partition hash exchange on the content hash (the key is
     already uniform — no skew) with a local polars min per partition; one
     (hash, docid) row per doc moves, never the text."""
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
     text_hash_column(pa.array([], pa.string()), hash_fn)  # validate eagerly
+    np_ = cluster_parts(32)
     hash_type = pa.string() if hash_fn == "md5" else pa.uint64()
 
     def hash_batch(batch: pa.Table) -> pa.Table:
@@ -152,7 +157,9 @@ def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
         )
 
     ds = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
-    return exchange_map(ds, _hash_route("text_hash"), 32, merge, auto_shrink=True)
+    return exchange_map(
+        ds, _hash_route("text_hash", np_), np_, merge, auto_shrink=True
+    )
 
 
 # ------------------------------------------------------------- hashing core
@@ -338,6 +345,10 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     pairing is vectorized (lexsort + triu), with an optional logged skew
     guard (``max_bucket``)."""
 
+    from web_search_engine_ray.stages.exchange import cluster_parts
+
+    np_ = cluster_parts(N_PARTS)
+
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()
         ids = _col(batch, "doc_id", np.int64)
@@ -381,8 +392,8 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     # a sort shuffle would pay its multi-second floor for nothing
     pairs = exchange_map(
         ds,
-        lambda t: _col(t, "bhash") % N_PARTS,
-        N_PARTS,
+        lambda t: _col(t, "bhash") % np_,
+        np_,
         partition_pairs,
         auto_shrink=True,
     )
@@ -391,8 +402,8 @@ def minhash_lsh_candidates_ds(sf_dir: str, max_bucket: int | None = None):
     # docid_a ranges, vectorized within each group
     return exchange_map(
         pairs,
-        lambda t: _col(t, "docid_a") % N_PARTS,
-        N_PARTS,
+        lambda t: _col(t, "docid_a") % np_,
+        np_,
         dedup_pairs,
         auto_shrink=True,
     )
@@ -447,14 +458,15 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
     config (r=2, b=32) keeps the miss probability for a true tau=0.8 pair
     below 1e-14, so the result equals the all-pairs answer the DuckDB
     oracle computes."""
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
+    np_ = cluster_parts(N_PARTS)
     cand = minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket)
 
     def pairs_to_requests(t: pa.Table) -> pa.Table:
         a = _col(t, "docid_a")
         b = _col(t, "docid_b")
-        p = a % N_PARTS
+        p = a % np_
         # per-batch (jkey, p) dedup: clone-heavy corpora repeat endpoints
         # across thousands of pairs — ship each request once per batch
         jk = np.concatenate([a, b])
@@ -560,7 +572,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
         )
         return pa.table(
             {
-                "p": pa.array(a % N_PARTS, pa.int64()),
+                "p": pa.array(a % np_, pa.int64()),
                 "kind": pa.array(np.full(n, _JK_PAIR, np.int8), pa.int8()),
                 "docid": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "shingles": empty,
@@ -639,14 +651,14 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
     )
     shingle_rows = exchange_map(
         requests.union(corpus),
-        lambda t: _col(t, "jkey") % N_PARTS,
-        N_PARTS,
+        lambda t: _col(t, "jkey") % np_,
+        np_,
         join_shingles,
         auto_shrink=True,
     )
     pair_rows = cand.map_batches(pairs_to_rows, batch_format="pyarrow")
     return exchange_map(
-        shingle_rows.union(pair_rows), "p", N_PARTS, verify, auto_shrink=True
+        shingle_rows.union(pair_rows), "p", np_, verify, auto_shrink=True
     )
 
 
@@ -853,19 +865,21 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int | None = Non
             }
         )
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
+    np_ = cluster_parts(N_PARTS)
     ds = _read_docs(sf_dir).map_batches(to_bands, batch_format="pyarrow")
     pairs = exchange_map(
         ds,
-        lambda t: (_col(t, "bkey") + _col(t, "band") * 65536) % N_PARTS,
-        N_PARTS,
+        lambda t: (_col(t, "bkey") + _col(t, "band") * 65536) % np_,
+        np_,
         band_pairs,
+        auto_shrink=True,
     )
     return exchange_map(
         pairs,
-        lambda t: _col(t, "docid_a") % N_PARTS,
-        N_PARTS,
+        lambda t: _col(t, "docid_a") % np_,
+        np_,
         dedup_pairs,
         auto_shrink=True,
     )
@@ -1133,20 +1147,21 @@ def embedding_dups_lsh(
             }
         )
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
+    np_ = cluster_parts(N_PARTS)
     ds = _emb_lsh_bucket_rows_ds(sf_dir, n_planes, n_reps, prune_singletons)
     pairs = exchange_map(
         ds,
-        lambda t: (_col(t, "bucket") + _col(t, "rep") * 131) % N_PARTS,
-        N_PARTS,
+        lambda t: (_col(t, "bucket") + _col(t, "rep") * 131) % np_,
+        np_,
         bucket_pairs,
         auto_shrink=True,
     )
     return exchange_map(
         pairs,
-        lambda t: _col(t, "vec_id_a") % N_PARTS,
-        N_PARTS,
+        lambda t: _col(t, "vec_id_a") % np_,
+        np_,
         dedup_pairs,
         auto_shrink=True,
     )

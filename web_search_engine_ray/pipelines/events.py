@@ -100,8 +100,9 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
         epoch = _epoch_us(batch) // 1_000_000
         return _window_partial(batch, (epoch // window_s) * window_s)
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
+    N = cluster_parts(32)
     ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow"
     )
@@ -109,8 +110,8 @@ def window_agg_ds(sf_dir: str, window_s: int = WINDOW_S):
     # window, so a window-keyed partition sees every partial it must merge)
     return exchange_map(
         ds,
-        lambda t: (_np(t["window_start"]) // window_s) % 32,
-        32,
+        lambda t: (_np(t["window_start"]) // window_s) % N,
+        N,
         _window_merge,
         auto_shrink=True,
     )
@@ -159,9 +160,9 @@ def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
             }
         )
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
-    N = 32
+    N = cluster_parts(32)
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts"])
     return exchange_map(
         ds, lambda t: _np(t["user_id"]) % N, N, sessions_part, auto_shrink=True
@@ -195,15 +196,16 @@ def hopping_window_ds(sf_dir: str, window_s: int = WINDOW_S, hop_s: int = HOP_S)
         rep = batch.select(["event_type", "value"]).take(pa.array(idx))
         return _window_partial(rep, starts)
 
-    from web_search_engine_ray.stages.exchange import exchange_map
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
+    N = cluster_parts(32)
     ds = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow"
     )
     return exchange_map(
         ds,
-        lambda t: (_np(t["window_start"]) // hop_s) % 32,
-        32,
+        lambda t: (_np(t["window_start"]) // hop_s) % N,
+        N,
         _window_merge,
         auto_shrink=True,
     )

@@ -161,3 +161,21 @@ def exchange_map(
         for p in range(n_parts)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def cluster_parts(min_parts: int = 64, per_cpu: int = 2) -> int:
+    """Partition count scaled to the cluster: ``max(min_parts, per_cpu x
+    total CPUs)``, so per-partition state stays roughly constant as nodes
+    are added (64 partitions that fit a laptop would each hold ~1.5 TB of
+    a 100 TB corpus on a 256-node cluster). Safe wherever the partition fn
+    is a per-key merge — results are partition-count invariant (the same
+    property ``auto_shrink`` relies on in the other direction)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            return max(min_parts, per_cpu * cpus)
+    except Exception:  # pragma: no cover - resource query is best-effort
+        pass
+    return min_parts
