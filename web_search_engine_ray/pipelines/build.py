@@ -429,14 +429,27 @@ def _write_heavy_bucket(batch: pa.Table, term_idx: int, salt: int, cfg: BuildCon
 
 
 def merge_runs_groupby(
-    cfg: BuildConfig, layout: dict, heavy_terms: list[str], build_fp: str
+    cfg: BuildConfig,
+    layout: dict,
+    heavy_terms: list[str],
+    build_fp: str,
+    run_files: list[str],
 ) -> list[dict]:
     """Phase 2, Ray-native strategy: groupby(gkey) sort shuffle + per-group
-    encode; heavy groups write bucket partials (reconciled in phase 3)."""
+    encode; heavy groups write bucket partials (reconciled in phase 3).
+    ``run_files`` is the EXPLICIT file list from the current build's run
+    manifests — never a directory glob, which would silently fold in stale
+    runs left by a previous build with a different partitioning."""
     import ray.data
 
     os.makedirs(cfg.index_dir, exist_ok=True)
     os.makedirs(cfg.heavy_dir, exist_ok=True)
+    # heavy bucket files are pure intra-merge intermediates (reconciled a
+    # few lines below); stale buckets from a previous merge with different
+    # salts / heavy sets must not survive into this one's reconcile glob
+    for f in os.listdir(cfg.heavy_dir):
+        if f.startswith("heavy_") and f.endswith(".parquet"):
+            os.remove(os.path.join(cfg.heavy_dir, f))
     S, nsalts = layout["S"], layout["n_salts"]
 
     def _assign_gkey(batch: pa.Table) -> pa.Table:
@@ -455,11 +468,6 @@ def merge_runs_groupby(
             m = _write_heavy_bucket(batch, h // nsalts, h % nsalts, cfg)
         return pa.table({"manifest": pa.array([json.dumps(m)], pa.string())})
 
-    run_files = sorted(
-        os.path.join(cfg.runs_dir, f)
-        for f in os.listdir(cfg.runs_dir)
-        if f.startswith("run_") and f.endswith(".parquet")
-    )
     ds = ray.data.read_parquet(run_files)
     ds = ds.map_batches(_assign_gkey, batch_format="pyarrow")
     res = ds.groupby("gkey").map_groups(_encode_group, batch_format="pyarrow")
@@ -682,7 +690,11 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
         if cfg.merge_strategy == "mapside":
             shard_ms = merge_runs_mapside(cfg, run_ms, layout, build_fp)
         elif cfg.merge_strategy == "groupby":
-            shard_ms = merge_runs_groupby(cfg, layout, heavy, build_fp)
+            run_files = [
+                os.path.join(cfg.runs_dir, f"run_{m['pid']:06d}.parquet")
+                for m in run_ms
+            ]
+            shard_ms = merge_runs_groupby(cfg, layout, heavy, build_fp, run_files)
         else:
             raise ValueError(f"unknown merge_strategy: {cfg.merge_strategy}")
     t_merge = time.perf_counter()

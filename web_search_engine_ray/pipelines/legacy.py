@@ -104,7 +104,7 @@ def _convert_one(path: str, ordinal: int, cfg: BuildConfig) -> dict:
 
 
 def _write_doclens_from_runs(
-    cfg: BuildConfig, n_docs: int, range_rows: int
+    cfg: BuildConfig, n_docs: int, range_rows: int, run_files: list[str]
 ) -> None:
     """dl = per-doc tf sum, one dense range-sharded parquet per docid range
     (the DocLengths store contract: docids dense within a span)."""
@@ -157,11 +157,6 @@ def _write_doclens_from_runs(
         os.replace(path + ".tmp", path)
         return pa.table({"n": pa.array([size], pa.int64())})
 
-    run_files = sorted(
-        os.path.join(cfg.runs_dir, f)
-        for f in os.listdir(cfg.runs_dir)
-        if f.startswith("run_") and f.endswith(".parquet")
-    )
     ds = ray.data.read_parquet(run_files, columns=["docid", "tf"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
     total = exchange_map(
@@ -263,7 +258,15 @@ def build_index_from_runs(
     layout = make_layout(heavy, n_docs, cfg)
 
     # phase: doc lengths from the runs (A5 rule)
-    _write_doclens_from_runs(cfg, n_docs, doclen_range_rows)
+    _write_doclens_from_runs(
+        cfg,
+        n_docs,
+        doclen_range_rows,
+        [
+            os.path.join(cfg.runs_dir, f"run_{m['ordinal']:06d}.parquet")
+            for m in conv
+        ],
+    )
     stats = write_stats(cfg.doclens_dir, n_docs, total_tokens)
     t_dl = time.perf_counter()
 
@@ -278,7 +281,11 @@ def build_index_from_runs(
             sort_keys=True,
         ).encode()
     ).hexdigest()[:16]
-    shard_ms = merge_runs_groupby(cfg, layout, heavy, build_fp)
+    conv_files = [
+        os.path.join(cfg.runs_dir, f"run_{m['ordinal']:06d}.parquet")
+        for m in conv
+    ]
+    shard_ms = merge_runs_groupby(cfg, layout, heavy, build_fp, conv_files)
     t_merge = time.perf_counter()
 
     build = {

@@ -350,6 +350,10 @@ class Searcher:
         for i in non:
             entry = hits[i][0]
             mtf = int(entry["blk_max_tf"].max()) if entry["nblocks"] else 0
+            if mtf == 0 and dfs[i] > 0:
+                # degenerate directory (pre-blk_max_tf lexicon): a zero
+                # bound would prune EVERYTHING — fall back to exhaustive
+                return None
             ub_non += float(
                 self._contrib_daat(np.array([mtf], np.uint64), dfs[i], dl1)[0]
             )
@@ -412,7 +416,13 @@ class Searcher:
         scores = np.zeros(cand.size, dtype=np.float64)
         for t, d, f in infos:
             pos = np.searchsorted(cand, d)
-            scores[pos] += self._contrib_taat(f, self.df(t), dl_all[pos])
+            dl = dl_all[pos]
+            contrib = self._contrib_taat(f, self.df(t), dl)
+            # dl=0 guard (same rule as bm25_topk / search_topk_daat): a
+            # posted doc always has dl>0 on a consistent index, so this only
+            # fires on corrupt/mismatched doclens — score 0, don't rank
+            contrib[dl == 0] = 0.0
+            scores[pos] += contrib
         keep = np.searchsorted(cand, allowed)
         sk = scores[keep]
         order = np.lexsort((allowed, -sk))
@@ -492,6 +502,12 @@ class Searcher:
         cursors = []
         for t in terms:
             entry, reader = self.lookup(t)
+            if entry["df"] > 0 and (
+                entry["nblocks"] == 0 or int(entry["blk_max_tf"].max()) == 0
+            ):
+                # degenerate block-max directory (pre-blk_max_tf lexicon):
+                # zero bounds would skip real blocks — exhaustive instead
+                return self.search_topk_daat(query, topk, mode="OR")
             cursors.append(PostingsCursor(reader, t, entry))
         k1, b = self.k1, self.b
         dl1 = np.array([1], np.uint64)

@@ -117,6 +117,15 @@ def exchange_map(
             p = np.asarray(part(t), dtype=np.int64)
         else:
             p = t[part].combine_chunks().to_numpy(zero_copy_only=False)
+            if p.dtype.kind == "f":
+                # nulls in an int column arrive as float NaN — NaN passes
+                # every bound comparison and the row would vanish silently
+                if np.isnan(p).any():
+                    raise ValueError(
+                        f"partition column {part!r} contains nulls — rows "
+                        "would be dropped silently"
+                    )
+                p = p.astype(np.int64)
             if drop_part_col:
                 t = t.drop_columns([part])
         if p.size and (p.min() < 0 or p.max() >= orig_parts):
