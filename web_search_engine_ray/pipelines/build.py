@@ -478,6 +478,37 @@ def merge_runs_groupby(
     return ms
 
 
+def _encode_heavy_shard(
+    term_idx: int, term: str, chunks, cfg: BuildConfig, build_fp: str
+) -> dict:
+    """Stream one heavy term's docid-ascending (docids, tfs) chunks through
+    the incremental block encoder into its dedicated shard (atomic), shared
+    by both merge strategies."""
+    t0 = time.perf_counter()
+    sid = cfg.num_shards + term_idx
+    post_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.postings")
+    lex_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.lexicon")
+    w = PostingsShardWriter(post_path + ".tmp", cfg.block_size, cfg.codec)
+    entry = w.add_term_stream(term, chunks)
+    size = w.close()
+    lex = LexiconShard.from_entries([term], [entry])
+    lex.save(lex_path + ".tmp")
+    os.replace(post_path + ".tmp", post_path)
+    os.replace(lex_path + ".tmp", lex_path)
+    m = {
+        "shard": sid,
+        "kind": "heavy",
+        "term": term,
+        "build_fp": build_fp,
+        "n_terms": 1,
+        "n_postings": entry["df"],
+        "postings_bytes": size,
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
+    mf.write_manifest(os.path.join(cfg.manifests_dir, f"shard_{sid:05d}.json"), m)
+    return m
+
+
 def merge_runs_mapside(
     cfg: BuildConfig, run_manifests: list[dict], layout: dict, build_fp: str
 ) -> list[dict]:
@@ -522,13 +553,8 @@ def merge_runs_mapside(
             batch = pa.concat_tables(parts)
             return _encode_normal_shard(batch, int(item["gkey"]), cfg, build_fp)
         # heavy: stream salts in order; each salt's runs arrive docid-ascending
-        t0 = time.perf_counter()
         idx, term = int(item["idx"]), item["term"]
         salt_srcs = json.loads(item["srcs"])
-        sid = cfg.num_shards + idx
-        post_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.postings")
-        lex_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.lexicon")
-        w = PostingsShardWriter(post_path + ".tmp", cfg.block_size, cfg.codec)
 
         def chunks():
             for srcs in salt_srcs:
@@ -539,24 +565,7 @@ def merge_runs_mapside(
                         _np(t["tf"], np.uint64),
                     )
 
-        entry = w.add_term_stream(term, chunks())
-        size = w.close()
-        lex = LexiconShard.from_entries([term], [entry])
-        lex.save(lex_path + ".tmp")
-        os.replace(post_path + ".tmp", post_path)
-        os.replace(lex_path + ".tmp", lex_path)
-        m = {
-            "shard": sid,
-            "kind": "heavy",
-            "term": term,
-            "build_fp": build_fp,
-            "n_terms": 1,
-            "n_postings": entry["df"],
-            "postings_bytes": size,
-            "wall_s": round(time.perf_counter() - t0, 4),
-        }
-        mf.write_manifest(os.path.join(cfg.manifests_dir, f"shard_{sid:05d}.json"), m)
-        return m
+        return _encode_heavy_shard(idx, term, chunks(), cfg, build_fp)
 
     def _run(batch: pa.Table) -> pa.Table:
         out = [_one(r) for r in batch.to_pylist()]
@@ -579,16 +588,11 @@ def reconcile_heavy(cfg: BuildConfig, heavy_terms: list[str], build_fp: str) -> 
         return []
 
     def _one(term_idx: int, term: str) -> dict:
-        t0 = time.perf_counter()
         import glob as _g
 
         parts = sorted(
             _g.glob(os.path.join(cfg.heavy_dir, f"heavy_{term_idx:05d}_*.parquet"))
         )
-        sid = cfg.num_shards + term_idx
-        post_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.postings")
-        lex_path = os.path.join(cfg.index_dir, f"shard_{sid:05d}.lexicon")
-        w = PostingsShardWriter(post_path + ".tmp", cfg.block_size, cfg.codec)
 
         def chunks():
             for p in parts:
@@ -598,24 +602,7 @@ def reconcile_heavy(cfg: BuildConfig, heavy_terms: list[str], build_fp: str) -> 
                     f = b.column(1).to_numpy(zero_copy_only=False).astype(np.uint64)
                     yield d, f
 
-        entry = w.add_term_stream(term, chunks())
-        size = w.close()
-        lex = LexiconShard.from_entries([term], [entry])
-        lex.save(lex_path + ".tmp")
-        os.replace(post_path + ".tmp", post_path)
-        os.replace(lex_path + ".tmp", lex_path)
-        m = {
-            "shard": sid,
-            "kind": "heavy",
-            "term": term,
-            "build_fp": build_fp,
-            "n_terms": 1,
-            "n_postings": entry["df"],
-            "postings_bytes": size,
-            "wall_s": round(time.perf_counter() - t0, 4),
-        }
-        mf.write_manifest(os.path.join(cfg.manifests_dir, f"shard_{sid:05d}.json"), m)
-        return m
+        return _encode_heavy_shard(term_idx, term, chunks(), cfg, build_fp)
 
     items = [{"idx": i, "term": t} for i, t in enumerate(heavy_terms)]
     ds = ray.data.from_items(items, override_num_blocks=len(items))
