@@ -176,11 +176,13 @@ def crawl(
                 idx = rng.sample(range(len(links)), min(OVERSAMPLE, len(links)))
                 links = [links[i] for i in idx]
             to_enqueue = []
+            page_seen: set[str] = set()  # same href repeated within a page
             for child in links:
                 if looks_binary_by_suffix(child):
                     continue
-                if child in visited or child in in_frontier:
+                if child in visited or child in in_frontier or child in page_seen:
                     continue
+                page_seen.add(child)
                 if "cgi" in child.lower():
                     continue
                 cd, csd = get_domain(child), get_superdomain(child)

@@ -18,6 +18,7 @@ import polars as pl
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -27,14 +28,6 @@ LANG_STOPWORDS = {
     "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "zu"},
     "fr": {"le", "la", "de", "et", "un", "est", "que", "pour"},
 }
-
-
-def _read_docs(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
 
 
 def _stop_hits(toks: pl.Series, words) -> np.ndarray:
@@ -306,7 +299,10 @@ def rolling_fingerprint_ds(sf_dir: str, window: int = 8):
     """(docid, window_idx, whash): rolling window hashes over the token
     stream — document fingerprinting for containment/overlap detection.
     whash = md5 hex of the space-joined window (md5 so DuckDB can compute
-    the identical value — the oracle twin lives in ``__ray_entry__``)."""
+    the identical value — the oracle twin lives in ``__ray_entry__``).
+    ``window`` must be >= 2 (the hop is ``window // 2``)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"]).to_list()

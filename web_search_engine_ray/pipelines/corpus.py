@@ -19,16 +19,11 @@ import polars as pl
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import batch_postings, token_lists
+from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
 
 def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
-
-
-def _read_docs(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
 
 
 def _to_postings(batch: pa.Table) -> pa.Table:
@@ -154,13 +149,16 @@ def corpus_stats_table(sf_dir: str) -> pa.Table:
     """One row: n_docs, n_terms, n_postings, total_tokens, avgdl (round 6)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        p = _to_postings(batch)
-        toks = token_lists(batch["text"])
-        dl = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        # ONE tokenize pass: batch_postings returns both the postings and
+        # the per-doc token counts
+        docids = (
+            batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        postings, dl = batch_postings(docids, batch["text"])
         return pa.table(
             {
                 "n_docs": pa.array([batch.num_rows], pa.int64()),
-                "n_postings": pa.array([p.num_rows], pa.int64()),
+                "n_postings": pa.array([postings.num_rows], pa.int64()),
                 "total_tokens": pa.array([int(dl.sum())], pa.int64()),
             }
         )

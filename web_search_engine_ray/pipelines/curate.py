@@ -27,18 +27,11 @@ import numpy as np
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.sources.documents import read_docs as _read_docs
 from web_search_engine_ray.pipelines.analysis import STOPWORDS, _stop_hits
 
 _TOK_BITS = 22
 _TOK_MAX = (1 << _TOK_BITS) - 1
-
-
-def _read_docs(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
 
 
 def _doc_signals(

@@ -41,6 +41,7 @@ import pyarrow as pa
 
 from web_search_engine_ray.functions.arrays import list_matrix
 from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
 logger = logging.getLogger(__name__)
 
@@ -59,14 +60,6 @@ def _col(t: pa.Table, name: str, dtype=np.int64) -> np.ndarray:
     """Numeric column -> contiguous numpy array (no Python-object detour)."""
     return (
         t[name].combine_chunks().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
-    )
-
-
-def _read_docs(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
 

@@ -154,7 +154,12 @@ class DecodeStage:
             batch["payload"].to_pylist(),
         ):
             if kind == "video":
-                arr = self.decode_video(payload)[0]  # first frame
+                frames = self.decode_video(payload)
+                if not frames:
+                    raise ValueError(
+                        f"zero-frame video payload (media_id={mid})"
+                    )
+                arr = frames[0]  # first frame
             else:
                 arr = self.decode_image(payload)
             ids.append(mid)

@@ -31,13 +31,21 @@ FIXED_QUERIES = [
 _searchers: dict[str, Searcher] = {}
 
 
+def _cache_key(path: str, tag: str) -> str:
+    """Cache key for a derived artifact of one source file: path + size +
+    mtime + a variant tag. ONE recipe — a second inline copy could drift
+    and serve a stale cache."""
+    st = os.stat(path)
+    return hashlib.sha256(
+        f"{path}:{st.st_size}:{st.st_mtime_ns}:{tag}".encode()
+    ).hexdigest()[:16]
+
+
 def documents_index(sf_dir: str) -> str:
     """Build (or reuse) the inverted index for a documents table. Keyed by
     path + file identity; resumable on disk, so repeat calls are cheap."""
     path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(path)
-    key = hashlib.sha256(f"{path}:{st.st_size}:{st.st_mtime_ns}:v1".encode()).hexdigest()[:16]
-    out = os.path.join("/tmp", "wse_ray_cache", f"docs_{key}")
+    out = os.path.join("/tmp", "wse_ray_cache", f"docs_{_cache_key(path, 'v1')}")
     build_index(
         path,
         out,
@@ -99,20 +107,15 @@ def bm25_partitioned_table(
     doc-range-partitioned actor pool (``pipelines/distributed.py``) — the
     driver checks it against the SAME SQL oracle, proving the distributed
     path end-to-end."""
-    import hashlib
-    import os
-
     from web_search_engine_ray.pipelines.distributed import (
         PartitionedSearcher,
         build_partitioned_index,
     )
 
     path = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(path)
-    key = hashlib.sha256(
-        f"{path}:{st.st_size}:{st.st_mtime_ns}:part{n_ranges}:v1".encode()
-    ).hexdigest()[:16]
-    out = os.path.join("/tmp", "wse_ray_cache", f"docs_part_{key}")
+    out = os.path.join(
+        "/tmp", "wse_ray_cache", f"docs_part_{_cache_key(path, f'part{n_ranges}:v1')}"
+    )
     # the documents table is a single file: split it into range files once.
     # Planned from footer metadata and streamed row-group-at-a-time — the
     # whole table is never resident (same planner discipline as the build's

@@ -30,17 +30,10 @@ import numpy as np
 import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.sources.documents import read_docs as _read_docs
 from web_search_engine_ray.pipelines.dedup import _token_hashes
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error
-
-
-def _read_docs(sf_dir: str):
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
 
 
 # exact leading-zero count per byte value (LUT — float log2 on u64 can
@@ -140,7 +133,11 @@ def sample_docs(sf_dir: str, k: int = 100, hash_fn: str = "md5") -> pa.Table:
             return pa.table(
                 {"docid": pa.array([], pa.int64()), "prio": pa.array([], pa.uint64())}
             )
-        part = np.argpartition(prio, kk - 1)[:kk]
+        # (prio, docid) lexsort, not argpartition on prio alone: a priority
+        # collision exactly at the kth boundary must keep the SMALLER docid
+        # (the SQL twin's ORDER BY hash, doc_id) — argpartition would keep
+        # an arbitrary one and the driver merge could never recover it
+        part = np.lexsort((ids, prio))[:kk]
         return pa.table(
             {
                 "docid": pa.array(ids[part], pa.int64()),
@@ -196,7 +193,8 @@ def sample_per_type(sf_dir: str, k: int = 20, hash_fn: str = "md5") -> pa.Table:
     )
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out_rows = []
-    for t, grp in parts.groupby("event_type"):
+    # dropna=False: SQL's PARTITION BY keeps NULL keys as their own group
+    for t, grp in parts.groupby("event_type", dropna=False):
         g = grp.sort_values(["prio", "event_id"]).head(k)
         out_rows.append(g[["event_type", "event_id"]])
     import pandas as pd
