@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         dedup,
         events,
+        graph,
         legacy,
         serving,
         similarity,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curate.curated_docs_ds,
         "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
+        "dedup_clusters": lambda sf: graph.dedup_clusters_ds(sf, tau=0.8),
         "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
         "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
         "embedding_dups": lambda sf: dedup.embedding_dups(sf, tau=0.45),
@@ -374,6 +376,21 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+""",
+        # transitive closure of the jaccard pair relation: recursive CTE;
+        # the engine computes the same fixed point by distributed min-label
+        # propagation (pipelines/graph.py)
+        "dedup_clusters": f"""
+WITH RECURSIVE {shingle_cte},
+ pairs AS (SELECT a.doc_id AS docid_a, b.doc_id AS docid_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+ edges AS (SELECT docid_a AS u, docid_b AS v FROM pairs
+           UNION SELECT docid_b, docid_a FROM pairs),
+ reach(u, v) AS (SELECT u, v FROM edges
+                 UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+SELECT u AS docid, least(u, min(v))::BIGINT AS cluster_id FROM reach GROUP BY u
 """,
         "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
