@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": lambda sf: corpus.top_terms_ds(sf, 20),
         "subset_first_n": lambda sf: corpus.subset_first_n_ds(sf, 100),
         "corpus_stats": corpus.corpus_stats_table,
+        "tfidf_topk": lambda sf: corpus.tfidf_topk_ds(sf, 5),
         # ---- stream-shaped ops over events ----
         "events_window": lambda sf: events.window_agg_ds(sf),
         "events_hopping": lambda sf: events.hopping_window_ds(sf),
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": analysis.lm_score_ds,
         "langid": analysis.langid_ds,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
+        "repetition_stats": analysis.repetition_stats_ds,
     }
 
 
@@ -434,6 +436,40 @@ FROM pairs p JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
 GROUP BY p.doc_id
 UNION ALL
 SELECT doc_id AS docid, 0.0 AS lm_score FROM t WHERE len(ws) < 2
+""",
+        # top-k terms per doc by tf-idf; ties at the boundary resolve by term
+        "tfidf_topk": f"""
+WITH {tok_cte}, {tf_cte}, {df_cte},
+ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ s AS (SELECT tf.doc_id AS docid, tf.term, tf.tf::DOUBLE * ln(n.n / df.df) AS s
+       FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
+SELECT docid, term, ROUND(s, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY docid ORDER BY s DESC, term) AS rn
+      FROM s)
+WHERE rn <= 5
+""",
+        # Gopher-style repetition signals (dup-word / top-word / dup-bigram)
+        "repetition_stats": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ u AS (SELECT doc_id, unnest(ws) AS term FROM t),
+ tc AS (SELECT doc_id, term, count(*) AS c FROM u GROUP BY doc_id, term),
+ mx AS (SELECT doc_id, max(c) AS mc FROM tc GROUP BY doc_id),
+ bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+ b2 AS (SELECT doc_id, count(DISTINCT g) AS d2 FROM bg GROUP BY doc_id)
+SELECT t.doc_id AS docid,
+       len(ws)::BIGINT AS n_tokens,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE ROUND((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws), 6)
+       END AS dup_word_ratio,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE ROUND(coalesce(mx.mc, 0)::DOUBLE / len(ws), 6)
+       END AS top_word_frac,
+       CASE WHEN len(ws) < 2 THEN 0.0
+            ELSE ROUND((len(ws) - 1 - coalesce(b2.d2, 0))::DOUBLE / (len(ws) - 1), 6)
+       END AS dup_2gram_frac
+FROM t LEFT JOIN mx ON mx.doc_id = t.doc_id
+       LEFT JOIN b2 ON b2.doc_id = t.doc_id
 """,
         "quality": f"""
 SELECT doc_id AS docid,

@@ -1,0 +1,71 @@
+"""Repetition signals + tf-idf keyword extraction (analysis/corpus)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def odd_docs_dir(tmp_path_factory):
+    """Hand-built corpus with degenerate shapes: empty text, one token,
+    all-same tokens, a clean high-diversity doc."""
+    d = tmp_path_factory.mktemp("odd_docs")
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "",
+                    "solo",
+                    "spam spam spam spam spam spam",
+                    "alpha beta gamma delta epsilon zeta",
+                    "ab ab cd cd ab cd",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_stats_edges(ray_session, odd_docs_dir):
+    from web_search_engine_ray.pipelines.analysis import repetition_stats_ds
+
+    rows = {r["docid"]: r for r in repetition_stats_ds(odd_docs_dir).take_all()}
+    assert rows[0]["n_tokens"] == 0
+    assert rows[0]["dup_word_ratio"] == 0.0 == rows[0]["dup_2gram_frac"]
+    assert rows[1]["n_tokens"] == 1 and rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == 0.0  # no bigrams at all
+    # all-same: 6 tokens 1 distinct; 5 bigrams 1 distinct
+    assert rows[2]["dup_word_ratio"] == round(5 / 6, 6)
+    assert rows[2]["top_word_frac"] == 1.0
+    assert rows[2]["dup_2gram_frac"] == round(4 / 5, 6)
+    # all-distinct doc: zero repetition
+    assert rows[3]["dup_word_ratio"] == 0.0
+    assert rows[3]["dup_2gram_frac"] == 0.0
+    # ab ab cd cd ab cd: 6 tokens 2 distinct; bigrams (ab ab, ab cd, cd cd,
+    # cd ab, ab cd) -> 5 total, 4 distinct
+    assert rows[4]["dup_word_ratio"] == round(4 / 6, 6)
+    assert rows[4]["dup_2gram_frac"] == round(1 / 5, 6)
+
+
+def test_tfidf_topk_ranks_distinctive_terms(ray_session, odd_docs_dir):
+    from web_search_engine_ray.pipelines.corpus import tfidf_topk_ds
+
+    t = tfidf_topk_ds(odd_docs_dir, k=2).to_pandas()
+    by_doc = {d: g for d, g in t.groupby("docid")}
+    assert 0 not in by_doc  # empty doc has no terms
+    # spam appears only in doc 2: idf = ln(5/1), tf 6 -> its only keyword
+    spam = by_doc[2]
+    assert list(spam["term"]) == ["spam"]
+    # per-doc k cap respected, scores descending, ties broken by term asc
+    for _, g in by_doc.items():
+        assert len(g) <= 2
+        s = list(g["tfidf"])
+        assert s == sorted(s, reverse=True)
+    doc4 = by_doc[4].reset_index(drop=True)
+    # ab (tf 3) and cd (tf 3) tie exactly -> term order decides
+    assert list(doc4["term"]) == ["ab", "cd"]

@@ -324,3 +324,63 @@ def rolling_fingerprint_ds(sf_dir: str, window: int = 8):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats_ds(sf_dir: str):
+    """(docid, n_tokens, dup_word_ratio, top_word_frac, dup_2gram_frac):
+    Gopher-style repetition signals (Rae et al. 2021, §A1.1) — the standard
+    "is this document degenerate boilerplate?" filters for LLM corpus
+    curation:
+
+    - ``dup_word_ratio``  = 1 - distinct_tokens / tokens
+    - ``top_word_frac``   = count(most frequent token) / tokens
+    - ``dup_2gram_frac``  = 1 - distinct_bigrams / bigrams
+
+    All three are vectorized polars expressions per batch (unique_counts for
+    the mode count; a shift-explode-group pass for bigram distinct counts —
+    no per-row Python). Ratios follow the same Python-round(6) convention as
+    ``text_stats_ds`` so the DuckDB twin matches bit-for-bit."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        n = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        nu = toks.list.n_unique().fill_null(0).to_numpy().astype(np.int64)
+        mc = (
+            toks.list.eval(pl.element().unique_counts())
+            .list.max()
+            .fill_null(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        # distinct-bigram count: pair each token with its successor via a
+        # within-list shift, explode both lists together, group by row
+        idx = np.arange(n.size, dtype=np.int64)
+        exploded = (
+            pl.DataFrame({"i": idx, "a": toks, "b": toks.list.shift(-1)})
+            .explode(["a", "b"])
+            .drop_nulls("b")
+        )
+        g = (
+            exploded.with_columns((pl.col("a") + " " + pl.col("b")).alias("bg"))
+            .group_by("i")
+            .agg(pl.col("bg").n_unique().alias("d2"))
+        )
+        d2 = np.zeros(n.size, dtype=np.int64)
+        d2[g["i"].to_numpy()] = g["d2"].to_numpy()
+        n2 = np.maximum(n - 1, 0)
+        safe_n = np.maximum(n, 1)
+        safe_n2 = np.maximum(n2, 1)
+        dup_w = np.where(n > 0, (n - nu) / safe_n, 0.0)
+        top_w = np.where(n > 0, mc / safe_n, 0.0)
+        dup_2 = np.where(n2 > 0, (n2 - d2) / safe_n2, 0.0)
+        return pa.table(
+            {
+                "docid": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "dup_word_ratio": pa.array([round(x, 6) for x in dup_w], pa.float64()),
+                "top_word_frac": pa.array([round(x, 6) for x in top_w], pa.float64()),
+                "dup_2gram_frac": pa.array([round(x, 6) for x in dup_2], pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")

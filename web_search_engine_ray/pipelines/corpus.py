@@ -181,3 +181,44 @@ def corpus_stats_table(sf_dir: str) -> pa.Table:
             "avgdl": pa.array([round(total / n_docs, 6)], pa.float64()),
         }
     )
+
+
+def tfidf_topk_ds(sf_dir: str, k: int = 5):
+    """(docid, term, tfidf): top-k terms per document by tf-idf — keyword
+    extraction, the classic per-doc relevance summary (tfidf = tf * ln(N/df),
+    ties at the k boundary resolve to the lexicographically first term).
+
+    Shape: the df relation is vocabulary-scale, so it is collected once and
+    broadcast (``ray.put``) — the same small-side discipline as the searcher's
+    lexicon; the per-batch pass is one polars join + group-head. Documents
+    never span batches, so the per-doc top-k needs no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    stats = pa.concat_tables(ray.get(term_stats_ds(sf_dir).to_arrow_refs()))
+    n_docs = float(pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows)
+    # ln(N/df) as ln(N) - ln(df) would diverge from DuckDB's ln(N/df) in the
+    # last ulp — compute the quotient first, exactly as the SQL twin does
+    idf = pl.from_arrow(stats).select(
+        "term", (n_docs / pl.col("df").cast(pl.Float64)).log().alias("idf")
+    )
+    ref = ray.put(idf.to_arrow())
+
+    def f(batch: pa.Table) -> pa.Table:
+        p = _to_postings(batch)
+        d = (
+            pl.from_arrow(p)
+            .join(pl.from_arrow(ray.get(ref)), on="term", how="inner")
+            .with_columns((pl.col("tf").cast(pl.Float64) * pl.col("idf")).alias("s"))
+            .sort(["docid", "s", "term"], descending=[False, True, False])
+            .group_by("docid", maintain_order=True)
+            .head(k)
+            .with_columns(pl.col("s").round(6).alias("tfidf"))
+        )
+        return d.select("docid", "term", "tfidf").to_arrow().cast(
+            pa.schema(
+                [("docid", pa.int64()), ("term", pa.string()), ("tfidf", pa.float64())]
+            )
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
