@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
         "dedup_clusters": lambda sf: graph.dedup_clusters_ds(sf, tau=0.8),
+        "holdout_contamination": lambda sf: dedup.holdout_contamination_ds(
+            sf, holdout_max_docid=100, n=8
+        ),
         "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
         "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
         "embedding_dups": lambda sf: dedup.embedding_dups(sf, tau=0.45),
@@ -393,6 +396,20 @@ WITH RECURSIVE {shingle_cte},
  reach(u, v) AS (SELECT u, v FROM edges
                  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
 SELECT u AS docid, least(u, min(v))::BIGINT AS cluster_id FROM reach GROUP BY u
+""",
+        # benchmark decontamination: the engine matches on u64 gram hashes
+        # (collision odds ~ grams^2 / 2^64), the twin on literal gram strings
+        "holdout_contamination": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ g AS (SELECT doc_id,
+              list_distinct([array_to_string(ws[i:i+7], ' ')
+                             for i in range(1, len(ws)-6)]) AS s
+       FROM t WHERE len(ws) >= 8),
+ hold AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id < 100),
+ c AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id >= 100)
+SELECT c.doc_id AS docid, count(*)::BIGINT AS n_hits
+FROM c JOIN hold USING (gram)
+GROUP BY c.doc_id
 """,
         "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

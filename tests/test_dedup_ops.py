@@ -258,3 +258,55 @@ def test_null_text_groups_like_sql(ray_session, tmp_path):
     assert sorted(got["docid"]) == [0, 1, 4]
     fast = exact_dedup_ds(d, hash_fn="fast").to_pandas()
     assert sorted(fast["docid"]) == [0, 1, 4]
+
+
+def test_holdout_contamination_matches_bruteforce(ray_session, tmp_path):
+    """Engine result == literal-string 8-gram brute force on a synthetic
+    corpus with known contamination; docs shorter than n grams never hit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.functions.tokenize import tokenize
+    from web_search_engine_ray.pipelines.dedup import holdout_contamination_ds
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = {
+        0: base + " iota kappa",  # holdout
+        1: "one two three four five six seven eight nine",  # holdout
+        # corpus: contains several of doc 0's grams
+        10: "x " + base + " iota y",
+        # corpus: shares no 8-gram
+        11: "unrelated words entirely different from the holdout set ok",
+        # corpus: too short for any 8-gram
+        12: "short doc",
+        # corpus: exact copy of holdout doc 1 -> all its grams hit
+        13: "one two three four five six seven eight nine",
+    }
+    d = str(tmp_path / "contam")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    def grams(text, n=8):
+        t = tokenize(text)
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    hold = set().union(*(grams(docs[k]) for k in (0, 1)))
+    want = {}
+    for k in (10, 11, 12, 13):
+        hits = len(grams(docs[k]) & hold)
+        if hits:
+            want[k] = hits
+
+    got = holdout_contamination_ds(d, holdout_max_docid=10, n=8).to_pandas()
+    assert dict(zip(got["docid"], got["n_hits"])) == want
+    assert 12 not in set(got["docid"])  # too-short doc absent, not 0-row

@@ -1158,3 +1158,81 @@ def embedding_dups_lsh(
         dedup_pairs,
         auto_shrink=True,
     )
+
+
+def holdout_contamination_ds(sf_dir: str, holdout_max_docid: int = 100, n: int = 8):
+    """(docid, n_hits): benchmark decontamination — corpus documents sharing
+    any n-token gram with the holdout set (docs with docid <
+    ``holdout_max_docid``), n_hits = how many of the doc's DISTINCT n-grams
+    appear in the holdout. The standard train/test-leakage sweep an LLM
+    corpus runs before training (n=8 ≈ the 8-gram convention of GPT-3's
+    decontamination appendix).
+
+    Shape: the holdout side is benchmark-sized by definition, so its distinct
+    gram hashes are collected once, sorted, and broadcast (``ray.put``); the
+    corpus side streams through one ``map_batches`` doing a vectorized
+    ``searchsorted`` membership count per doc — no shuffle at all. Gram
+    identity is the u64 shingle hash (collision odds ~ grams²/2^64, the same
+    contract the jaccard verify relies on); the DuckDB twin joins on the
+    literal gram strings."""
+    import ray
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from web_search_engine_ray.sources.documents import docs_path
+
+    path = docs_path(sf_dir)
+
+    # holdout grams: pushed-down read of the (small) holdout slice only
+    hold = ray.data.read_parquet(
+        path,
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < holdout_max_docid),
+    )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        hs = [_shingle_hashes(t or [], k=n) for t in toks]
+        flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"g": pa.array(flat, pa.uint64())})
+
+    parts = ray.get(hold.map_batches(gram_rows, batch_format="pyarrow").to_arrow_refs())
+    hold_grams = np.unique(
+        np.concatenate(
+            [p["g"].to_numpy(zero_copy_only=False) for p in parts if p.num_rows]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    gref = ray.put(hold_grams)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        grams = ray.get(gref)
+        toks = token_lists(batch["text"]).to_list()
+        ids = _col(batch, "doc_id", np.int64)
+        hs = [_shingle_hashes(t or [], k=n) for t in toks]
+        counts = np.fromiter((h.size for h in hs), dtype=np.int64, count=len(hs))
+        flat = (
+            np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        )  # one searchsorted per BATCH, not per doc
+        n_hits = np.zeros(len(hs), dtype=np.int64)
+        if flat.size and grams.size:
+            pos = np.searchsorted(grams, flat)
+            pos[pos == grams.size] = 0
+            hit = grams[pos] == flat
+            doc_idx = np.repeat(np.arange(len(hs)), counts)
+            n_hits = np.bincount(doc_idx[hit], minlength=len(hs)).astype(np.int64)
+        mask = n_hits > 0
+        return pa.table(
+            {
+                "docid": pa.array(ids[mask], pa.int64()),
+                "n_hits": pa.array(n_hits[mask], pa.int64()),
+            }
+        )
+
+    corpus = ray.data.read_parquet(
+        path,
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") >= holdout_max_docid),
+    )
+    return corpus.map_batches(scan, batch_format="pyarrow")
