@@ -32,6 +32,48 @@ TOPK = 10
 N_KNN_QUERIES = 3
 RERANK_K1 = 50  # hybrid rerank recall depth — templated into BOTH the
 RERANK_K2 = 10  # engine call and its SQL twin so they cannot drift
+KMEANS_K = 8  # k-means config — same templating contract; the SQL twin
+KMEANS_ITERS = 2  # replays exactly KMEANS_ITERS Lloyd rounds as chained CTEs
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Chained-CTE DuckDB twin of pipelines/clustering.kmeans_ds: seed with
+    vec_id < k, replay `iters` assign+update rounds (centroids rounded to 6
+    decimals — the determinism contract both engines share), then a final
+    assignment. Ties resolve to the smaller cluster id on both sides."""
+
+    def assign(prev: str, idx: int) -> str:
+        return f"""
+ a{idx} AS (SELECT vec_id, x, cid, dist FROM (
+     SELECT e.vec_id, e.x, c.cid, list_distance(e.x, c.cent) AS dist,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.x, c.cent), c.cid) AS rn
+     FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+
+    def update(idx: int) -> str:
+        return f"""
+ m{idx} AS (SELECT cid, i, round(avg(v), 6) AS v FROM (
+     SELECT cid, unnest(x) AS v, generate_subscripts(x, 1) AS i FROM a{idx})
+     GROUP BY cid, i),
+ g{idx} AS (SELECT cid, list(v ORDER BY i) AS cent FROM m{idx} GROUP BY cid),
+ c{idx} AS (SELECT p.cid, COALESCE(g{idx}.cent, p.cent) AS cent
+            FROM c{idx - 1} p LEFT JOIN g{idx} USING (cid))"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, x AS cent FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"c{i - 1}", i))
+        ctes.append(update(i))
+    ctes.append(assign(f"c{iters}", iters + 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT vec_id, cid::BIGINT AS cluster, round(dist, 6) AS dist
+FROM a{iters + 1}"""
+    )
 
 
 def _q_values() -> str:
@@ -61,6 +103,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_search_engine_ray.pipelines import (
         analysis,
+        clustering,
         corpus,
         curate,
         dedup,
@@ -122,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
         "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
+        "kmeans": lambda sf: clustering.kmeans_ds(sf, k=KMEANS_K, iters=KMEANS_ITERS),
         # ---- sketches / sampling ----
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
@@ -411,6 +455,7 @@ SELECT c.doc_id AS docid, count(*)::BIGINT AS n_hits
 FROM c JOIN hold USING (gram)
 GROUP BY c.doc_id
 """,
+        "kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
         "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),

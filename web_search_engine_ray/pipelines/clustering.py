@@ -1,0 +1,151 @@
+"""Distributed k-means over the ``embeddings`` table (Lloyd's algorithm).
+
+The classic corpus-organization step of an LLM data pipeline (cluster the
+embedding space, then sample/balance/inspect per cluster — the SemDeDup /
+DoReMi-style workflows). Reference has no counterpart; the operator follows
+the engine's broadcast + partial-aggregation pattern:
+
+- Centroids are driver-held, tiny (k x d float64), and broadcast per
+  iteration via ``ray.put``; each ``map_batches`` task computes squared
+  distances with one matmul-free vectorized pass and emits only a (k x d)
+  partial sum + k counts — KBs per batch regardless of input size.
+- The driver reduces the partials (k x d — trivially small), recomputes the
+  means, and ROUNDS each centroid coordinate to 6 decimals. The rounding is
+  the determinism contract: float64 partial sums associate differently
+  across batch boundaries than the oracle's ``avg()``, but both land on the
+  same 6-decimal grid, so every subsequent iteration sees bit-identical
+  centroids and the final assignment is exact (verified hash-green vs a
+  chained-CTE DuckDB twin that replays the same fixed iterations).
+- Empty clusters keep their previous centroid unchanged (SQL: LEFT JOIN +
+  COALESCE), so k never silently shrinks.
+
+At 100 TB the per-iteration cost is one streaming pass over the corpus with
+no shuffle at all; only k x d floats move to/from the driver per iteration.
+Ties (two centroids exactly equidistant after rounding) resolve to the
+smaller cluster id, matching the twin's ``ORDER BY dist, cid``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from web_search_engine_ray.functions.arrays import list_matrix
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+CENT_DECIMALS = 6
+
+
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean distances — expanded-form matmul
+    (||x||^2 - 2 x.c + ||c||^2) would lose precision on near-ties; the
+    direct difference form is exact enough for the 6-decimal contract and
+    still one vectorized pass (n*k*d flops, no Python loop)."""
+    # (n, 1, d) - (1, k, d) broadcasting; fine for k<=64 at batch granularity
+    diff = X[:, None, :] - C[None, :, :]
+    return np.einsum("nkd,nkd->nk", diff, diff)
+
+
+def kmeans_ds(
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+):
+    """(vec_id, cluster, dist): Lloyd's k-means with deterministic seeding
+    (centroids = the embeddings of ``vec_id < k``), ``iters`` fixed update
+    rounds, then a final assignment pass. ``dist`` is the euclidean
+    distance to the assigned centroid, rounded to 6 decimals."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+
+    import pyarrow.compute as pc
+
+    path = _emb_path(sf_dir)
+
+    seeds = (
+        ray.data.read_parquet(
+            path,
+            columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") < k),
+        )
+        .sort("vec_id")
+        .take_all()
+    )  # k rows by construction — a driver-side read of the SEEDS only
+    if len(seeds) < k:
+        raise ValueError(f"corpus has only {len(seeds)} seed rows, need k={k}")
+    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    def read_embs():
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            X = list_matrix(batch["embedding"], dtype=np.float64)
+            d2 = _sq_dists(X, cents)
+            assign = np.argmin(d2, axis=1)  # first (lowest cid) wins ties
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=cents.shape[0])
+            return pa.table(
+                {
+                    "cid": pa.array(
+                        np.arange(cents.shape[0], dtype=np.int64), pa.int64()
+                    ),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
+
+        parts = ray.get(
+            read_embs().map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        for p in parts:
+            if p.num_rows == 0:
+                continue
+            sums[p["cid"].to_numpy()] += list_matrix(p["vsum"], dtype=np.float64)
+            counts[p["cid"].to_numpy()] += p["n"].to_numpy()
+        nonempty = counts > 0
+        C = C.copy()
+        C[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty, None], CENT_DECIMALS
+        )
+
+    cref = ray.put(C)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        d2 = _sq_dists(X, cents)
+        a = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(a)), a])
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(np.round(dist, 6), pa.float64()),
+            }
+        )
+
+    return read_embs().map_batches(assign_batch, batch_format="pyarrow")
+
+
+def kmeans_inertia(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> float:
+    """Sum of squared assigned distances — the quantity Lloyd's descends.
+    Used by the pytest contract (inertia must be non-increasing in iters)."""
+    t = kmeans_ds(sf_dir, k=k, iters=iters)
+    tot = 0.0
+    for b in t.iter_batches(batch_format="pyarrow"):
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        tot += float(np.dot(d, d))
+    return tot
