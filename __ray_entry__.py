@@ -76,6 +76,31 @@ FROM a{iters + 1}"""
     )
 
 
+def _pii_sql() -> str:
+    """DuckDB twin of pipelines/redact.pii_redact_ds(plant=True): plant the
+    same doc_id-derived PII, count each pattern on the planted text, then
+    chain the replacements in PII_PATTERNS order. Patterns are imported from
+    the engine module — one source of truth for both sides."""
+    from web_search_engine_ray.pipelines.redact import PII_PATTERNS
+
+    red = "aug"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id,
+  coalesce(text, '') || ' contact user' || doc_id || '@example.com ip 10.'
+    || (doc_id % 256) || '.' || (doc_id % 100) || '.7 ssn 123-45-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' call +1 (555) 010-'
+    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+  FROM documents)
+SELECT doc_id AS docid, {red} AS redacted,
+       {", ".join(counts)}
+FROM p
+"""
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -110,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         graph,
         legacy,
+        redact,
         serving,
         similarity,
         sketch,
@@ -178,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": analysis.langid_ds,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
         "repetition_stats": analysis.repetition_stats_ds,
+        "pii_redact": redact.pii_redact_ds,
     }
 
 
@@ -545,6 +572,7 @@ FROM (SELECT doc_id, {TOK} AS toks FROM documents)
         # it bit-for-bit: md5_number_lower == low 8 bytes of md5 (LE), the
         # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
         # 16-bit bands), so all-pairs SQL is the same relation
+        "pii_redact": _pii_sql(),
         "simhash_dups": f"""
 WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
  th AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h FROM t),
