@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         legacy,
         redact,
+        split,
         serving,
         similarity,
         sketch,
@@ -205,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
         "repetition_stats": analysis.repetition_stats_ds,
         "pii_redact": redact.pii_redact_ds,
+        "train_val_test_split": lambda sf: split.split_docs_ds(
+            sf, val_pct=10, test_pct=10
+        ),
     }
 
 
@@ -573,6 +577,15 @@ FROM (SELECT doc_id, {TOK} AS toks FROM documents)
         # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
         # 16-bit bands), so all-pairs SQL is the same relation
         "pii_redact": _pii_sql(),
+        "train_val_test_split": """
+WITH b AS (SELECT doc_id, (md5_number_lower(coalesce(text, '')) % 100)::BIGINT AS bucket
+           FROM documents)
+SELECT doc_id AS docid, bucket,
+       CASE WHEN bucket < 10 THEN 'val'
+            WHEN bucket < 20 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+""",
         "simhash_dups": f"""
 WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
  th AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h FROM t),
