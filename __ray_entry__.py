@@ -34,13 +34,16 @@ RERANK_K1 = 50  # hybrid rerank recall depth — templated into BOTH the
 RERANK_K2 = 10  # engine call and its SQL twin so they cannot drift
 KMEANS_K = 8  # k-means config — same templating contract; the SQL twin
 KMEANS_ITERS = 2  # replays exactly KMEANS_ITERS Lloyd rounds as chained CTEs
+SEMDEDUP_TAU = 0.45  # within-cluster cosine threshold for semantic dedup
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
-    """Chained-CTE DuckDB twin of pipelines/clustering.kmeans_ds: seed with
-    vec_id < k, replay `iters` assign+update rounds (centroids rounded to 6
-    decimals — the determinism contract both engines share), then a final
-    assignment. Ties resolve to the smaller cluster id on both sides."""
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Chained-CTE DuckDB replay of pipelines/clustering.kmeans_centroids +
+    assignment: seed with vec_id < k, `iters` assign+update rounds
+    (centroids rounded to 6 decimals — the determinism contract both
+    engines share), then a final assignment CTE. Ties resolve to the
+    smaller cluster id on both sides. Returns (WITH-clause string, name of
+    the final assignment CTE carrying vec_id/x/cid/dist)."""
 
     def assign(prev: str, idx: int) -> str:
         return f"""
@@ -67,12 +70,32 @@ def _kmeans_sql(k: int, iters: int) -> str:
         ctes.append(assign(f"c{i - 1}", i))
         ctes.append(update(i))
     ctes.append(assign(f"c{iters}", iters + 1))
+    return "WITH " + ",".join(ctes), f"a{iters + 1}"
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
     return (
-        "WITH "
-        + ",".join(ctes)
+        ctes
         + f"""
 SELECT vec_id, cid::BIGINT AS cluster, round(dist, 6) AS dist
-FROM a{iters + 1}"""
+FROM {final}"""
+    )
+
+
+def _semdedup_sql(k: int, iters: int, tau: float) -> str:
+    """SemDeDup twin: the same k-means CTE chain, then the keep-smallest-id
+    rule — v survives iff no same-cluster u < v has cosine >= tau."""
+    ctes, final = _kmeans_ctes(k, iters)
+    return (
+        ctes
+        + f""",
+ s AS (SELECT vec_id, cid, x FROM {final})
+SELECT v.vec_id, v.cid::BIGINT AS cluster FROM s v
+WHERE NOT EXISTS (
+    SELECT 1 FROM s u
+    WHERE u.cid = v.cid AND u.vec_id < v.vec_id
+      AND list_cosine_similarity(u.x, v.x) >= {tau})"""
     )
 
 
@@ -193,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
         "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
         "kmeans": lambda sf: clustering.kmeans_ds(sf, k=KMEANS_K, iters=KMEANS_ITERS),
+        "semdedup": lambda sf: clustering.semdedup_ds(
+            sf, tau=SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS
+        ),
         # ---- sketches / sampling ----
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
@@ -487,6 +513,7 @@ FROM c JOIN hold USING (gram)
 GROUP BY c.doc_id
 """,
         "kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "semdedup": _semdedup_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
         "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),

@@ -89,3 +89,34 @@ def test_iters_zero_is_pure_seed_assignment(ray_session, tmp_path):
     assert got["dist"].tolist() == pytest.approx(
         np.sqrt(d2[np.arange(5), want]).round(6).tolist()
     )
+
+
+def test_semdedup_drops_within_cluster_only(ray_session, tmp_path):
+    """Exact duplicate in one cluster -> larger vec_id dropped; a near-dup
+    pair that k-means separates into different clusters survives (the
+    documented SemDeDup semantics — similarity never crosses clusters)."""
+    from web_search_engine_ray.pipelines.clustering import semdedup_ds
+
+    d = str(tmp_path / "sd")
+    # seeds (k=2): [1,0] and [-1,0] -> two well-separated clusters
+    _write_embs(
+        d,
+        [
+            [1.0, 0.0],  # 0 seed A
+            [-1.0, 0.0],  # 1 seed B
+            [1.0, 0.0],  # 2 exact dup of 0 -> dropped
+            [0.99, 0.01],  # 3 near-dup of 0, same cluster -> dropped
+            [-0.99, -0.01],  # 4 near-dup of 1, same cluster -> dropped
+            [0.0, 1.0],  # 5 orthogonal to both -> survives wherever it lands
+        ],
+    )
+    got = semdedup_ds(d, tau=0.95, k=2, iters=1).to_pandas()
+    assert sorted(got["vec_id"]) == [0, 1, 5]
+
+
+def test_semdedup_tau_monotone(ray_session):
+    from web_search_engine_ray.pipelines.clustering import semdedup_ds
+
+    lo = semdedup_ds(SF, tau=0.45).count()
+    hi = semdedup_ds(SF, tau=0.99).count()
+    assert lo <= hi  # stricter threshold drops fewer

@@ -47,15 +47,14 @@ def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.einsum("nkd,nkd->nk", diff, diff)
 
 
-def kmeans_ds(
+def kmeans_centroids(
     sf_dir: str,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-):
-    """(vec_id, cluster, dist): Lloyd's k-means with deterministic seeding
-    (centroids = the embeddings of ``vec_id < k``), ``iters`` fixed update
-    rounds, then a final assignment pass. ``dist`` is the euclidean
-    distance to the assigned centroid, rounded to 6 decimals."""
+) -> np.ndarray:
+    """Train the (k, d) float64 centroid matrix: deterministic seeding
+    (centroids = the embeddings of ``vec_id < k``) + ``iters`` Lloyd
+    rounds, centroids rounded to 6 decimals after each update."""
     import ray
     import ray.data
 
@@ -121,6 +120,28 @@ def kmeans_ds(
             sums[nonempty] / counts[nonempty, None], CENT_DECIMALS
         )
 
+    return C
+
+
+def kmeans_ds(
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+):
+    """(vec_id, cluster, dist): train via :func:`kmeans_centroids`, then a
+    final streaming assignment pass. ``dist`` is the euclidean distance to
+    the assigned centroid, rounded to 6 decimals."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+
+    path = _emb_path(sf_dir)
+
+    def read_embs():
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    C = kmeans_centroids(sf_dir, k=k, iters=iters)
     cref = ray.put(C)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
@@ -138,6 +159,94 @@ def kmeans_ds(
         )
 
     return read_embs().map_batches(assign_batch, batch_format="pyarrow")
+
+
+SEMDEDUP_TAU = 0.45
+
+
+def semdedup_ds(
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means the embedding space, then drop near-duplicates WITHIN each
+    cluster — pairwise cosine never crosses cluster boundaries, which is
+    what makes the quadratic step tractable at scale. Survivor rule is the
+    deterministic keep-smallest-id variant: vector v is dropped iff some
+    u < v in the same cluster has cosine(u, v) >= tau.
+
+    Shape: centroids from :func:`kmeans_centroids` (broadcast, tiny); one
+    ``map_batches`` assigns and forwards (vec_id, cluster, embedding); one
+    hash exchange on cluster id co-locates each cluster; the partition fn
+    runs one normalized matmul per cluster and keeps the non-dominated
+    rows. At 100 TB, k grows with the corpus (SemDeDup uses ~10k clusters
+    for LAION-scale) so per-cluster blocks stay bounded — the exchange key
+    IS the scale knob. Returns survivors (vec_id, cluster)."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(min(32, max(2, k)))
+    C = kmeans_centroids(sf_dir, k=k, iters=iters)
+    cref = ray.put(C)
+
+    def assign_fwd(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        a = np.argmin(_sq_dists(X, cents), axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).map_batches(assign_fwd, batch_format="pyarrow")
+
+    def drop_dominated(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        cl = t["cluster"].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        X = list_matrix(t["embedding"], dtype=np.float64)
+        order = np.lexsort((ids, cl))
+        ids, cl, X = ids[order], cl[order], X[order]
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        keep = np.ones(len(ids), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(ids)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            S = Xn[s:e] @ Xn[s:e].T  # ids ascending within the slice
+            dom = (np.triu(S, 1) >= tau).any(axis=0)
+            keep[s:e] = ~dom
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cluster": pa.array(cl[keep], pa.int64()),
+            }
+        )
+
+    return exchange_map(
+        ds,
+        lambda t: t["cluster"].to_numpy() % np_,
+        np_,
+        drop_dominated,
+        auto_shrink=True,
+    )
 
 
 def kmeans_inertia(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> float:
