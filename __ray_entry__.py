@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         graph,
         legacy,
+        mix,
         redact,
         split,
         serving,
@@ -235,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": lambda sf: split.split_docs_ds(
             sf, val_pct=10, test_pct=10
         ),
+        "source_mix": lambda sf: mix.source_mix_ds(sf, budget_chars=5000),
     }
 
 
@@ -604,6 +606,16 @@ FROM (SELECT doc_id, {TOK} AS toks FROM documents)
         # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
         # 16-bit bands), so all-pairs SQL is the same relation
         "pii_redact": _pii_sql(),
+        "source_mix": """
+WITH p AS (SELECT doc_id, source, n_chars,
+                  md5_number_lower(doc_id::VARCHAR) AS prio FROM documents),
+ c AS (SELECT doc_id, source, n_chars,
+              sum(n_chars) OVER (PARTITION BY source
+                                 ORDER BY prio, doc_id) AS cum
+       FROM p)
+SELECT doc_id AS docid, source, cum::BIGINT AS cum_chars
+FROM c WHERE cum <= 5000
+""",
         "train_val_test_split": """
 WITH b AS (SELECT doc_id, (md5_number_lower(coalesce(text, '')) % 100)::BIGINT AS bucket
            FROM documents)
