@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         legacy,
         mix,
+        pack,
         redact,
         split,
         serving,
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, val_pct=10, test_pct=10
         ),
         "source_mix": lambda sf: mix.source_mix_ds(sf, budget_chars=5000),
+        "pack_chunks": lambda sf: pack.pack_chunks_ds(sf, chunk_tokens=2048),
     }
 
 
@@ -606,6 +608,17 @@ FROM (SELECT doc_id, {TOK} AS toks FROM documents)
         # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
         # 16-bit bands), so all-pairs SQL is the same relation
         "pii_redact": _pii_sql(),
+        "pack_chunks": f"""
+WITH t AS (SELECT doc_id, len({TOK}) AS n_tok FROM documents),
+ c AS (SELECT doc_id, n_tok,
+              coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+       FROM t)
+SELECT doc_id AS docid, n_tok::BIGINT AS n_tokens, off::BIGINT AS start_tok,
+       (off // 2048)::BIGINT AS chunk_id, (off % 2048)::BIGINT AS chunk_off
+FROM c
+""",
         "source_mix": """
 WITH p AS (SELECT doc_id, source, n_chars,
                   md5_number_lower(doc_id::VARCHAR) AS prio FROM documents),
