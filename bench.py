@@ -188,6 +188,26 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     sketch.hll_distinct_terms(SF_DIR)
     timings["hll_distinct_sf"] = round(time.perf_counter() - t0, 3)
+    from web_search_engine_ray.pipelines import clustering, mix, pack, redact
+
+    t0 = time.perf_counter()
+    clustering.kmeans_ds(SF_DIR).count()
+    timings["kmeans_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clustering.semdedup_ds(SF_DIR).count()
+    timings["semdedup_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    redact.pii_redact_ds(SF_DIR).count()
+    timings["pii_redact_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pack.pack_chunks_ds(SF_DIR).count()
+    timings["pack_chunks_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    mix.source_mix_ds(SF_DIR).count()
+    timings["source_mix_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.holdout_contamination_ds(SF_DIR).count()
+    timings["holdout_contamination_sf"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",
