@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mix,
         pack,
         redact,
+        report,
         split,
         serving,
         similarity,
@@ -239,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "source_mix": lambda sf: mix.source_mix_ds(sf, budget_chars=5000),
         "pack_chunks": lambda sf: pack.pack_chunks_ds(sf, chunk_tokens=2048),
+        "source_report": report.source_report_ds,
     }
 
 
@@ -608,6 +610,19 @@ FROM (SELECT doc_id, {TOK} AS toks FROM documents)
         # banded engine answer is exact for hamming <= 3 (pigeonhole on 4
         # 16-bit bands), so all-pairs SQL is the same relation
         "pii_redact": _pii_sql(),
+        "source_report": f"""
+WITH t AS (SELECT source, {TOK} AS toks FROM documents),
+ q AS (SELECT source, len(toks)::BIGINT AS n,
+              (len(toks) >= 5 AND
+               (CASE WHEN len(toks) = 0 THEN 1.0
+                     ELSE len(list_filter(toks, x -> x IN {STOP_SQL}))::DOUBLE
+                          / len(toks) END) <= 0.6) AS ok
+       FROM t)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_ok,
+       round(sum(n)::DOUBLE / count(*), 6) AS mean_tokens
+FROM q GROUP BY source
+""",
         "pack_chunks": f"""
 WITH t AS (SELECT doc_id, len({TOK}) AS n_tok FROM documents),
  c AS (SELECT doc_id, n_tok,
