@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": lambda sf: clustering.semdedup_ds(
             sf, tau=SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS
         ),
+        # rows-only: eigendecomposition has no SQL twin; pytest contract
+        # replays the fit against single-process numpy (test_clustering.py)
+        "pca_project": lambda sf: clustering.pca_project_ds(sf, n_components=8),
         # ---- sketches / sampling ----
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),

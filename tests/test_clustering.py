@@ -120,3 +120,45 @@ def test_semdedup_tau_monotone(ray_session):
     lo = semdedup_ds(SF, tau=0.45).count()
     hi = semdedup_ds(SF, tau=0.99).count()
     assert lo <= hi  # stricter threshold drops fewer
+
+
+def test_pca_matches_numpy_replay(ray_session):
+    """Distributed covariance fit == single-process numpy PCA (same sign
+    convention), and projections reproduce (X - mean) @ comps.T."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.clustering import (
+        pca_model,
+        pca_project_ds,
+    )
+
+    mean, comps, var = pca_model(SF, n_components=4)
+    X = np.array(
+        pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["embedding"]
+        )["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    assert mean == pytest.approx(X.mean(axis=0))
+    C = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    want = v[:, order].T
+    flip = np.sign(want[np.arange(4), np.abs(want).argmax(axis=1)])
+    want = want * flip[:, None]
+    assert comps == pytest.approx(want, abs=1e-8)
+    assert var == pytest.approx(w[order])
+    assert (np.diff(var) <= 1e-12).all()  # variance sorted descending
+
+    got = pca_project_ds(SF, n_components=4).to_pandas().sort_values("vec_id")
+    P = np.array(got["pca"].tolist())
+    assert P == pytest.approx((X - mean) @ comps.T, abs=1e-8)
+
+
+def test_pca_bad_components_raise(ray_session):
+    from web_search_engine_ray.pipelines.clustering import pca_model
+
+    with pytest.raises(ValueError, match="n_components"):
+        pca_model(SF, n_components=0)
+    with pytest.raises(ValueError, match="n_components"):
+        pca_model(SF, n_components=10_000)

@@ -249,6 +249,91 @@ def semdedup_ds(
     )
 
 
+def pca_model(sf_dir: str, n_components: int = 8):
+    """Fit PCA on the embedding column: mean vector + top-``n_components``
+    eigenvectors of the covariance, via the same partial-aggregation shape
+    as k-means — each batch emits (sum x, sum x xᵀ, n), the driver reduces
+    (d x d — tiny at embedding dims) and runs one ``eigh``. Sign convention:
+    each component's largest-|coordinate| entry is made positive, so the
+    model is deterministic despite eigenvector sign ambiguity.
+
+    Returns (mean (d,), components (n_components, d), explained_var
+    (n_components,)). At 100 TB this is one streaming pass moving d²+d
+    floats per batch; the driver never sees a vector."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_dim, _emb_path
+
+    d = _emb_dim(sf_dir)
+    if not 1 <= n_components <= d:
+        raise ValueError(f"need 1 <= n_components <= {d}, got {n_components}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        return pa.table(
+            {
+                "sx": pa.array([X.sum(axis=0)], pa.list_(pa.float64())),
+                "sxx": pa.array([(X.T @ X).ravel()], pa.list_(pa.float64())),
+                "n": pa.array([X.shape[0]], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ray.data.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    n = 0
+    for p in parts:
+        if p.num_rows == 0:
+            continue
+        sx += list_matrix(p["sx"], dtype=np.float64).sum(axis=0)
+        sxx += (
+            list_matrix(p["sxx"], dtype=np.float64).sum(axis=0).reshape(d, d)
+        )
+        n += int(p["n"].to_numpy().sum())
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
+    mean = sx / n
+    cov = (sxx - n * np.outer(mean, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project_ds(sf_dir: str, n_components: int = 8):
+    """(vec_id, pca list<float64>): embeddings projected onto the fitted
+    components (centered). Model fit by :func:`pca_model`, broadcast once."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+
+    mean, comps, _ = pca_model(sf_dir, n_components)
+    mref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, C = ray.get(mref)
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        P = (X - m) @ C.T
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "pca": pa.array(list(P), pa.list_(pa.float64())),
+            }
+        )
+
+    return ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "embedding"]
+    ).map_batches(project, batch_format="pyarrow")
+
+
 def kmeans_inertia(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> float:
     """Sum of squared assigned distances — the quantity Lloyd's descends.
     Used by the pytest contract (inertia must be non-increasing in iters)."""
