@@ -151,7 +151,7 @@ def test_pca_matches_numpy_replay(ray_session):
     assert (np.diff(var) <= 1e-12).all()  # variance sorted descending
 
     got = pca_project_ds(SF, n_components=4).to_pandas().sort_values("vec_id")
-    P = np.array(got["pca"].tolist())
+    P = got[["pc0", "pc1", "pc2", "pc3"]].to_numpy()
     assert P == pytest.approx((X - mean) @ comps.T, abs=1e-8)
 
 

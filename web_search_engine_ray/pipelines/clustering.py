@@ -308,8 +308,11 @@ def pca_model(sf_dir: str, n_components: int = 8):
 
 
 def pca_project_ds(sf_dir: str, n_components: int = 8):
-    """(vec_id, pca list<float64>): embeddings projected onto the fitted
-    components (centered). Model fit by :func:`pca_model`, broadcast once."""
+    """(vec_id, pc0..pc{n-1}): embeddings projected onto the fitted
+    components (centered). Model fit by :func:`pca_model`, broadcast once.
+    Components come out as scalar float64 columns (not a list column) so
+    downstream sorts/joins/hash-compares treat them like any other
+    relation."""
     import ray
     import ray.data
 
@@ -322,12 +325,10 @@ def pca_project_ds(sf_dir: str, n_components: int = 8):
         m, C = ray.get(mref)
         X = list_matrix(batch["embedding"], dtype=np.float64)
         P = (X - m) @ C.T
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "pca": pa.array(list(P), pa.list_(pa.float64())),
-            }
-        )
+        cols = {"vec_id": batch["vec_id"].cast(pa.int64())}
+        for j in range(P.shape[1]):
+            cols[f"pc{j}"] = pa.array(np.round(P[:, j], 9), pa.float64())
+        return pa.table(cols)
 
     return ray.data.read_parquet(
         _emb_path(sf_dir), columns=["vec_id", "embedding"]
