@@ -35,6 +35,7 @@ RERANK_K2 = 10  # engine call and its SQL twin so they cannot drift
 KMEANS_K = 8  # k-means config — same templating contract; the SQL twin
 KMEANS_ITERS = 2  # replays exactly KMEANS_ITERS Lloyd rounds as chained CTEs
 SEMDEDUP_TAU = 0.45  # within-cluster cosine threshold for semantic dedup
+DUP_SPAN_K = 4  # k-gram width for duplicated-span detection (both sides)
 
 
 def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curate.curated_docs_ds,
         "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
+        "dup_spans": lambda sf: dedup.dup_spans_ds(sf, k=DUP_SPAN_K),
         "dedup_clusters": lambda sf: graph.dedup_clusters_ds(sf, tau=0.8),
         "holdout_contamination": lambda sf: dedup.holdout_contamination_ds(
             sf, holdout_max_docid=100, n=8
@@ -672,6 +674,31 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
        bit_count(xor(a.s, b.s))::BIGINT AS hamming
 FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # duplicated k-gram spans: identical md5-low-64 k-gram identity on
+        # both sides (a collision cannot diverge); spans via the classic
+        # pos - row_number() run-grouping
+        "dup_spans": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ g AS (SELECT doc_id, len(ws) - {DUP_SPAN_K} + 1 AS nk, ws
+       FROM t WHERE len(ws) >= {DUP_SPAN_K}),
+ kg AS (SELECT doc_id, unnest(range(1, nk + 1)) AS pos, ws FROM g),
+ kh AS (SELECT doc_id, pos,
+        md5_number_lower(array_to_string(ws[pos:pos+{DUP_SPAN_K - 1}], ' ')) AS h
+        FROM kg),
+ dp AS (SELECT doc_id, pos FROM kh
+        QUALIFY count(*) OVER (PARTITION BY h) >= 2),
+ runs AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dp),
+ spans AS (SELECT doc_id, grp, count(*) AS rl FROM runs GROUP BY doc_id, grp),
+ agg AS (SELECT doc_id, sum(rl) AS ndup, count(*) AS nspans, max(rl) AS mxr
+         FROM spans GROUP BY doc_id)
+SELECT g.doc_id AS docid, g.nk::BIGINT AS n_kgrams,
+       coalesce(a.ndup, 0)::BIGINT AS n_dup_kgrams,
+       coalesce(a.nspans, 0)::BIGINT AS n_spans,
+       coalesce(a.mxr + {DUP_SPAN_K} - 1, 0)::BIGINT AS max_span_tokens
+FROM g LEFT JOIN agg a USING (doc_id)
 """,
         # exact block-pair engine answer == all-pairs SQL
         "embedding_dups": """

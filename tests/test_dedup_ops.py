@@ -310,3 +310,75 @@ def test_holdout_contamination_matches_bruteforce(ray_session, tmp_path):
     got = holdout_contamination_ds(d, holdout_max_docid=10, n=8).to_pandas()
     assert dict(zip(got["docid"], got["n_hits"])) == want
     assert 12 not in set(got["docid"])  # too-short doc absent, not 0-row
+
+
+@pytest.fixture(scope="module")
+def span_dir(tmp_path_factory):
+    """Planted duplicated spans: a 5-token phrase shared across two docs, a
+    doc with internal repetition, plus a no-dup doc and too-short/empty
+    docs that must not appear in the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("span")
+    texts = [
+        "alpha beta gamma delta epsilon zeta",        # shares 5-token run with doc 2
+        "one two three four five six seven",           # no dups
+        "xx alpha beta gamma delta epsilon yy",        # shares run with doc 0
+        "a b c d a b c d",                             # internal repeat of "a b c d"
+        "",                                            # no k-grams -> excluded
+        "p q r",                                       # < k tokens -> excluded
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dup_spans_planted(ray_session, span_dir):
+    from web_search_engine_ray.pipelines.dedup import dup_spans_ds
+
+    got = (
+        dup_spans_ds(span_dir, k=4)
+        .to_pandas()
+        .sort_values("docid")
+        .reset_index(drop=True)
+    )
+    rows = {
+        int(r.docid): (
+            int(r.n_kgrams),
+            int(r.n_dup_kgrams),
+            int(r.n_spans),
+            int(r.max_span_tokens),
+        )
+        for r in got.itertuples()
+    }
+    assert rows == {
+        0: (3, 2, 1, 5),   # positions 1-2 dup ("alpha beta gamma delta", "beta gamma delta epsilon")
+        1: (4, 0, 0, 0),
+        2: (4, 2, 1, 5),   # same two k-grams at positions 2-3
+        3: (5, 2, 2, 4),   # "a b c d" at positions 1 and 5: two length-1 runs
+    }
+
+
+def test_dup_spans_fast_path_matches_md5(ray_session, span_dir):
+    from web_search_engine_ray.pipelines.dedup import dup_spans_ds
+
+    md5 = dup_spans_ds(span_dir, k=4, hash_fn="md5").to_pandas()
+    fast = dup_spans_ds(span_dir, k=4, hash_fn="fast").to_pandas()
+    md5 = md5.sort_values("docid").reset_index(drop=True)
+    fast = fast.sort_values("docid").reset_index(drop=True)
+    assert md5.equals(fast)
+
+
+def test_dup_spans_validation():
+    from web_search_engine_ray.pipelines.dedup import dup_spans_ds
+
+    with pytest.raises(ValueError, match="k must be"):
+        dup_spans_ds("/tmp/x", k=1)
+    with pytest.raises(ValueError, match="hash_fn"):
+        dup_spans_ds("/tmp/x", hash_fn="sha1")

@@ -201,6 +201,18 @@ def _shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
     return np.unique(_splitmix(acc))
 
 
+def _positional_shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Like :func:`_shingle_hashes` but one hash PER POSITION (no distinct
+    collapse) — duplicated-span detection needs every occurrence."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(tokens)
+    acc = np.zeros(len(tokens) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += th[j : len(tokens) - k + 1 + j] * np.uint64(0x100000001B3) ** np.uint64(j)
+    return _splitmix(acc)
+
+
 def _minhash_sig(sh: np.ndarray, nperm: int = MINHASH_PERMS) -> np.ndarray:
     """nperm minhashes: min over splitmix(sh ^ seed_p) per permutation."""
     if sh.size == 0:
@@ -1236,3 +1248,156 @@ def holdout_contamination_ds(sf_dir: str, holdout_max_docid: int = 100, n: int =
         filter=(pc.field("doc_id") >= holdout_max_docid),
     )
     return corpus.map_batches(scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplicated k-gram spans
+
+
+def dup_spans_ds(sf_dir: str, k: int = 4, hash_fn: str = "md5"):
+    """(docid, n_kgrams, n_dup_kgrams, n_spans, max_span_tokens): exact
+    duplicated-substring detection over token k-grams — the span-level
+    companion to document-level dedup (simplified from Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array ExactSubstr pass, re-expressed as two hash exchanges;
+    the reference engine has no span-level notion at all, its only dedup is
+    the (term, docid) collapse of ``HW2/engine/merger.py:114-132``).
+
+    Position ``p`` (1-based) in doc ``d`` is *duplicated* iff the k-gram
+    starting there occurs at >= 2 positions corpus-wide (any doc, including
+    ``d`` itself). Spans are maximal runs of consecutive duplicated
+    positions; ``max_span_tokens`` = longest run + k - 1 (token length of
+    the covered text). Docs with fewer than ``k`` tokens have no k-grams
+    and do not appear.
+
+    ``hash_fn="md5"`` (default, oracle-checked): k-gram identity is the low
+    64 bits of md5 over the space-joined tokens == DuckDB
+    ``md5_number_lower``, so the SQL twin compares the *same* 64-bit value
+    — a hash collision cannot make the two sides diverge.
+    ``hash_fn="fast"``: the vectorized position-weighted token-hash combine
+    (:func:`_shingle_hashes`) — no per-position md5 loop; the production
+    path at corpus scale.
+
+    Scale shape: stage 1 emits one (h, docid, pos) row per token position —
+    the same O(corpus tokens) relation the postings build moves. Exchange 1
+    (keyed on h) downselects to positions whose 64-bit hash repeats
+    (duplication-scale output); exchange 2 (keyed on docid) reassembles
+    per-doc position masks and computes runs with one lexsort + cumsum per
+    partition. Per-doc k-gram counts ride the same exchanges as pos=0
+    marker rows, so nothing ever lands on the driver.
+    """
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if hash_fn not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'fast')")
+    np_ = cluster_parts(N_PARTS)
+    kk = k  # capture as local for the closures
+
+    def emit(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        ids = _col(batch, "doc_id", np.int64)
+        h_parts, d_parts, p_parts = [], [], []
+        base_d, base_n = [], []
+        for did, tl in zip(ids, toks):
+            tl = tl or []
+            n = len(tl) - kk + 1
+            if n <= 0:
+                continue
+            base_d.append(did)
+            base_n.append(n)
+            if hash_fn == "fast":
+                hs = _positional_shingle_hashes(tl, k=kk)
+            else:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(" ".join(tl[i : i + kk]).encode()).digest()[
+                                8:16
+                            ],
+                            "little",
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+            h_parts.append(hs)
+            d_parts.append(np.full(n, did, np.int64))
+            p_parts.append(np.arange(1, n + 1, dtype=np.int64))
+        nb = len(base_d)
+        h = np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
+        d = np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
+        p = np.concatenate(p_parts) if p_parts else np.empty(0, np.int64)
+        bd = np.asarray(base_d, np.int64)
+        # base marker rows (pos=0) carry the per-doc k-gram count in nk and
+        # route by a docid-derived hash purely for balance; they pass
+        # exchange 1 untouched (the dup filter only sees pos > 0 rows)
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate([h, _splitmix(bd.astype(np.uint64))])),
+                "docid": pa.array(np.concatenate([d, bd])),
+                "pos": pa.array(np.concatenate([p, np.zeros(nb, np.int64)])),
+                "nk": pa.array(
+                    np.concatenate([np.zeros(p.size, np.int64), np.asarray(base_n, np.int64)])
+                ),
+            }
+        )
+
+    def route_h(t: pa.Table) -> np.ndarray:
+        return _col(t, "h", np.uint64) % np.uint64(np_)
+
+    out_schema = pa.schema(
+        [("docid", pa.int64()), ("pos", pa.int64()), ("nk", pa.int64())]
+    )
+
+    def find_dups(t: pa.Table) -> pa.Table:
+        tt = pl.from_arrow(t)
+        base = tt.filter(pl.col("pos") == 0).select(["docid", "pos", "nk"])
+        poss = tt.filter(pl.col("pos") > 0)
+        dup = poss.filter(pl.len().over("h") >= 2).select(["docid", "pos", "nk"])
+        return pl.concat([base, dup]).to_arrow().cast(out_schema)
+
+    def route_doc(t: pa.Table) -> np.ndarray:
+        return _col(t, "docid", np.uint64) % np.uint64(np_)
+
+    def agg(t: pa.Table) -> pa.Table:
+        d = _col(t, "docid")
+        p = _col(t, "pos")
+        nk = _col(t, "nk")
+        bm = p == 0
+        bd, bn = d[bm], nk[bm]
+        o = np.argsort(bd, kind="stable")
+        bd, bn = bd[o], bn[o]
+        n_dup = np.zeros(bd.size, np.int64)
+        n_spans = np.zeros(bd.size, np.int64)
+        max_span = np.zeros(bd.size, np.int64)
+        dd, dp = d[~bm], p[~bm]
+        if dd.size:
+            o = np.lexsort((dp, dd))
+            dd, dp = dd[o], dp[o]
+            newrun = np.ones(dd.size, bool)
+            newrun[1:] = (dd[1:] != dd[:-1]) | (dp[1:] != dp[:-1] + 1)
+            rid = np.cumsum(newrun) - 1
+            run_len = np.bincount(rid).astype(np.int64)
+            run_doc = dd[newrun]
+            nd = np.ones(run_doc.size, bool)
+            nd[1:] = run_doc[1:] != run_doc[:-1]
+            starts = np.flatnonzero(nd)
+            idx = np.searchsorted(bd, run_doc[starts])
+            n_spans[idx] = np.diff(np.append(starts, run_doc.size))
+            n_dup[idx] = np.add.reduceat(run_len, starts)
+            max_span[idx] = np.maximum.reduceat(run_len, starts) + kk - 1
+        return pa.table(
+            {
+                "docid": pa.array(bd),
+                "n_kgrams": pa.array(bn),
+                "n_dup_kgrams": pa.array(n_dup),
+                "n_spans": pa.array(n_spans),
+                "max_span_tokens": pa.array(max_span),
+            }
+        )
+
+    ds = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+    dups = exchange_map(ds, route_h, np_, find_dups, auto_shrink=True)
+    return exchange_map(dups, route_doc, np_, agg, auto_shrink=True)
