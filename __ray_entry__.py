@@ -152,6 +152,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_search_engine_ray.pipelines import (
         analysis,
+        bpe,
         clustering,
         corpus,
         curate,
@@ -227,6 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: eigendecomposition has no SQL twin; pytest contract
         # replays the fit against single-process numpy (test_clustering.py)
         "pca_project": lambda sf: clustering.pca_project_ds(sf, n_components=8),
+        # rows-only: BPE training is an iterative argmax with no SQL twin;
+        # pytest pins both against an independent naive recount trainer
+        # (tests/test_bpe.py)
+        "bpe_merges": lambda sf: bpe.bpe_merges_table(sf, n_merges=64),
+        "bpe_encode_stats": lambda sf: bpe.bpe_encode_stats_ds(sf, n_merges=64),
         # ---- sketches / sampling ----
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
@@ -750,5 +756,6 @@ FROM w
         # needs wrapping u64 arithmetic DuckDB lacks), knn_lsh +
         # embedding_dups_lsh (approximate by construction),
         # wand_daat_equivalence (engine-internal heap-tie equivalence),
-        # crawl_log (stateful frontier traversal)
+        # crawl_log (stateful frontier traversal), bpe_merges +
+        # bpe_encode_stats (iterative greedy training loop)
     }
