@@ -208,6 +208,14 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dedup.holdout_contamination_ds(SF_DIR).count()
     timings["holdout_contamination_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.dup_spans_ds(SF_DIR, hash_fn="fast").count()
+    timings["dup_spans_sf"] = round(time.perf_counter() - t0, 3)
+    from web_search_engine_ray.pipelines import bpe
+
+    t0 = time.perf_counter()
+    bpe.bpe_encode_stats_ds(SF_DIR, n_merges=64, concurrency=8).count()
+    timings["bpe_encode_sf"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",
