@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
         "dup_spans": lambda sf: dedup.dup_spans_ds(sf, k=DUP_SPAN_K),
+        "dup_span_clean": lambda sf: dedup.dup_span_clean_ds(sf, k=DUP_SPAN_K),
         "dedup_clusters": lambda sf: graph.dedup_clusters_ds(sf, tau=0.8),
         "holdout_contamination": lambda sf: dedup.holdout_contamination_ds(
             sf, holdout_max_docid=100, n=8
@@ -705,6 +706,35 @@ SELECT g.doc_id AS docid, g.nk::BIGINT AS n_kgrams,
        coalesce(a.nspans, 0)::BIGINT AS n_spans,
        coalesce(a.mxr + {DUP_SPAN_K} - 1, 0)::BIGINT AS max_span_tokens
 FROM g LEFT JOIN agg a USING (doc_id)
+""",
+        # span REMOVAL companion: winner = first (docid, pos) occurrence
+        # per duplicated k-gram; losers' covered positions drop out of the
+        # rebuilt token stream
+        "dup_span_clean": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ g AS (SELECT doc_id, len(ws) - {DUP_SPAN_K} + 1 AS nk, ws
+       FROM t WHERE len(ws) >= {DUP_SPAN_K}),
+ kg AS (SELECT doc_id, unnest(range(1, nk + 1)) AS pos, ws FROM g),
+ kh AS (SELECT doc_id, pos,
+        md5_number_lower(array_to_string(ws[pos:pos+{DUP_SPAN_K - 1}], ' ')) AS h
+        FROM kg),
+ losers AS (SELECT doc_id, pos FROM kh
+            QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1),
+ cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {DUP_SPAN_K})) AS tp
+         FROM losers),
+ tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+            FROM t),
+ kept AS (SELECT tp2.doc_id, tp2.p, tp2.tok
+          FROM tokpos tp2
+          LEFT JOIN cov ON cov.doc_id = tp2.doc_id AND cov.tp = tp2.p
+          WHERE cov.tp IS NULL),
+ ka AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS kept_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS docid, len(t.ws)::BIGINT AS n_tokens,
+       (len(t.ws) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(ka.kept_text, '') AS kept_text
+FROM t LEFT JOIN ka ON ka.doc_id = t.doc_id
 """,
         # exact block-pair engine answer == all-pairs SQL
         "embedding_dups": """

@@ -382,3 +382,42 @@ def test_dup_spans_validation():
         dup_spans_ds("/tmp/x", k=1)
     with pytest.raises(ValueError, match="hash_fn"):
         dup_spans_ds("/tmp/x", hash_fn="sha1")
+
+
+def test_dup_span_clean_planted(ray_session, span_dir):
+    from web_search_engine_ray.pipelines.dedup import dup_span_clean_ds
+
+    got = (
+        dup_span_clean_ds(span_dir, k=4)
+        .to_pandas()
+        .sort_values("docid")
+        .reset_index(drop=True)
+    )
+    rows = {
+        int(r.docid): (int(r.n_tokens), int(r.n_removed), r.kept_text)
+        for r in got.itertuples()
+    }
+    # every doc appears, including the empty and the too-short one
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+    # doc 0 holds the winning occurrences -> untouched
+    assert rows[0] == (6, 0, "alpha beta gamma delta epsilon zeta")
+    assert rows[1] == (7, 0, "one two three four five six seven")
+    # doc 2 loses "alpha beta gamma delta"@2 and "beta gamma delta epsilon"@3:
+    # covered token positions 2..6 -> keeps "xx" and "yy"
+    assert rows[2] == (7, 5, "xx yy")
+    # doc 3: "a b c d"@5 loses to @1 -> covered 5..8, keeps the first copy
+    assert rows[3] == (8, 4, "a b c d")
+    assert rows[4] == (0, 0, "")
+    assert rows[5] == (3, 0, "p q r")
+
+
+def test_dup_span_clean_fast_path_matches_md5(ray_session, span_dir):
+    from web_search_engine_ray.pipelines.dedup import dup_span_clean_ds
+
+    md5 = dup_span_clean_ds(span_dir, k=4).to_pandas().sort_values("docid")
+    fast = (
+        dup_span_clean_ds(span_dir, k=4, hash_fn="fast")
+        .to_pandas()
+        .sort_values("docid")
+    )
+    assert md5.reset_index(drop=True).equals(fast.reset_index(drop=True))

@@ -1401,3 +1401,169 @@ def dup_spans_ds(sf_dir: str, k: int = 4, hash_fn: str = "md5"):
     ds = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
     dups = exchange_map(ds, route_h, np_, find_dups, auto_shrink=True)
     return exchange_map(dups, route_doc, np_, agg, auto_shrink=True)
+
+
+def dup_span_clean_ds(sf_dir: str, k: int = 4, hash_fn: str = "md5"):
+    """(docid, n_tokens, n_removed, kept_text): the corpus rewritten with
+    duplicated k-gram spans removed — the removal companion to
+    :func:`dup_spans_ds` (Lee et al. 2022 ExactSubstr semantics, one
+    surviving copy): for every k-gram occurring at >= 2 positions
+    corpus-wide, the lexicographically first (docid, pos) occurrence is the
+    *winner*; every other occurrence marks its k covered token positions
+    for removal. ``kept_text`` is the space-join of surviving tokens (the
+    tokenized view — this op rewrites the token stream, not raw bytes).
+
+    Every doc appears, including empty and shorter-than-k docs
+    (n_removed = 0). Winner selection is global and deterministic, so the
+    result is partitioning-invariant.
+
+    Scale shape: the (h, docid, pos) relation and exchange 1 are shared
+    with :func:`dup_spans_ds` (winner = first row of each hash group after
+    one lexsort — no extra pass); exchange 2 routes loser positions AND the
+    corpus text by docid — the text movement is inherent (the output IS a
+    corpus rewrite, same freight as the curation sink writes)."""
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if hash_fn not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'md5' or 'fast')")
+    np_ = cluster_parts(N_PARTS)
+    kk = k
+
+    def emit(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        ids = _col(batch, "doc_id", np.int64)
+        h_parts, d_parts, p_parts = [], [], []
+        for did, tl in zip(ids, toks):
+            tl = tl or []
+            n = len(tl) - kk + 1
+            if n <= 0:
+                continue
+            if hash_fn == "fast":
+                hs = _positional_shingle_hashes(tl, k=kk)
+            else:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(" ".join(tl[i : i + kk]).encode()).digest()[
+                                8:16
+                            ],
+                            "little",
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+            h_parts.append(hs)
+            d_parts.append(np.full(n, did, np.int64))
+            p_parts.append(np.arange(1, n + 1, dtype=np.int64))
+        return pa.table(
+            {
+                "h": pa.array(
+                    np.concatenate(h_parts) if h_parts else np.empty(0, np.uint64)
+                ),
+                "docid": pa.array(
+                    np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
+                ),
+                "pos": pa.array(
+                    np.concatenate(p_parts) if p_parts else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def route_h(t: pa.Table) -> np.ndarray:
+        return _col(t, "h", np.uint64) % np.uint64(np_)
+
+    def losers(t: pa.Table) -> pa.Table:
+        h = _col(t, "h", np.uint64)
+        d = _col(t, "docid")
+        p = _col(t, "pos")
+        o = np.lexsort((p, d, h))
+        h, d, p = h[o], d[o], p[o]
+        first = np.ones(h.size, bool)
+        first[1:] = h[1:] != h[:-1]
+        # non-first rows exist only in groups of size >= 2 — exactly the
+        # losing occurrences; the group head (min (docid, pos)) survives
+        lose = ~first
+        return pa.table(
+            {
+                "docid": pa.array(d[lose]),
+                "pos": pa.array(p[lose]),
+                "text": pa.array([None] * int(lose.sum()), pa.string()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "docid": batch["doc_id"].cast(pa.int64()),
+                "pos": pa.array(np.full(n, -1, np.int64)),
+                "text": batch["text"].cast(pa.string()),
+            }
+        )
+
+    def route_doc(t: pa.Table) -> np.ndarray:
+        return _col(t, "docid", np.uint64) % np.uint64(np_)
+
+    def clean(t: pa.Table) -> pa.Table:
+        tt = pl.from_arrow(t)
+        docs = tt.filter(pl.col("pos") == -1).select(["docid", "text"])
+        lose = tt.filter(pl.col("pos") >= 1).select(["docid", "pos"])
+        toks = pl.DataFrame(
+            {
+                "docid": docs["docid"],
+                "ws": token_lists(docs["text"].to_arrow()),
+            }
+        )
+        base = toks.with_columns(
+            n_tokens=pl.col("ws").list.len().fill_null(0).cast(pl.Int64)
+        )
+        covered = (
+            lose.with_columns(tp=pl.int_ranges("pos", pl.col("pos") + kk))
+            .explode("tp")
+            .select(["docid", "tp"])
+            .unique()
+        )
+        tokpos = (
+            base.select(["docid", "ws"])
+            .explode("ws")
+            .drop_nulls("ws")
+            .with_columns(p=pl.int_range(pl.len()).over("docid") + 1)
+        )
+        kept = tokpos.join(
+            covered, left_on=["docid", "p"], right_on=["docid", "tp"], how="anti"
+        )
+        agg = kept.sort(["docid", "p"]).group_by("docid", maintain_order=True).agg(
+            kept_text=pl.col("ws").str.join(" "),
+            n_kept=pl.len().cast(pl.Int64),
+        )
+        out = (
+            base.select(["docid", "n_tokens"])
+            .join(agg, on="docid", how="left")
+            .with_columns(
+                kept_text=pl.col("kept_text").fill_null(""),
+                n_removed=(pl.col("n_tokens") - pl.col("n_kept").fill_null(0)).cast(
+                    pl.Int64
+                ),
+            )
+            .select(["docid", "n_tokens", "n_removed", "kept_text"])
+            .sort("docid")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("docid", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("n_removed", pa.int64()),
+                    ("kept_text", pa.string()),
+                ]
+            )
+        )
+
+    grams = _read_docs(sf_dir).map_batches(emit, batch_format="pyarrow")
+    lose_ds = exchange_map(grams, route_h, np_, losers, auto_shrink=True)
+    corpus = _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow")
+    return exchange_map(corpus.union(lose_ds), route_doc, np_, clean, auto_shrink=True)
