@@ -125,6 +125,96 @@ FROM p
 """
 
 
+def _phrase_sql() -> str:
+    """Exact-phrase twin: per fixed query the tokenized phrase string is
+    compared against the width-n gram at every position (same tokenizer on
+    both sides — the VALUES rows are built with the engine's token_lists)."""
+    import pyarrow as _pa
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+    rows = []
+    for qid, q in enumerate(FIXED_QUERIES):
+        terms = token_lists(_pa.array([q], _pa.string())).to_list()[0] or []
+        if terms:
+            rows.append(f"({qid}, '{' '.join(terms)}', {len(terms)})")
+    qv = ", ".join(rows)
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ q(query_id, phrase, n) AS (VALUES {qv}),
+ j AS (SELECT q.query_id, t.doc_id, q.phrase, q.n, t.ws
+       FROM t CROSS JOIN q WHERE len(t.ws) >= q.n),
+ g AS (SELECT query_id, doc_id, phrase, n, ws,
+              unnest(range(1, len(ws) - n + 2)) AS pos FROM j),
+ s AS (SELECT query_id, doc_id, phrase,
+              array_to_string(ws[pos:pos+n-1], ' ') AS gram FROM g)
+SELECT query_id, doc_id AS docid, count(*)::BIGINT AS n_matches
+FROM s WHERE gram = phrase
+GROUP BY query_id, doc_id
+"""
+
+
+def _proximity_sql() -> str:
+    """Two-term window twin: min |pos_a - pos_b| per doc, kept iff within
+    the query's window."""
+    from web_search_engine_ray.pipelines.phrase import PROXIMITY_QUERIES
+
+    pv = ", ".join(
+        f"({i}, '{a}', '{b}', {w})" for i, (a, b, w) in enumerate(PROXIMITY_QUERIES)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ q(query_id, a, b, w) AS (VALUES {pv}),
+ tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+            FROM t),
+ pa_ AS (SELECT q.query_id, tp.doc_id, tp.p, q.w
+         FROM tokpos tp JOIN q ON tp.tok = q.a),
+ pb_ AS (SELECT q.query_id, tp.doc_id, tp.p
+         FROM tokpos tp JOIN q ON tp.tok = q.b)
+SELECT pa_.query_id AS query_id, pa_.doc_id AS docid,
+       min(abs(pa_.p - pb_.p))::BIGINT AS min_gap
+FROM pa_ JOIN pb_ ON pb_.query_id = pa_.query_id AND pb_.doc_id = pa_.doc_id
+GROUP BY pa_.query_id, pa_.doc_id
+HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
+"""
+
+
+def _dsir_sql() -> str:
+    """DSIR twin: identical md5-low-64 bucket ids for unigram+bigram
+    features; add-1 smoothed target/raw log-ratio; per-doc mean over
+    feature occurrences, round(6)."""
+    from web_search_engine_ray.pipelines.dsir import DSIR_BUCKETS, TARGET_MAX_DOCID
+
+    B, T = DSIR_BUCKETS, TARGET_MAX_DOCID
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ uni AS (SELECT doc_id, md5_number_lower(unnest(ws)) % {B} AS f FROM t),
+ bg AS (SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+        FROM t WHERE len(ws) >= 2),
+ big AS (SELECT doc_id, md5_number_lower(g) % {B} AS f FROM bg),
+ feat AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM big),
+ tgt AS (SELECT f, count(*) AS c FROM feat WHERE doc_id < {T} GROUP BY f),
+ rawc AS (SELECT f, count(*) AS c FROM feat WHERE doc_id >= {T} GROUP BY f),
+ tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS ctot,
+                (SELECT coalesce(sum(c), 0) FROM rawc) AS crot),
+ lam AS (SELECT b.f,
+         ln((coalesce(tg.c, 0) + 1)::DOUBLE / (tot.ctot + {B}))
+       - ln((coalesce(rw.c, 0) + 1)::DOUBLE / (tot.crot + {B})) AS lam
+         FROM (SELECT DISTINCT f FROM feat) b
+         LEFT JOIN tgt tg ON tg.f = b.f
+         LEFT JOIN rawc rw ON rw.f = b.f
+         CROSS JOIN tot),
+ docf AS (SELECT doc_id, f, count(*) AS c FROM feat WHERE doc_id >= {T}
+          GROUP BY doc_id, f)
+SELECT d.doc_id AS docid, sum(d.c)::BIGINT AS n_features,
+       round(sum(d.c * lam.lam) / sum(d.c), 6) AS dsir_score
+FROM docf d JOIN lam ON lam.f = d.f
+GROUP BY d.doc_id
+"""
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -153,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from web_search_engine_ray.pipelines import (
         analysis,
         bpe,
+        dsir,
+        phrase,
         clustering,
         corpus,
         curate,
@@ -203,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_legacy_runs": legacy.postings_via_legacy_runs,
         # ---- crawl (HW1 pipeline over the injected fake web) ----
         "crawl_log": lambda sf: serving.crawl_log_table(sf),
+        "dsir_weights": lambda sf: dsir.dsir_weights_ds(sf),
+        # ---- positional index: phrase + proximity search ----
+        "phrase_search": lambda sf: phrase.phrase_search_table(sf),
+        "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
         "curated_docs": curate.curated_docs_ds,
@@ -682,6 +778,9 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
 FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
+        "dsir_weights": _dsir_sql(),
+        "phrase_search": _phrase_sql(),
+        "proximity_search": _proximity_sql(),
         # duplicated k-gram spans: identical md5-low-64 k-gram identity on
         # both sides (a collision cannot diverge); spans via the classic
         # pos - row_number() run-grouping

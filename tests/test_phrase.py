@@ -1,0 +1,123 @@
+"""Positional index + phrase/proximity search contracts."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from web_search_engine_ray.pipelines.phrase import (
+    N_SHARDS,
+    _term_shard,
+    build_positional_index,
+    phrase_match_counts,
+    proximity_search_table,
+    read_term_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def phrase_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("phrase")
+    texts = [
+        "spark join spark join order",     # "spark join" twice (pos 1, 3)
+        "join spark nothing here",          # reversed -> no phrase match
+        "alpha spark beta gamma join",      # gap 3 between spark/join
+        "spark join tail",                  # docid > 2^32: rank remap path
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 2**40], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, phrase_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx"))
+    stats = build_positional_index(phrase_dir, out, n_shards=4)
+    assert stats["n_rows"] > 0
+    return out
+
+
+def test_positional_postings(ray_session, phrase_dir):
+    from web_search_engine_ray.pipelines.phrase import positional_postings_ds
+
+    t = positional_postings_ds(phrase_dir).to_pandas()
+    row = t[(t.term == "spark") & (t.docid == 0)].iloc[0]
+    assert list(row.positions) == [1, 3]
+    row = t[(t.term == "join") & (t.docid == 0)].iloc[0]
+    assert list(row.positions) == [2, 4]
+    # the huge docid keeps exact positions
+    row = t[(t.term == "tail") & (t.docid == 2**40)].iloc[0]
+    assert list(row.positions) == [3]
+
+
+def test_index_shards_and_pruned_read(built_index):
+    # every shard file exists; terms resolve to their owning shard only
+    for i in range(4):
+        assert os.path.exists(os.path.join(built_index, f"shard_{i:05d}.parquet"))
+    tp = read_term_positions(built_index, ["spark", "join"], n_shards=4)
+    assert set(tp) == {"spark", "join"}
+    sh = _term_shard("spark", 4)
+    t = pq.read_table(os.path.join(built_index, f"shard_{sh:05d}.parquet"))
+    assert "spark" in set(t["term"].to_pylist())
+
+
+def test_phrase_match_counts(built_index):
+    docs, counts = phrase_match_counts(built_index, ["spark", "join"], n_shards=4)
+    assert list(docs) == [0, 2**40] and list(counts) == [2, 1]
+    # three-term phrase
+    docs, counts = phrase_match_counts(
+        built_index, ["spark", "join", "order"], n_shards=4
+    )
+    assert list(docs) == [0] and list(counts) == [1]
+    # repeated-term phrase ("spark join spark")
+    docs, counts = phrase_match_counts(
+        built_index, ["spark", "join", "spark"], n_shards=4
+    )
+    assert list(docs) == [0] and list(counts) == [1]
+    # unknown term -> empty
+    docs, _ = phrase_match_counts(built_index, ["spark", "zzz"], n_shards=4)
+    assert docs.size == 0
+
+
+def test_proximity_windows(ray_session, phrase_dir):
+    # window 1: only adjacent pairs (doc 0 has spark-join adjacent; doc 1
+    # has join-spark adjacent — order does not matter for proximity)
+    t = proximity_search_table(
+        phrase_dir, queries=[("spark", "join", 1)], n_shards=4
+    ).to_pandas()
+    assert sorted(zip(t.docid, t.min_gap)) == [(0, 1), (1, 1), (2**40, 1)]
+    # window 3 additionally admits doc 2 (gap 3)
+    t = proximity_search_table(
+        phrase_dir, queries=[("spark", "join", 3)], n_shards=4
+    ).to_pandas()
+    assert sorted(zip(t.docid, t.min_gap)) == [(0, 1), (1, 1), (2, 3), (2**40, 1)]
+
+
+def test_composite_no_cross_doc_leak(ray_session, tmp_path):
+    # adjacent docids where term a ends one doc and term b starts the next:
+    # composite keys are adjacent across the doc boundary and must NOT
+    # produce a phrase/proximity match
+    d = tmp_path / "leak"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["x y spark", "join z w"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = str(tmp_path / "leakidx")
+    build_positional_index(str(d), out, n_shards=2)
+    docs, _ = phrase_match_counts(out, ["spark", "join"], n_shards=2)
+    assert docs.size == 0
+    prox = proximity_search_table(
+        str(d), queries=[("spark", "join", 100)], n_shards=2
+    ).to_pandas()
+    assert len(prox) == 0
