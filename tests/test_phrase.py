@@ -121,3 +121,32 @@ def test_composite_no_cross_doc_leak(ray_session, tmp_path):
         str(d), queries=[("spark", "join", 100)], n_shards=2
     ).to_pandas()
     assert len(prox) == 0
+
+
+def test_flask_phrase_mode(ray_session, phrase_dir, built_index, tmp_path_factory):
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.serve import create_app
+
+    idx = str(tmp_path_factory.mktemp("phrase_bm25"))
+    build_index(
+        os.path.join(phrase_dir, "documents.parquet"),
+        idx,
+        partition_rows=10,
+        num_shards=2,
+    )
+    app = create_app(idx, pos_index_dir=built_index)
+    client = app.test_client()
+
+    r = client.post(
+        "/search", json={"query": "spark join", "mode": "PHRASE", "topk": 5}
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    # doc 0 has the phrase twice -> ranked first with score 2
+    assert body["results"][0] == {"docid": 0, "score": 2}
+    assert {r_["docid"] for r_ in body["results"]} == {0, 2**40}
+
+    # phrase mode without an index -> 400
+    bare = create_app(idx).test_client()
+    r = bare.post("/search", json={"query": "x", "mode": "PHRASE"})
+    assert r.status_code == 400

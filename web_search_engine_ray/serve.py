@@ -26,10 +26,18 @@ from web_search_engine_ray.pipelines.query import Searcher
 _FRONTEND_DIR = os.path.join(os.path.dirname(__file__), "frontend")
 
 
-def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
+def create_app(
+    index_dir: str,
+    corpus_dir: str | None = None,
+    pos_index_dir: str | None = None,
+) -> Flask:
     """``corpus_dir`` (optional) enables text + snippet in responses — a
     capability the reference stubs (its snippet helper is dead code because
-    nothing maps docids back to content, ``HW2/app.py:85-104``)."""
+    nothing maps docids back to content, ``HW2/app.py:85-104``).
+    ``pos_index_dir`` (optional) enables ``mode: "PHRASE"`` — exact
+    consecutive-phrase search over a positional index built by
+    ``jobs/posindex_job.py`` (the query path is pure parquet reads + numpy,
+    no Ray in the serving process)."""
     app = Flask(__name__)
     searcher = Searcher(index_dir)
     docstore = None
@@ -37,6 +45,13 @@ def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
         from web_search_engine_ray.state.docstore import DocStore
 
         docstore = DocStore(corpus_dir, columns=["text"])
+    pos_shards = None
+    if pos_index_dir is not None:
+        import glob as _glob
+
+        pos_shards = len(_glob.glob(os.path.join(pos_index_dir, "shard_*.parquet")))
+        if pos_shards == 0:
+            raise ValueError(f"no shard_*.parquet files in {pos_index_dir}")
 
     @app.route("/")
     def index():
@@ -57,10 +72,25 @@ def create_app(index_dir: str, corpus_dir: str | None = None) -> Flask:
         topk = int(data.get("topk") or 10)
         if not query:
             return jsonify({"error": "Empty query"}), 400
-        if mode not in ("AND", "OR"):
-            return jsonify({"error": "Invalid mode. Must be AND or OR"}), 400
+        if mode not in ("AND", "OR", "PHRASE"):
+            return jsonify({"error": "Invalid mode. Must be AND, OR or PHRASE"}), 400
+        if mode == "PHRASE" and pos_shards is None:
+            return jsonify({"error": "No positional index loaded"}), 400
         t0 = time.perf_counter()
-        results = searcher.bm25_topk(query, topk=topk, mode=mode)
+        if mode == "PHRASE":
+            import pyarrow as pa
+
+            from web_search_engine_ray.functions.tokenize import token_lists
+            from web_search_engine_ray.pipelines.phrase import phrase_match_counts
+
+            terms = token_lists(pa.array([query], pa.string())).to_list()[0] or []
+            docs, counts = phrase_match_counts(
+                pos_index_dir, list(terms), n_shards=pos_shards
+            )
+            order = sorted(range(docs.size), key=lambda i: (-counts[i], docs[i]))
+            results = [(int(docs[i]), int(counts[i])) for i in order[:topk]]
+        else:
+            results = searcher.bm25_topk(query, topk=topk, mode=mode)
         search_ms = (time.perf_counter() - t0) * 1000
         out = []
         for d, s in results:
@@ -96,10 +126,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--corpus", default=None, help="corpus dir for text/snippets")
+    ap.add_argument(
+        "--pos-index", default=None, help="positional index dir (enables PHRASE mode)"
+    )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5001)
     args = ap.parse_args()
-    create_app(args.index, args.corpus).run(host=args.host, port=args.port)
+    create_app(args.index, args.corpus, args.pos_index).run(
+        host=args.host, port=args.port
+    )
 
 
 if __name__ == "__main__":
