@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": analysis.langid_ds,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
         "repetition_stats": analysis.repetition_stats_ds,
+        "collocations": lambda sf: analysis.collocations_ds(sf, min_count=5, k=50),
         "pii_redact": redact.pii_redact_ds,
         "train_val_test_split": lambda sf: split.split_docs_ds(
             sf, val_pct=10, test_pct=10
@@ -777,6 +778,23 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
        bit_count(xor(a.s, b.s))::BIGINT AS hamming
 FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # PMI collocations: identical float association (c_ab*nu*nu)/(nb*ca*cb)
+        # and round-before-rank on both sides
+        "collocations": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+ uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+ pairs AS (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+           FROM t WHERE len(ws) >= 2),
+ big AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM pairs GROUP BY w1, w2
+         HAVING count(*) >= 5),
+ tot AS (SELECT (SELECT count(*) FROM tok)::DOUBLE AS nu,
+                (SELECT count(*) FROM pairs)::DOUBLE AS nb)
+SELECT big.w1, big.w2, big.c_ab,
+       round(ln((big.c_ab * tot.nu * tot.nu) / (tot.nb * a.c * b.c)), 6) AS pmi
+FROM big JOIN uni a ON a.w = big.w1 JOIN uni b ON b.w = big.w2 CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2 LIMIT 50
 """,
         "dsir_weights": _dsir_sql(),
         "phrase_search": _phrase_sql(),

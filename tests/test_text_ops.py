@@ -69,3 +69,35 @@ def test_tfidf_topk_ranks_distinctive_terms(ray_session, odd_docs_dir):
     doc4 = by_doc[4].reset_index(drop=True)
     # ab (tf 3) and cd (tf 3) tie exactly -> term order decides
     assert list(doc4["term"]) == ["ab", "cd"]
+
+
+def test_collocations_planted(ray_session, tmp_path):
+    """'new york' is a planted high-PMI pair; 'the of' co-occurs only as
+    often as chance predicts and must rank below it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.analysis import collocations_ds
+
+    d = tmp_path / "coll"
+    d.mkdir()
+    texts = (
+        ["new york city visit new york today"] * 6
+        + ["the of and the of and filler words here"] * 6
+        + ["random the words of scattered new text york apart"] * 6
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = collocations_ds(str(d), min_count=5, k=50).to_pandas()
+    pairs = list(zip(got.w1, got.w2))
+    assert ("new", "york") in pairs
+    ny = got[(got.w1 == "new") & (got.w2 == "york")].iloc[0]
+    # "new york" occurs 12x adjacently vs scattered singles -> strong PMI
+    assert ny.c_ab == 12 and ny.pmi > 0
+    # pmi ranking is descending and the cut is deterministic
+    assert list(got.pmi) == sorted(got.pmi, reverse=True)

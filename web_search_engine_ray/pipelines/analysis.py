@@ -384,3 +384,191 @@ def repetition_stats_ds(sf_dir: str):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ collocations
+
+
+def collocations_ds(sf_dir: str, min_count: int = 5, k: int = 50):
+    """(w1, w2, c_ab, pmi): top-k bigram collocations by pointwise mutual
+    information — the classic phrase-mining signal for vocabulary /
+    multiword-expression discovery over a training corpus.
+
+    pmi = ln(c_ab * Nu^2 / (Nb * c_a * c_b)) with Nu = total tokens,
+    Nb = total bigram slots, c_a/c_b unigram occurrence counts; only
+    bigrams with c_ab >= min_count rank. Rounded to 6 decimals BEFORE the
+    (pmi desc, w1, w2) top-k cut so engine and SQL tie-break identically.
+
+    Scale shape: one corpus pass of per-batch polars count partials; a hash
+    exchange on w1 merges counts AND attaches c_a locally (bigram and
+    unigram rows for the same w1 land in the same partition by
+    construction); a second exchange keyed on w2 attaches c_b. Nu/Nb are
+    two scalar sums off the first exchange's (vocab-scale) output; the
+    min_count prune happens before anything re-shuffles. Final top-k is a
+    sort+limit over the pruned collocation relation."""
+    import ray
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        df = pl.DataFrame({"w": toks})
+        big = (
+            df.filter(pl.col("w").list.len() >= 2)
+            .select(
+                w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+                w2=pl.col("w").list.slice(1),
+            )
+            .explode(["w1", "w2"])
+            .group_by(["w1", "w2"])
+            .len(name="c")
+        )
+        uni = (
+            df.select(w1=pl.col("w"))
+            .explode("w1")
+            .drop_nulls()
+            .group_by("w1")
+            .len(name="c")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.ones(big.height, np.int8), np.zeros(uni.height, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "w1": pa.chunked_array(
+                    [
+                        big["w1"].to_arrow().cast(pa.string()),
+                        uni["w1"].to_arrow().cast(pa.string()),
+                    ],
+                    pa.string(),
+                ).combine_chunks(),
+                "w2": pa.chunked_array(
+                    [
+                        big["w2"].to_arrow().cast(pa.string()),
+                        pa.array([""] * uni.height, pa.string()),
+                    ],
+                    pa.string(),
+                ).combine_chunks(),
+                "c": pa.array(
+                    np.concatenate(
+                        [
+                            big["c"].to_numpy().astype(np.int64),
+                            uni["c"].to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def route1(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["w1"]).hash(seed=7).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    def merge_attach_ca(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["kind", "w1", "w2"])
+            .agg(pl.col("c").sum())
+        )
+        uni = g.filter(pl.col("kind") == 0).select("w1", "c")
+        big = g.filter(pl.col("kind") == 1)
+        nb_part = int(big["c"].sum() or 0)  # BEFORE the min_count prune
+        big = big.filter(pl.col("c") >= min_count).join(
+            uni.rename({"c": "c_a"}), on="w1", how="inner"
+        )
+        out = pl.concat(
+            [
+                uni.select(
+                    kind=pl.lit(0, pl.Int8),
+                    w1="w1",
+                    w2=pl.lit("", pl.String),
+                    c="c",
+                    c_a=pl.lit(0, pl.Int64),
+                ),
+                big.select(
+                    kind=pl.lit(1, pl.Int8), w1="w1", w2="w2", c="c", c_a="c_a"
+                ),
+                pl.DataFrame(
+                    {
+                        "kind": pl.Series([2], dtype=pl.Int8),
+                        "w1": [""],
+                        "w2": [""],
+                        "c": pl.Series([nb_part], dtype=pl.Int64),
+                        "c_a": pl.Series([0], dtype=pl.Int64),
+                    }
+                ),
+            ]
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("kind", pa.int8()),
+                    ("w1", pa.string()),
+                    ("w2", pa.string()),
+                    ("c", pa.int64()),
+                    ("c_a", pa.int64()),
+                ]
+            )
+        )
+
+    counts = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ex1 = exchange_map(counts, route1, np_, merge_attach_ca, auto_shrink=True)
+    parts = [p for p in ray.get(ex1.to_arrow_refs()) if p.num_rows]
+    # two scalar sums off the vocab-scale exchange output (columnar, no rows
+    # to the driver beyond what the exchange already materialized)
+    nu = float(
+        sum(
+            pl.from_arrow(p).filter(pl.col("kind") == 0)["c"].sum() or 0
+            for p in parts
+        )
+    )
+    nb = float(
+        sum(
+            pl.from_arrow(p).filter(pl.col("kind") == 2)["c"].sum() or 0
+            for p in parts
+        )
+    )
+
+    def route2(t: pa.Table) -> np.ndarray:
+        key = pl.from_arrow(t).select(
+            k=pl.when(pl.col("kind") == 1).then(pl.col("w2")).otherwise(pl.col("w1"))
+        )["k"]
+        return (key.hash(seed=7).to_numpy() % np.uint64(np_)).astype(np.int64)
+
+    def attach_cb_and_score(t: pa.Table) -> pa.Table:
+        g = pl.from_arrow(t)
+        uni = g.filter(pl.col("kind") == 0).select("w1", c_b=pl.col("c"))
+        big = g.filter(pl.col("kind") == 1).join(
+            uni, left_on="w2", right_on="w1", how="inner"
+        )
+        if big.height == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_ab": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        cab = big["c"].to_numpy().astype(np.float64)
+        ca = big["c_a"].to_numpy().astype(np.float64)
+        cb = big["c_b"].to_numpy().astype(np.float64)
+        pmi = np.round(np.log((cab * nu * nu) / (nb * ca * cb)), 6)
+        return pa.table(
+            {
+                "w1": big["w1"].to_arrow().cast(pa.string()),
+                "w2": big["w2"].to_arrow().cast(pa.string()),
+                "c_ab": pa.array(big["c"].to_numpy().astype(np.int64), pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    ex2 = exchange_map(ex1, route2, np_, attach_cb_and_score, auto_shrink=True)
+    return ex2.sort(["pmi", "w1", "w2"], descending=[True, False, False]).limit(k)
