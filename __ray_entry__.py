@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
         "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
         "heavy_hitter_terms": lambda sf: sketch.heavy_hitter_terms(sf, k=20),
+        "dl_quantiles": lambda sf: sketch.dl_quantiles_ds(sf),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,
@@ -778,6 +779,15 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
        bit_count(xor(a.s, b.s))::BIGINT AS hamming
 FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # exact discrete quantiles: explicit rank rule max(1, ceil(q*N))
+        "dl_quantiles": f"""
+WITH dls AS (SELECT doc_id, len({TOK})::BIGINT AS dl FROM documents),
+ o AS (SELECT dl, row_number() OVER (ORDER BY dl) AS rn FROM dls),
+ n AS (SELECT count(*)::BIGINT AS c FROM dls),
+ qs(q) AS (VALUES (0.5), (0.9), (0.99))
+SELECT qs.q, (SELECT o.dl FROM o, n WHERE o.rn = greatest(1, ceil(qs.q * n.c))) AS dl
+FROM qs
 """,
         # PMI collocations: identical float association (c_ab*nu*nu)/(nb*ca*cb)
         # and round-before-rank on both sides

@@ -216,3 +216,24 @@ def test_sample_fast_hash_path(ray_session):
 
     with _pytest.raises(ValueError, match="hash_fn"):
         sample_docs(SF, k=5, hash_fn="sha1")
+
+
+def test_dl_quantiles_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.sketch import dl_quantiles_ds
+
+    d = tmp_path / "q"
+    d.mkdir()
+    # lengths 1..10, one doc each: rank rule -> q=0.5 -> rank 5 -> dl 5
+    texts = ["w " * n for n in range(1, 11)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array([s.strip() for s in texts], pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = dl_quantiles_ds(str(d), qs=(0.1, 0.5, 1.0)).to_pandas()
+    assert list(zip(got.q, got.dl)) == [(0.1, 1), (0.5, 5), (1.0, 10)]

@@ -294,3 +294,68 @@ def heavy_hitter_terms(sf_dir: str, k: int = 20, m_per_batch: int = 64) -> pa.Ta
             "cf_est": pa.array(est[order], pa.int64()),
         }
     )
+
+
+def dl_quantiles_ds(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """(q, dl): EXACT doc-length quantiles via a distributed value-count
+    histogram — the length-distribution probe every curation config step
+    starts from (where to put min/max length cutoffs).
+
+    Rank rule (explicit, so the SQL twin is unambiguous): the value at
+    1-based rank ``max(1, ceil(q * N))`` in the sorted length multiset —
+    classic discrete (lower) quantile.
+
+    Scale shape: doc length has a bounded domain, so per-batch
+    ``(value, count)`` partials merged by one exchange give a relation of
+    at most ``max_dl`` rows — the cumulative scan on the driver is
+    histogram-scale, never corpus-scale (the same partial-count shape as
+    ``term_stats``, with an integer domain instead of a vocabulary)."""
+    import math
+
+    import polars as pl
+    import ray
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        dl = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+        vals, counts = np.unique(dl, return_counts=True)
+        return pa.table(
+            {
+                "dl": pa.array(vals, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            t["dl"].combine_chunks().to_numpy(zero_copy_only=False) % np_
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).group_by("dl").agg(pl.col("c").sum()).to_arrow()
+
+    partials = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    merged = exchange_map(partials, route, np_, merge, auto_shrink=True)
+    hist = (
+        pl.from_arrow(
+            pa.concat_tables(
+                [p for p in ray.get(merged.to_arrow_refs()) if p.num_rows]
+            )
+        )
+        .sort("dl")
+    )
+    vals = hist["dl"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if cum.size else 0
+    q_l, v_l = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = max(1, math.ceil(q * n))
+        v_l.append(int(vals[np.searchsorted(cum, rank)]))
+        q_l.append(float(q))
+    return pa.table({"q": pa.array(q_l, pa.float64()), "dl": pa.array(v_l, pa.int64())})
