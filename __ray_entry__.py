@@ -310,6 +310,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_contamination": lambda sf: dedup.holdout_contamination_ds(
             sf, holdout_max_docid=100, n=8
         ),
+        # rows-only: the Bloom membership verdict depends on the filter's
+        # bit layout (no SQL twin); pytest pins no-false-negatives and the
+        # planted novel/dup split (tests/test_dedup_ops.py)
+        "incremental_novel": lambda sf: dedup.incremental_novel_ds(
+            sf, prior_max_docid=100
+        ),
         "minhash_lsh_candidates": lambda sf: dedup.minhash_lsh_candidates_ds(sf),
         "simhash_dups": lambda sf: dedup.simhash_dups(sf, max_hamming=3),
         "embedding_dups": lambda sf: dedup.embedding_dups(sf, tau=0.45),
@@ -914,5 +920,6 @@ FROM w
         # embedding_dups_lsh (approximate by construction),
         # wand_daat_equivalence (engine-internal heap-tie equivalence),
         # crawl_log (stateful frontier traversal), bpe_merges +
-        # bpe_encode_stats (iterative greedy training loop)
+        # bpe_encode_stats (iterative greedy training loop),
+        # incremental_novel (Bloom bit-layout dependent)
     }

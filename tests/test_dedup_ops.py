@@ -421,3 +421,58 @@ def test_dup_span_clean_fast_path_matches_md5(ray_session, span_dir):
         .sort_values("docid")
     )
     assert md5.reset_index(drop=True).equals(fast.reset_index(drop=True))
+
+
+def test_incremental_bloom_dedup(ray_session, tmp_path):
+    """Exact-dup increments always flag (no false negatives); fresh docs
+    pass as novel at this sizing (FP ~ (docs/bits)^k ~ 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.dedup import incremental_novel_ds
+
+    d = tmp_path / "inc"
+    d.mkdir()
+    prior = [f"snapshot doc number {i} stable content" for i in range(50)]
+    new = [
+        prior[3],                       # 50: exact dup of a prior doc
+        prior[17],                      # 51: exact dup
+        "a genuinely new document",     # 52: novel
+        "another unseen crawl result",  # 53: novel
+        prior[3],                       # 54: dup again
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(prior) + len(new)), pa.int64()),
+            "text": pa.array(prior + new, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = (
+        incremental_novel_ds(str(d), prior_max_docid=50)
+        .to_pandas()
+        .set_index("docid")["novel"]
+        .to_dict()
+    )
+    assert got == {50: False, 51: False, 52: True, 53: True, 54: False}
+
+
+def test_bloom_filter_no_false_negatives_bulk(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.dedup import incremental_novel_ds
+
+    d = tmp_path / "incbulk"
+    d.mkdir()
+    prior = [f"doc {i} " + "x" * (i % 7) for i in range(300)]
+    dup_new = prior[::3]  # every one must flag as seen
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300 + len(dup_new)), pa.int64()),
+            "text": pa.array(prior + dup_new, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = incremental_novel_ds(str(d), prior_max_docid=300).to_pandas()
+    assert (~got["novel"]).all()

@@ -1567,3 +1567,123 @@ def dup_span_clean_ds(sf_dir: str, k: int = 4, hash_fn: str = "md5"):
     lose_ds = exchange_map(grams, route_h, np_, losers, auto_shrink=True)
     corpus = _read_docs(sf_dir).map_batches(doc_rows, batch_format="pyarrow")
     return exchange_map(corpus.union(lose_ds), route_doc, np_, clean, auto_shrink=True)
+
+
+# --------------------------------------------- incremental (snapshot) dedup
+
+
+def _bloom_positions(hashes: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """k bit positions per 64-bit content hash: splitmix re-mixes with k
+    fixed seeds (deterministic, md5-rooted like every oracle-adjacent hash
+    here)."""
+    seeds = _splitmix(np.arange(1, k + 1, dtype=np.uint64))
+    return (_splitmix(hashes[None, :] ^ seeds[:, None]) % np.uint64(bits)).ravel()
+
+
+def build_dedup_filter(
+    sf_dir: str, max_docid: int | None = None, bits: int = 1 << 22, k: int = 4
+) -> np.ndarray:
+    """Bloom filter (packed uint8 bitmap, ``bits/8`` bytes) over the content
+    hashes of a corpus snapshot — membership state for deduplicating FUTURE
+    crawl increments against an already-curated corpus without touching it
+    again. ``max_docid`` restricts the snapshot to ``doc_id < max_docid``.
+
+    Size ``bits`` ~ 10x snapshot docs for ~1% false positives (k=4); the
+    returned bitmap is bits/8 bytes on the driver — at 10^10-doc scale
+    that's ~12 GB, still one object-store blob a worker can hold, and past
+    that the same build shards cleanly by bit range (the exchange already
+    partitions positions contiguously).
+
+    Scale shape: per-batch partials are DISTINCT bit positions (<= k x docs
+    ints, doc-scale not bit-scale); a hash exchange on ``pos // segment``
+    makes each partition own one contiguous bit range, packed to bytes
+    before anything returns to the driver — the driver concatenates
+    ``n_parts`` pre-packed segments, it never sees raw positions."""
+    import pyarrow.compute as pc_
+    import ray
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    n_parts = 32
+    seg = -(-bits // n_parts)  # bits per partition (ceil)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        t = batch
+        if max_docid is not None:
+            t = t.filter(pc_.less(t["doc_id"], max_docid))
+        if t.num_rows == 0:
+            return pa.table({"p": pa.array([], pa.uint64())})
+        hx = pl.from_arrow(text_hash_column(t["text"], "md5"))
+        h = np.array(
+            [int(x, 16) & 0xFFFFFFFFFFFFFFFF if x != "NULL" else 0 for x in hx],
+            dtype=np.uint64,
+        )
+        return pa.table({"p": pa.array(np.unique(_bloom_positions(h, bits, k)))})
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            t["p"].combine_chunks().to_numpy(zero_copy_only=False) // seg
+        ).astype(np.int64)
+
+    def pack(t: pa.Table, pi: int) -> pa.Table:
+        p = t["p"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        local = np.zeros(seg, np.uint8)
+        local[p - pi * seg] = 1
+        return pa.table(
+            {
+                "part": pa.array([pi], pa.int64()),
+                "bytes": pa.array([np.packbits(local).tobytes()], pa.binary()),
+            }
+        )
+
+    ds = _read_docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    out = exchange_map(ds, route, n_parts, pack, with_index=True)
+    rows = sorted(
+        (
+            (int(t["part"][i].as_py()), t["bytes"][i].as_py())
+            for t in ray.get(out.to_arrow_refs())
+            for i in range(t.num_rows)
+        ),
+    )
+    return np.concatenate([np.frombuffer(b, np.uint8) for _, b in rows])
+
+
+def incremental_novel_ds(
+    sf_dir: str, prior_max_docid: int = 100, bits: int = 1 << 22, k: int = 4
+):
+    """(docid, novel): stream the new increment (``doc_id >=
+    prior_max_docid``) against the snapshot's Bloom filter. ``novel=True``
+    is definite (no false negatives: an exact-duplicate text ALWAYS hits
+    every one of its k bits); ``novel=False`` means "probably seen" at the
+    filter's false-positive rate. The filter ships to the scan tasks once
+    via ``ray.put``."""
+    import pyarrow.compute as pc_
+    import ray
+
+    bitmap = build_dedup_filter(sf_dir, max_docid=prior_max_docid, bits=bits, k=k)
+    bref = ray.put(bitmap)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        t = batch.filter(pc_.greater_equal(batch["doc_id"], prior_max_docid))
+        if t.num_rows == 0:
+            return pa.table(
+                {"docid": pa.array([], pa.int64()), "novel": pa.array([], pa.bool_())}
+            )
+        hx = pl.from_arrow(text_hash_column(t["text"], "md5"))
+        h = np.array(
+            [int(x, 16) & 0xFFFFFFFFFFFFFFFF if x != "NULL" else 0 for x in hx],
+            dtype=np.uint64,
+        )
+        pos = _bloom_positions(h, bits, k).reshape(k, -1)
+        hit = np.ones(t.num_rows, bool)
+        for row in pos:
+            hit &= (bm[row // 8] >> (7 - (row % 8).astype(np.uint8)) & 1).astype(bool)
+        return pa.table(
+            {
+                "docid": t["doc_id"].cast(pa.int64()),
+                "novel": pa.array(~hit, pa.bool_()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
