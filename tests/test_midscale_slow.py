@@ -144,3 +144,84 @@ def test_midscale_rows_only_contracts(ray_session):
     rel_err = abs(est - exact_terms) / exact_terms
     # 3 sigma of the HLL standard error 1.04/sqrt(2^p)
     assert rel_err <= 3 * 1.04 / (1 << HLL_P) ** 0.5, (est, exact_terms)
+
+
+def test_midscale_round3_oracles(ray_session):
+    """sf0.1 oracle conformance for the round-3 additions: duplicated-span
+    detection/removal, phrase + proximity search, DSIR weights, PMI
+    collocations, exact dl quantiles."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if pd.api.types.is_integer_dtype(df[c]):
+                df[c] = df[c].astype("int64")
+            elif pd.api.types.is_float_dtype(df[c]):
+                df[c] = df[c].astype("float64").round(9)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    q = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    for name in (
+        "dup_spans",
+        "dup_span_clean",
+        "phrase_search",
+        "proximity_search",
+        "dsir_weights",
+        "collocations",
+        "dl_quantiles",
+    ):
+        res = q[name](sf)
+        got = canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+        want = canon(con.sql(sqls[name]).df())
+        assert got.equals(want), name
+
+
+def test_midscale_bpe_and_bloom(ray_session):
+    """Rows-only round-3 contracts at sf0.1: BPE trainer vs the naive
+    recount on the real word-frequency relation, and the Bloom increment
+    scan's no-false-negative guarantee against the exact dup relation."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_bpe import naive_bpe
+
+    from web_search_engine_ray.pipelines import dedup
+    from web_search_engine_ray.pipelines.bpe import train_bpe, word_frequencies
+
+    sf = "/root/testdata/sf0.1"
+    freqs = word_frequencies(sf, max_words=2000)
+    assert train_bpe(sf, n_merges=50, max_words=2000) == naive_bpe(list(freqs), 50)
+
+    # exact dups across the prior/new boundary must never scan as novel
+    exact = dedup.exact_dedup_ds(sf).to_pandas()  # (text_hash, min docid)
+    novel = (
+        dedup.incremental_novel_ds(sf, prior_max_docid=100)
+        .to_pandas()
+        .set_index("docid")["novel"]
+    )
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    import hashlib as _h
+
+    prior_hashes = {
+        "NULL" if x is None else _h.md5(x.encode()).hexdigest()
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if i < 100
+    }
+    for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if i >= 100:
+            hx = "NULL" if x is None else _h.md5(x.encode()).hexdigest()
+            if hx in prior_hashes:
+                assert not novel.loc[i], i
