@@ -17,6 +17,7 @@ import json
 import os
 import shutil
 import subprocess
+import tempfile
 import sys
 import time
 
@@ -216,6 +217,42 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     bpe.bpe_encode_stats_ds(SF_DIR, n_merges=64, concurrency=8).count()
     timings["bpe_encode_sf"] = round(time.perf_counter() - t0, 3)
+    from web_search_engine_ray.pipelines import analysis as _analysis
+    from web_search_engine_ray.pipelines import dsir as _dsir
+    from web_search_engine_ray.pipelines import phrase as _phrase
+    from web_search_engine_ray.pipelines import sketch as _sketch
+
+    t0 = time.perf_counter()
+    _analysis.collocations_ds(SF_DIR).count()
+    timings["collocations_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _dsir.dsir_weights_ds(SF_DIR).count()
+    timings["dsir_weights_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _sketch.dl_quantiles_ds(SF_DIR)
+    timings["dl_quantiles_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.dup_span_clean_ds(SF_DIR, hash_fn="fast").count()
+    timings["dup_span_clean_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup.incremental_novel_ds(SF_DIR, prior_max_docid=2500).count()
+    timings["incremental_novel_sf"] = round(time.perf_counter() - t0, 3)
+    pos_dir = os.path.join(tempfile.gettempdir(), "wse_bench_posidx")
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    _phrase.build_positional_index(SF_DIR, pos_dir, n_shards=8)
+    timings["posindex_build_sf"] = round(time.perf_counter() - t0, 3)
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES as _FQ
+
+    from web_search_engine_ray.functions.tokenize import token_lists as _tl
+
+    import pyarrow as _pa
+
+    t0 = time.perf_counter()
+    for _q in _FQ:
+        terms = _tl(_pa.array([_q], _pa.string())).to_list()[0] or []
+        _phrase.phrase_match_counts(pos_dir, list(terms), n_shards=8)
+    timings["phrase_10_queries_sf"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",
