@@ -44,19 +44,35 @@ END = "</w>"  # end-of-word sentinel (distinct from any corpus token char)
 def word_frequencies(sf_dir: str, max_words: int | None = None) -> list[tuple[str, int]]:
     """(word, count) pairs sorted by (count desc, word asc) — the training
     relation. ``max_words`` keeps only the most frequent words (ties by
-    word), computed as a distributed sort + limit so the driver never sees
-    more than ``max_words`` rows."""
-    ds = term_stats_ds(sf_dir).sort(["cf", "term"], descending=[True, False])
-    if max_words is not None:
-        ds = ds.limit(max_words)
-    t = ds.to_arrow_refs()
+    word) WITHOUT a global sort: every word's total count lives whole in
+    one exchange partition of the term-stats merge, so the partition-local
+    top-``max_words`` cut is a guaranteed superset of the global top-k;
+    the driver takes the final cut over <= n_parts x max_words rows."""
     import ray
 
-    parts = [p for p in ray.get(t) if p.num_rows]
+    ds = term_stats_ds(sf_dir)
+    if max_words is not None:
+        # one block per exchange partition -> per-block map IS the
+        # partition-local cut, and it runs remotely: the driver receives at
+        # most n_parts x max_words rows, never the full vocabulary
+        def prune(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t)
+                .sort(["cf", "term"], descending=[True, False])
+                .head(max_words)
+                .to_arrow()
+                .cast(t.schema)
+            )
+
+        ds = ds.map_batches(prune, batch_format="pyarrow")
+    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
     if not parts:
         return []
-    tt = pa.concat_tables(parts)
-    df = pl.from_arrow(tt).sort(["cf", "term"], descending=[True, False])
+    df = pl.from_arrow(pa.concat_tables(parts)).sort(
+        ["cf", "term"], descending=[True, False]
+    )
+    if max_words is not None:
+        df = df.head(max_words)
     return list(zip(df["term"].to_list(), df["cf"].to_list()))
 
 
