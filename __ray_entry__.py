@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mix,
         pack,
         redact,
+        relational,
         report,
         split,
         serving,
@@ -299,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- positional index: phrase + proximity search ----
         "phrase_search": lambda sf: phrase.phrase_search_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
+        # ---- relational (TPC-H-shaped) pipelines ----
+        "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
+        "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
         # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
         "curated_docs": curate.curated_docs_ds,
@@ -785,6 +789,41 @@ SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
        bit_count(xor(a.s, b.s))::BIGINT AS hamming
 FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # TPC-H shapes in exact integer cents — float association cannot
+        # diverge (both sides sum int64 and divide once at the end)
+        "tpch_q1": """
+WITH l AS (SELECT l_returnflag, l_linestatus,
+           round(l_quantity*100)::BIGINT AS qty_c,
+           round(l_extendedprice*100)::BIGINT AS price_c,
+           round(l_discount*100)::BIGINT AS d_c,
+           round(l_tax*100)::BIGINT AS tax_c
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01')
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       sum(qty_c) / 100.0 AS sum_qty,
+       sum(price_c) / 100.0 AS sum_base_price,
+       sum(price_c * (100 - d_c)) / 10000.0 AS sum_disc_price,
+       sum(price_c * (100 - d_c) * (100 + tax_c)) / 1000000.0 AS sum_charge,
+       round(sum(qty_c) / (100.0 * count(*)), 6) AS avg_qty,
+       round(sum(price_c) / (100.0 * count(*)), 6) AS avg_price,
+       round(sum(d_c) / (100.0 * count(*)), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM l GROUP BY 1, 2
+""",
+        "tpch_q3": """
+SELECT o.o_orderkey AS orderkey,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT)) / 10000.0 AS revenue,
+       epoch_us(o.o_orderdate) // 1000000 AS order_epoch,
+       o.o_orderpriority AS priority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 3, 4
+ORDER BY sum(round(l.l_extendedprice*100)::BIGINT
+             * (100 - round(l.l_discount*100)::BIGINT)) DESC, order_epoch, orderkey
+LIMIT 10
 """,
         # exact discrete quantiles: explicit rank rule max(1, ceil(q*N))
         "dl_quantiles": f"""

@@ -1,0 +1,110 @@
+"""Relational (TPC-H-shaped) pipeline contracts — small planted corpus so
+the joins/aggregates are hand-checkable; the driver gate runs the full SQL
+twins at sf0.01."""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_tpch(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tpch")
+    ts = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING", "AUTOMOBILE", "BUILDING"], pa.string()
+                ),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "o_custkey": pa.array([1, 2, 3, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [ts("1998-01-01"), ts("1998-01-02"), ts("1998-02-01"),
+                     ts("1998-04-01")],  # 13: after cutoff -> excluded
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "5-LOW", "2-HIGH"], pa.string()
+                ),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 11, 12, 13], pa.int64()),
+                "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+                "l_extendedprice": pa.array([100.00, 50.00, 10.00, 20.00, 1.00]),
+                "l_discount": pa.array([0.10, 0.00, 0.05, 0.25, 0.0]),
+                "l_tax": pa.array([0.05, 0.00, 0.0, 0.08, 0.0]),
+                "l_returnflag": pa.array(["N", "N", "R", "N", "A"], pa.string()),
+                "l_linestatus": pa.array(["O", "O", "F", "O", "F"], pa.string()),
+                "l_shipdate": pa.array(
+                    [ts("1998-06-01"), ts("1998-06-02"), ts("1998-01-01"),
+                     ts("1998-07-01"), ts("1998-08-01")],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def test_q3_planted(ray_session, tiny_tpch):
+    from web_search_engine_ray.pipelines.relational import shipping_priority_ds
+
+    got = shipping_priority_ds(tiny_tpch).to_pandas()
+    # customer 2 is AUTOMOBILE (dropped); order 13 is after the date cutoff;
+    # lineitem of order 11 shipped before the date (dropped). Survivors:
+    # order 10 (cust 1): 100*0.9 + 50*1.0 = 140.00, ranked first;
+    # order 12 (cust 3): 20*0.75 = 15.00
+    assert len(got) == 2
+    assert list(got.orderkey) == [10, 12]
+    assert got.iloc[0].revenue == pytest.approx(140.0)
+    assert got.iloc[0].priority == "1-URGENT"
+    assert got.iloc[1].revenue == pytest.approx(15.0)
+
+
+def test_q1_planted(ray_session, tiny_tpch):
+    from web_search_engine_ray.pipelines.relational import pricing_summary_ds
+
+    got = (
+        pricing_summary_ds(tiny_tpch, cutoff="1998-06-15")
+        .to_pandas()
+        .set_index(["returnflag", "linestatus"])
+    )
+    # shipped on/before 1998-06-15: lines 1, 2 (N/O) and 3 (R/F)
+    no = got.loc[("N", "O")]
+    assert no.count_order == 2
+    assert no.sum_qty == pytest.approx(3.0)
+    assert no.sum_base_price == pytest.approx(150.0)
+    # 100*0.9*1.05 + 50*1.0*1.0 = 94.5 + 50 = 144.5
+    assert no.sum_charge == pytest.approx(144.5)
+    assert no.avg_disc == pytest.approx(0.05)
+    rf = got.loc[("R", "F")]
+    assert rf.count_order == 1 and rf.sum_qty == pytest.approx(3.0)
+
+
+def test_q1_exact_cents_determinism(ray_session, tiny_tpch):
+    from web_search_engine_ray.pipelines.relational import pricing_summary_ds
+
+    a = pricing_summary_ds(tiny_tpch).to_pandas().sort_values(
+        ["returnflag", "linestatus"]
+    )
+    b = pricing_summary_ds(tiny_tpch).to_pandas().sort_values(
+        ["returnflag", "linestatus"]
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
