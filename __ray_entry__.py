@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         redact,
         relational,
         report,
+        transcripts_ops,
         split,
         serving,
         similarity,
@@ -300,6 +301,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- positional index: phrase + proximity search ----
         "phrase_search": lambda sf: phrase.phrase_search_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
+        # ---- conversation-level ops over the native transcript shape ----
+        # rows-only: the driver tables have no (conv_id, turn_idx, role,
+        # text, tool, ts) relation, so these run over the deterministic
+        # cached fixture corpus (crawl_log pattern); the DuckDB-oracle
+        # contracts live in tests/test_transcripts_ops.py
+        "conv_rollup": lambda sf: transcripts_ops.conversation_rollup_ds(
+            transcripts_ops.fixture_corpus()
+        ),
+        "conv_role_stats": lambda sf: transcripts_ops.role_stats_ds(
+            transcripts_ops.fixture_corpus()
+        ),
+        "conv_tool_usage": lambda sf: transcripts_ops.tool_usage_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
@@ -960,5 +975,6 @@ FROM w
         # wand_daat_equivalence (engine-internal heap-tie equivalence),
         # crawl_log (stateful frontier traversal), bpe_merges +
         # bpe_encode_stats (iterative greedy training loop),
-        # incremental_novel (Bloom bit-layout dependent)
+        # incremental_novel (Bloom bit-layout dependent), conv_* ops
+        # (no transcript-shaped driver table; DuckDB-oracled in pytest)
     }

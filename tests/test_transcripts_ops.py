@@ -1,0 +1,123 @@
+"""Conversation-level operators vs a DuckDB oracle over the SAME fixture
+files — the transcript-native contract (conv_id, turn_idx, role, text,
+tool, ts)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from web_search_engine_ray.pipelines.transcripts_ops import (
+    conversation_rollup_ds,
+    conversation_text_ds,
+    role_stats_ds,
+    tool_usage_ds,
+)
+
+PAT = "[a-z0-9]+(?:[.-][a-z0-9]+)*"
+
+
+@pytest.fixture(scope="module")
+def conv_corpus(tmp_path_factory):
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = tmp_path_factory.mktemp("convs")
+    write_corpus(str(d), n_convs=120, max_turns=6, rows_per_file=150)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(conv_corpus):
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW tr AS SELECT * FROM read_parquet('{conv_corpus}/*.parquet')"
+    )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_conversation_rollup(ray_session, conv_corpus, con):
+    got = _canon(conversation_rollup_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum((role = 'user')::INT)::BIGINT AS n_user,
+       sum((role = 'assistant')::INT)::BIGINT AS n_assistant,
+       sum((role = 'tool')::INT)::BIGINT AS n_tool,
+       sum((tool <> '')::INT)::BIGINT AS n_tool_calls,
+       sum(coalesce(length(text), 0))::BIGINT AS total_chars,
+       min(epoch_us(ts) // 1000000)::BIGINT AS first_epoch,
+       max(epoch_us(ts) // 1000000)::BIGINT AS last_epoch
+FROM tr GROUP BY conv_id
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_role_stats(ray_session, conv_corpus, con):
+    got = _canon(role_stats_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            f"""
+WITH t AS (SELECT role,
+           len(regexp_extract_all(lower(text), '{PAT}'))::BIGINT AS n_tok FROM tr)
+SELECT role, count(*)::BIGINT AS n_turns, sum(n_tok)::BIGINT AS total_tokens,
+       round(sum(n_tok) / (1.0 * count(*)), 6) AS avg_tokens
+FROM t GROUP BY role
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_tool_usage(ray_session, conv_corpus, con):
+    got = _canon(tool_usage_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM tr WHERE tool <> '' GROUP BY tool
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_conversation_text(ray_session, conv_corpus, con):
+    got = _canon(conversation_text_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10) ORDER BY turn_idx)
+         AS conv_text
+FROM tr GROUP BY conv_id
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rollup_conv_spanning_files(ray_session, conv_corpus):
+    """rows_per_file=150 guarantees conversations straddle file boundaries;
+    the rollup must still see every turn exactly once."""
+    got = conversation_rollup_ds(conv_corpus).to_pandas()
+    assert got.n_turns.sum() > 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(conv_corpus + "/*.parquet")
+    )
+    assert got.n_turns.sum() == total

@@ -1,0 +1,231 @@
+"""Conversation-level operators over the native transcript table
+``(conv_id, turn_idx, role, text, tool, ts)`` — the engine's input shape.
+
+The index build treats each TURN as a document (SURVEY §1.2 docid
+contract); these operators work at the other granularity a transcript
+corpus needs: whole conversations. A conversation CAN span input files
+(files split on row count), so per-conv work is a partial-agg + hash
+exchange on ``conv_id`` — never a global sort.
+
+- :func:`conversation_rollup_ds` — per-conv turn/role/tool counts, char
+  volume and time span. All aggregates are mergeable (sum/min/max), so the
+  shuffle moves one partial row per (batch, conv).
+- :func:`role_stats_ds` — per-role turn and token totals (three-row
+  result; partials are role-sized).
+- :func:`tool_usage_ds` — per-tool call counts + distinct conversations
+  (the partial is the distinct (tool, conv) pair set per batch).
+- :func:`conversation_text_ds` — reassemble full ordered conversation
+  text ("role: text" lines) — the conv-granularity corpus for downstream
+  conv-level dedup/packing. Ships text through the exchange (inherent:
+  the output IS the reassembled corpus).
+
+Each has a DuckDB-oracle pytest contract over the deterministic fixture
+corpus (tests/test_transcripts_ops.py); the driver-gate entries run over a
+cached fixture slice (the driver's test tables have no transcript-shaped
+relation, same pattern as ``crawl_log``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from web_search_engine_ray.functions.tokenize import token_lists
+
+_EPOCH_DIV = 1_000_000  # us -> s, the events-family epoch convention
+
+
+def _read(corpus: str | list[str], columns: list[str]):
+    import ray.data
+
+    from web_search_engine_ray.sources.transcripts import corpus_files
+
+    return ray.data.read_parquet(corpus_files(corpus), columns=columns)
+
+
+def conversation_rollup_ds(corpus: str | list[str], n_parts: int = 32):
+    """(conv_id, n_turns, n_user, n_assistant, n_tool, n_tool_calls,
+    total_chars, first_epoch, last_epoch) per conversation."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            epoch=pl.col("ts").dt.epoch(time_unit="us") // _EPOCH_DIV,
+            chars=pl.col("text").str.len_chars().fill_null(0).cast(pl.Int64),
+        )
+        g = df.group_by("conv_id").agg(
+            n_turns=pl.len().cast(pl.Int64),
+            n_user=(pl.col("role") == "user").sum().cast(pl.Int64),
+            n_assistant=(pl.col("role") == "assistant").sum().cast(pl.Int64),
+            n_tool=(pl.col("role") == "tool").sum().cast(pl.Int64),
+            n_tool_calls=(pl.col("tool") != "").sum().cast(pl.Int64),
+            total_chars=pl.col("chars").sum(),
+            first_epoch=pl.col("epoch").min(),
+            last_epoch=pl.col("epoch").max(),
+        )
+        return g.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("conv_id")
+            .agg(
+                pl.col("n_turns").sum(),
+                pl.col("n_user").sum(),
+                pl.col("n_assistant").sum(),
+                pl.col("n_tool").sum(),
+                pl.col("n_tool_calls").sum(),
+                pl.col("total_chars").sum(),
+                pl.col("first_epoch").min(),
+                pl.col("last_epoch").max(),
+            )
+        )
+        return g.to_arrow()
+
+    ds = _read(corpus, ["conv_id", "role", "text", "tool", "ts"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, merge, auto_shrink=True)
+
+
+def role_stats_ds(corpus: str | list[str], n_parts: int = 4):
+    """(role, n_turns, total_tokens, avg_tokens): corpus-wide per-role
+    volume; avg rounded to 6 (the engine/SQL float contract)."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = token_lists(t["text"])
+        df = pl.DataFrame(
+            {
+                "role": pl.from_arrow(t["role"]),
+                "n_tok": toks.list.len().fill_null(0).cast(pl.Int64),
+            }
+        )
+        return (
+            df.group_by("role")
+            .agg(n_turns=pl.len().cast(pl.Int64), total_tokens=pl.col("n_tok").sum())
+            .to_arrow()
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["role"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("role")
+            .agg(pl.col("n_turns").sum(), pl.col("total_tokens").sum())
+        )
+        nt = g["n_turns"].to_numpy().astype(np.float64)
+        tt = g["total_tokens"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "role": g["role"].to_arrow().cast(pa.string()),
+                "n_turns": pa.array(g["n_turns"].to_numpy(), pa.int64()),
+                "total_tokens": pa.array(g["total_tokens"].to_numpy(), pa.int64()),
+                "avg_tokens": pa.array(np.round(tt / nt, 6), pa.float64()),
+            }
+        )
+
+    ds = _read(corpus, ["role", "text"]).map_batches(partial, batch_format="pyarrow")
+    return exchange_map(ds, route, n_parts, merge, auto_shrink=True)
+
+
+def tool_usage_ds(corpus: str | list[str], n_parts: int = 8):
+    """(tool, n_calls, n_convs): call volume and distinct-conversation
+    reach per tool (empty tool = non-tool turns, excluded)."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .filter(pl.col("tool") != "")
+            .group_by(["tool", "conv_id"])
+            .agg(calls=pl.len().cast(pl.Int64))
+        )
+        return df.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["tool"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("tool")
+            .agg(
+                n_calls=pl.col("calls").sum(),
+                n_convs=pl.col("conv_id").n_unique().cast(pl.Int64),
+            )
+        )
+        return g.to_arrow().cast(
+            pa.schema(
+                [("tool", pa.string()), ("n_calls", pa.int64()), ("n_convs", pa.int64())]
+            )
+        )
+
+    ds = _read(corpus, ["conv_id", "tool"]).map_batches(partial, batch_format="pyarrow")
+    return exchange_map(ds, route, n_parts, merge, auto_shrink=True)
+
+
+def conversation_text_ds(corpus: str | list[str], n_parts: int = 32):
+    """(conv_id, n_turns, conv_text): ordered reassembly, one "role: text"
+    line per turn."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def rows(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "role", "text"])
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .with_columns(
+                line=pl.col("role") + ": " + pl.col("text").fill_null("")
+            )
+            .sort(["conv_id", "turn_idx"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                n_turns=pl.len().cast(pl.Int64),
+                conv_text=pl.col("line").str.join("\n"),
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("n_turns", pa.int64()),
+                    ("conv_text", pa.string()),
+                ]
+            )
+        )
+
+    ds = _read(corpus, ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, assemble, auto_shrink=True)
+
+
+def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
+    """Deterministic cached transcript corpus for the driver-gate entries
+    (the driver's tables have no transcript-shaped relation)."""
+    import os
+
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = f"/tmp/wse_gate_transcripts_c{n_convs}_t{max_turns}"
+    write_corpus(d, n_convs=n_convs, max_turns=max_turns, rows_per_file=300)
+    return d
