@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_usage": lambda sf: transcripts_ops.tool_usage_ds(
             transcripts_ops.fixture_corpus()
         ),
+        "conv_dedup": lambda sf: transcripts_ops.conversation_dedup_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),

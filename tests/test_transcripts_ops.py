@@ -121,3 +121,23 @@ def test_rollup_conv_spanning_files(ray_session, conv_corpus):
         for f in glob.glob(conv_corpus + "/*.parquet")
     )
     assert got.n_turns.sum() == total
+
+
+def test_conversation_dedup(ray_session, conv_corpus, con):
+    from web_search_engine_ray.pipelines.transcripts_ops import conversation_dedup_ds
+
+    got = _canon(conversation_dedup_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+WITH ct AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || coalesce(text, ''), chr(10) ORDER BY turn_idx)
+           AS conv_text
+  FROM tr GROUP BY conv_id)
+SELECT md5(conv_text) AS conv_hash, min(conv_id) AS conv_id
+FROM ct GROUP BY md5(conv_text)
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)

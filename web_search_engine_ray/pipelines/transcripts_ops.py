@@ -229,3 +229,48 @@ def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
     d = f"/tmp/wse_gate_transcripts_c{n_convs}_t{max_turns}"
     write_corpus(d, n_convs=n_convs, max_turns=max_turns, rows_per_file=300)
     return d
+
+
+def conversation_dedup_ds(corpus: str | list[str], n_parts: int = 32):
+    """(conv_hash, conv_id): conversation-level exact dedup — md5 of the
+    reassembled ordered conversation text, min conv_id survivor per group.
+    Composition of :func:`conversation_text_ds` with the engine's
+    hash-exchange dedup rule (``dedup.exact_dedup_ds``), at the granularity
+    LLM training actually dedupes multi-turn data."""
+    import hashlib
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_hash": pa.array(
+                    [
+                        hashlib.md5(x.encode("utf-8")).hexdigest()
+                        for x in t["conv_text"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+                "conv_id": t["conv_id"].cast(pa.string()),
+            }
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_hash"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("conv_hash")
+            .agg(pl.col("conv_id").min())
+            .to_arrow()
+            .select(["conv_hash", "conv_id"])
+            .cast(pa.schema([("conv_hash", pa.string()), ("conv_id", pa.string())]))
+        )
+
+    ds = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
+        hash_rows, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, merge, auto_shrink=True)
