@@ -142,6 +142,26 @@ def run_bench() -> dict:
     timings["bm25_actor_pool_200"] = round(pool_s, 3)
     timings["bm25_actor_pool_qps"] = round(len(queries) / pool_s, 1)
 
+    if os.environ.get("WSE_BENCH_SKIP_AUX"):
+        # scaling legs measure the headline build + query path only — the
+        # aux sf ops would multiply each leg's wall time without informing
+        # the efficiency ratio
+        out = {
+            "metric": "index_build_seconds_240k_turn_transcripts",
+            "value": round(t_build, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "n_turns": n_rows,
+            "turns_per_sec": round(n_rows / t_build, 1),
+            "n_postings": build["n_postings"],
+            "n_terms": build["n_terms"],
+            "heavy_terms": len(build["heavy_terms"]),
+        }
+        ray.shutdown()
+        return out
+
     # aux pipelines over the driver sf dir
     t0 = time.perf_counter()
     corpus_p.postings_ds(SF_DIR).count()
@@ -288,6 +308,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
+            WSE_BENCH_SKIP_AUX="1",
             # ~2M turns: fixed startup is <5% of the 4N leg, so the measured
             # efficiency reflects the pipeline, not session overhead
             WSE_BENCH_CONVS=os.environ.get("WSE_SCALE_CONVS", "444000"),
