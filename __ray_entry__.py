@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": lambda sf: similarity.knn_cosine(sf, N_KNN_QUERIES, TOPK),
         "knn_lsh": lambda sf: similarity.lsh_bucketed_knn(sf, N_KNN_QUERIES, TOPK),
         "knn_ivf": lambda sf: similarity.ivf_knn(sf, N_KNN_QUERIES, TOPK),
+        "knn_pq": lambda sf: similarity.pq_knn(sf, N_KNN_QUERIES, TOPK),
         "kmeans": lambda sf: clustering.kmeans_ds(sf, k=KMEANS_K, iters=KMEANS_ITERS),
         "semdedup": lambda sf: clustering.semdedup_ds(
             sf, tau=SEMDEDUP_TAU, k=KMEANS_K, iters=KMEANS_ITERS
@@ -973,7 +974,7 @@ SELECT doc_id AS docid, i::BIGINT AS window_idx,
 FROM w
 """,
         # rows-only (no SQL twin): minhash_lsh_candidates (splitmix64 mixing
-        # needs wrapping u64 arithmetic DuckDB lacks), knn_lsh +
+        # needs wrapping u64 arithmetic DuckDB lacks), knn_lsh + knn_pq +
         # embedding_dups_lsh (approximate by construction),
         # wand_daat_equivalence (engine-internal heap-tie equivalence),
         # crawl_log (stateful frontier traversal), bpe_merges +

@@ -13,6 +13,13 @@
   quantizer (trained on a bounded sample) routes vectors to cells; queries
   scan only their ``nprobe`` nearest cells. The data-adaptive counterpart
   to the LSH router; at 100 TB the cell id is the parquet partition key.
+- :func:`pq_knn` — product-quantization variant (Jégou et al., PQ/ADC):
+  each vector compresses to ``m`` uint8 codes; the scan ranks candidates by
+  asymmetric-distance lookup tables (one ``m x ksub`` table per query) and
+  only the per-query shortlist is reranked with exact cosine. At 100 TB the
+  codes table (m bytes/vector vs 8*dim) is what the scan streams — a 64x
+  memory-bandwidth cut at dim=64/m=8 — and the exact rerank is a
+  partition-pruned gather of the shortlist ids only.
 """
 
 from __future__ import annotations
@@ -201,15 +208,10 @@ def lsh_bucketed_knn(
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
-def _train_centroids(
-    sf_dir: str, n_cells: int, sample_rows: int = 2048, iters: int = 8
-) -> np.ndarray:
-    """Deterministic spherical k-means coarse quantizer, trained on a
-    bounded metadata-pruned sample (first ``sample_rows`` vectors — one
-    row-group-ranged read, never the full table). Lloyd iterations run on
-    the sample only (driver-side, O(sample x cells) — corpus-size
-    independent); init = Philox-seeded sample rows. Empty cells re-seed
-    deterministically."""
+def _sample_matrix(sf_dir: str, sample_rows: int) -> np.ndarray:
+    """Normalized matrix of the first ``sample_rows`` vectors — a
+    row-group-ranged read, never the full table. The bounded training
+    sample every quantizer here shares."""
     pf = pq.ParquetFile(_emb_path(sf_dir))
     parts = []
     got = 0
@@ -220,7 +222,18 @@ def _train_centroids(
         if got >= sample_rows:
             break
     t = pa.concat_tables(parts).slice(0, sample_rows)
-    S = _norm_rows(list_matrix(t["embedding"]))
+    return _norm_rows(list_matrix(t["embedding"]))
+
+
+def _train_centroids(
+    sf_dir: str, n_cells: int, sample_rows: int = 2048, iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, trained on a
+    bounded metadata-pruned sample (see :func:`_sample_matrix`). Lloyd
+    iterations run on the sample only (driver-side, O(sample x cells) —
+    corpus-size independent); init = Philox-seeded sample rows. Empty cells
+    re-seed deterministically."""
+    S = _sample_matrix(sf_dir, sample_rows)
     rng = np.random.Generator(np.random.Philox(key=777))
     C = S[rng.choice(S.shape[0], size=min(n_cells, S.shape[0]), replace=False)]
     for _ in range(iters):
@@ -276,6 +289,136 @@ def ivf_knn(
             out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
+    if not out:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    merged = pd.concat(out).reset_index(drop=True)
+    merged["cos"] = merged["cos"].round(6)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def _train_pq(
+    sf_dir: str, m: int, ksub: int, sample_rows: int = 2048, iters: int = 10
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: split the (normalized)
+    space into ``m`` contiguous subspaces and run plain k-means in each,
+    on the same bounded sample the IVF quantizer trains on. Returns
+    ``(m, ksub, dim/m)``. Driver-side and corpus-size independent, like
+    :func:`_train_centroids`; empty sub-centroids re-seed deterministically."""
+    S = _sample_matrix(sf_dir, sample_rows)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.Generator(np.random.Philox(key=4242))
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        Sub = S[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, Sub.shape[0])
+        C = Sub[rng.choice(Sub.shape[0], size=k, replace=False)].copy()
+        for _ in range(iters):
+            # nearest sub-centroid by L2 == max (c.x - |c|^2/2)
+            assign = (Sub @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    C[c] = Sub[sel].mean(axis=0)
+                else:
+                    C[c] = Sub[int(rng.integers(0, Sub.shape[0]))]
+        if k < ksub:  # tiny sample: pad by repeating (deterministic)
+            C = np.concatenate([C, C[np.arange(ksub - k) % k]])
+        books[j] = C
+    return books
+
+
+def pq_knn(
+    sf_dir: str,
+    n_queries: int = 3,
+    topk: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    oversample: int = 4,
+) -> pa.Table:
+    """Approximate top-k via product quantization with asymmetric distance
+    (PQ/ADC, Jegou et al. 2011) + exact rerank of the shortlist.
+
+    Each database vector is represented by ``m`` uint8 sub-centroid codes
+    (here encoded on the fly inside the scan; at 100 TB the codes table is
+    precomputed once and is ALL the scan streams — ``m`` bytes/vector
+    instead of ``8*dim``, a 64x bandwidth cut at dim=64/m=8). Per query, an
+    ``(m, ksub)`` lookup table of subspace dot products turns scoring into
+    ``m`` table gathers per vector; only the per-query top
+    ``topk*oversample`` ADC candidates get an exact cosine rerank, so the
+    emitted ``cos`` values are exact (recall vs :func:`knn_cosine` pinned in
+    ``tests/test_similarity_pq.py``). Same output contract as the other kNN
+    variants: (query_id, vec_id, cos) with deterministic tie handling."""
+    import ray
+    import ray.data
+
+    books = _train_pq(sf_dir, m=m, ksub=ksub)
+    qids, Qn = _query_matrix(sf_dir, n_queries)
+    dsub = books.shape[2]
+    # per-query ADC tables: luts[q, j, c] = q_sub_j . codebook[j][c]
+    luts = np.einsum("qjd,jcd->qjc", Qn.reshape(Qn.shape[0], m, dsub), books)
+    qref = ray.put((qids, Qn, books, luts))
+
+    def f(batch: pa.Table) -> pa.Table:
+        q_ids, qm, cb, lut = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _norm_rows(list_matrix(batch["embedding"]))
+        n = V.shape[0]
+        # encode: nearest sub-centroid per subspace (the stored-codes stand-in)
+        codes = np.empty((n, m), dtype=np.int64)
+        half_norms = 0.5 * (cb * cb).sum(axis=2)  # (m, ksub)
+        for j in range(m):
+            Sub = V[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (Sub @ cb[j].T - half_norms[j]).argmax(axis=1)
+        # ADC scores for all queries at once: m table gathers
+        adc = np.zeros((q_ids.size, n))
+        for j in range(m):
+            adc += lut[:, j, codes[:, j]]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(q_ids.size):
+            mask = ids != q_ids[qi]
+            if not mask.any():
+                continue
+            vid = ids[mask]
+            short = min(topk * oversample, vid.size)
+            cand = _topk_det(adc[qi][mask], vid, short)  # ADC shortlist
+            s = qm[qi] @ V[mask][cand].T  # exact rerank, shortlist only
+            k = min(topk, s.size)
+            keep = _topk_det(s, vid[cand], k)
+            out_q.append(np.full(keep.size, q_ids[qi], dtype=np.int64))
+            out_v.append(vid[cand][keep])
+            out_s.append(s[keep])
         if not out_q:
             return pa.table(
                 {
