@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dedup": lambda sf: transcripts_ops.conversation_dedup_ds(
             transcripts_ops.fixture_corpus()
         ),
+        "sft_examples": lambda sf: transcripts_ops.sft_examples_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
@@ -979,6 +982,7 @@ FROM w
         # wand_daat_equivalence (engine-internal heap-tie equivalence),
         # crawl_log (stateful frontier traversal), bpe_merges +
         # bpe_encode_stats (iterative greedy training loop),
-        # incremental_novel (Bloom bit-layout dependent), conv_* ops
-        # (no transcript-shaped driver table; DuckDB-oracled in pytest)
+        # incremental_novel (Bloom bit-layout dependent), conv_* +
+        # sft_examples (no transcript-shaped driver table; DuckDB-oracled
+        # in pytest)
     }

@@ -141,3 +141,46 @@ FROM ct GROUP BY md5(conv_text)
         ).df()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sft_examples(ray_session, conv_corpus, con):
+    from web_search_engine_ray.pipelines.transcripts_ops import sft_examples_ds
+
+    got = _canon(sft_examples_ds(conv_corpus, max_context_turns=64).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+WITH lines AS (
+  SELECT conv_id, turn_idx, role, text,
+         role || ': ' || coalesce(text, '') AS line
+  FROM tr),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(line, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS context,
+    count(*) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)::BIGINT AS n_context_turns
+  FROM lines)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_context_turns,
+       coalesce(context, '') AS context, coalesce(text, '') AS target
+FROM w WHERE role = 'assistant'
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sft_examples_context_budget(ray_session, conv_corpus, con):
+    """keep-last-k: with k=2 no example may carry more than 2 context turns,
+    and the k=2 context must equal the tail of the k=64 context."""
+    from web_search_engine_ray.pipelines.transcripts_ops import sft_examples_ds
+
+    wide = sft_examples_ds(conv_corpus, max_context_turns=64).to_pandas()
+    tight = sft_examples_ds(conv_corpus, max_context_turns=2).to_pandas()
+    assert tight["n_context_turns"].max() <= 2
+    w = wide.set_index(["conv_id", "turn_idx"])
+    for _, r in tight.iterrows():
+        full_ctx = w.loc[(r["conv_id"], r["turn_idx"])]["context"]
+        assert full_ctx.endswith(r["context"])

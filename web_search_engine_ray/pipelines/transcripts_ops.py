@@ -18,6 +18,9 @@ exchange on ``conv_id`` — never a global sort.
   text ("role: text" lines) — the conv-granularity corpus for downstream
   conv-level dedup/packing. Ships text through the exchange (inherent:
   the output IS the reassembled corpus).
+- :func:`sft_examples_ds` — one (context, target) training example per
+  assistant turn with a keep-last-k context budget: the canonical SFT-pair
+  construction over multi-turn transcripts.
 
 Each has a DuckDB-oracle pytest contract over the deterministic fixture
 corpus (tests/test_transcripts_ops.py); the driver-gate entries run over a
@@ -217,6 +220,98 @@ def conversation_text_ds(corpus: str | list[str], n_parts: int = 32):
         rows, batch_format="pyarrow"
     )
     return exchange_map(ds, route, n_parts, assemble, auto_shrink=True)
+
+
+def sft_examples_ds(
+    corpus: str | list[str], n_parts: int = 32, max_context_turns: int = 64
+):
+    """(conv_id, turn_idx, n_context_turns, context, target): one training
+    example per ASSISTANT turn — ``target`` is that turn's text, ``context``
+    is the preceding ``max_context_turns`` turns rendered as "role: text"
+    lines joined by newline (empty for a conversation-opening assistant
+    turn). The canonical SFT-pair construction over multi-turn transcripts;
+    ``max_context_turns`` is the context-window budget knob (keep-last-k).
+
+    Shape: conversations route whole through the conv_id exchange; inside
+    the partition the per-row context BOUNDS are pure offset arithmetic
+    (cum_sum of line lengths + two window shifts — vectorized), and the
+    only per-row work is the final substring copy, which is
+    output-proportional (the context string must be materialized anyway).
+    Contexts never ship through a shuffle — they are born in the output."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    k = int(max_context_turns)
+    if k < 1:
+        raise ValueError("max_context_turns must be >= 1")
+
+    def rows(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "role", "text"])
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def build(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "n_context_turns": pa.array([], pa.int64()),
+                "context": pa.array([], pa.string()),
+                "target": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(line=pl.col("role") + ": " + pl.col("text").fill_null(""))
+            .with_columns(
+                pos=pl.int_range(pl.len()).over("conv_id"),
+                # +1 = the "\n" separator each line carries in the offsets
+                llen=pl.col("line").str.len_chars().cast(pl.Int64) + 1,
+            )
+            .with_columns(end_off=pl.col("llen").cum_sum().over("conv_id"))
+            .with_columns(
+                # chars through line pos-k-1 = start offset of line pos-k
+                ctx_start=pl.col("end_off").shift(k + 1).over("conv_id").fill_null(0),
+                # chars through line pos-1 (incl. its separator)
+                ctx_end=pl.col("end_off").shift(1).over("conv_id").fill_null(0),
+                n_ctx=pl.min_horizontal(pl.col("pos"), pl.lit(k)).cast(pl.Int64),
+            )
+        )
+        full = df.group_by("conv_id", maintain_order=True).agg(
+            full=pl.col("line").str.join("\n")
+        )
+        fmap = dict(zip(full["conv_id"].to_list(), full["full"].to_list()))
+        a = df.filter(pl.col("role") == "assistant")
+        if a.height == 0:
+            return empty
+        convs = a["conv_id"].to_list()
+        cs = a["ctx_start"].to_numpy()
+        ce = a["ctx_end"].to_numpy()
+        # output-proportional: each slice IS the emitted context string
+        # (ce-1 drops the window's trailing separator)
+        ctxs = [
+            fmap[c][s : e - 1] if e > s else ""
+            for c, s, e in zip(convs, cs, ce)
+        ]
+        return pa.table(
+            {
+                "conv_id": pa.array(convs, pa.string()),
+                "turn_idx": a["turn_idx"].cast(pl.Int64).to_arrow(),
+                "n_context_turns": a["n_ctx"].to_arrow(),
+                "context": pa.array(ctxs, pa.string()),
+                "target": a["text"].fill_null("").to_arrow().cast(pa.string()),
+            }
+        )
+
+    ds = _read(corpus, ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, build, auto_shrink=True)
 
 
 def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
