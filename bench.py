@@ -179,6 +179,9 @@ def run_bench() -> dict:
     similarity.knn_cosine(SF_DIR)
     timings["knn_cosine_sf"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    similarity.pq_knn(SF_DIR)
+    timings["knn_pq_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     analysis.text_stats_ds(SF_DIR).count()
     timings["text_stats_sf"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
@@ -257,6 +260,17 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     dedup.incremental_novel_ds(SF_DIR, prior_max_docid=2500).count()
     timings["incremental_novel_sf"] = round(time.perf_counter() - t0, 3)
+    # transcript-native conversation ops over the FULL bench corpus (240k
+    # turns / 53k conversations — the input-hint shape at bench scale)
+    from web_search_engine_ray.pipelines import transcripts_ops
+
+    t0 = time.perf_counter()
+    transcripts_ops.conversation_rollup_ds(corpus).count()
+    timings["conv_rollup_bench"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    transcripts_ops.sft_examples_ds(corpus).count()
+    timings["sft_examples_bench"] = round(time.perf_counter() - t0, 3)
+
     pos_dir = os.path.join(tempfile.gettempdir(), "wse_bench_posidx")
     shutil.rmtree(pos_dir, ignore_errors=True)
     t0 = time.perf_counter()
