@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": lambda sf: transcripts_ops.sft_examples_ds(
             transcripts_ops.fixture_corpus()
         ),
+        "conv_minhash_dups": lambda sf: transcripts_ops.conversation_minhash_dups_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
@@ -984,5 +987,6 @@ FROM w
         # bpe_encode_stats (iterative greedy training loop),
         # incremental_novel (Bloom bit-layout dependent), conv_* +
         # sft_examples (no transcript-shaped driver table; DuckDB-oracled
-        # in pytest)
+        # in pytest; conv_minhash_dups additionally LSH-approximate with a
+        # planted-near-dup recall + true-jaccard precision contract)
     }

@@ -184,3 +184,83 @@ def test_sft_examples_context_budget(ray_session, conv_corpus, con):
     for _, r in tight.iterrows():
         full_ctx = w.loc[(r["conv_id"], r["turn_idx"])]["context"]
         assert full_ctx.endswith(r["context"])
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(conv_corpus, tmp_path_factory):
+    """Fixture corpus + 5 planted near-dup clones (one turn's text gets a
+    token appended) and 2 exact clones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{conv_corpus}/transcripts_00000.parquet")
+    df = t.to_pandas()
+    out = [df]
+    convs = sorted(df["conv_id"].unique())[:7]
+    for i, c in enumerate(convs):
+        g = df[df["conv_id"] == c].copy()
+        g["conv_id"] = f"zclone{i:05d}"
+        if i < 5:  # near-dup: perturb one turn
+            idx = g.index[0]
+            g.loc[idx, "text"] = (g.loc[idx, "text"] or "") + " perturbed"
+        out.append(g)
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("neardup")
+    merged = pd.concat(out).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), f"{d}/all.parquet")
+    return str(d), convs
+
+
+def test_conversation_minhash_neardups(ray_session, neardup_corpus):
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_minhash_dups_ds,
+    )
+
+    d, convs = neardup_corpus
+    pairs = conversation_minhash_dups_ds(d).to_pandas()
+    got = set(map(tuple, pairs.itertuples(index=False)))
+    # every planted (orig, clone) pair must surface (clones share all but
+    # one turn -> jaccard near 1 -> some band must agree)
+    for i, c in enumerate(convs):
+        want = tuple(sorted([c, f"zclone{i:05d}"]))
+        assert want in got, f"missing planted pair {want}"
+    # pair order contract: a < b lexicographically, no self-pairs
+    assert all(a < b for a, b in got)
+
+
+def test_conversation_minhash_deterministic(ray_session, neardup_corpus):
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_minhash_dups_ds,
+    )
+
+    d, _ = neardup_corpus
+    a = conversation_minhash_dups_ds(d).to_pandas().sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+    b = conversation_minhash_dups_ds(d).to_pandas().sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_conversation_minhash_pairs_are_similar(ray_session, neardup_corpus):
+    """Precision contract: every candidate pair's true conversation-level
+    shingle jaccard must be well above random (banded LSH false positives
+    need a band-hash collision, which the u64 band space makes negligible)."""
+    import numpy as np
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.dedup import _shingle_hashes
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_minhash_dups_ds,
+        conversation_text_ds,
+    )
+
+    d, _ = neardup_corpus
+    pairs = conversation_minhash_dups_ds(d).to_pandas()
+    texts = conversation_text_ds(d).to_pandas().set_index("conv_id")["conv_text"]
+    toks = {c: token_lists(__import__("pyarrow").array([t])).to_list()[0] for c, t in texts.items()}
+    for a, b in pairs.itertuples(index=False):
+        sa, sb = _shingle_hashes(toks[a]), _shingle_hashes(toks[b])
+        inter = np.intersect1d(sa, sb).size
+        jac = inter / max(1, sa.size + sb.size - inter)
+        assert jac >= 0.2, (a, b, jac)

@@ -21,6 +21,9 @@ exchange on ``conv_id`` — never a global sort.
 - :func:`sft_examples_ds` — one (context, target) training example per
   assistant turn with a keep-last-k context budget: the canonical SFT-pair
   construction over multi-turn transcripts.
+- :func:`conversation_minhash_dups_ds` — near-duplicate conversation
+  candidate pairs (banded minhash LSH over the reassembled text), the
+  fuzzy counterpart of :func:`conversation_dedup_ds`.
 
 Each has a DuckDB-oracle pytest contract over the deterministic fixture
 corpus (tests/test_transcripts_ops.py); the driver-gate entries run over a
@@ -220,6 +223,98 @@ def conversation_text_ds(corpus: str | list[str], n_parts: int = 32):
         rows, batch_format="pyarrow"
     )
     return exchange_map(ds, route, n_parts, assemble, auto_shrink=True)
+
+
+def conversation_minhash_dups_ds(
+    corpus: str | list[str], n_parts: int = 32, max_bucket: int | None = None
+):
+    """(conv_a, conv_b): candidate NEAR-duplicate conversation pairs —
+    banded minhash LSH over the reassembled ordered conversation text
+    (:func:`conversation_text_ds`), the fuzzy counterpart of
+    :func:`conversation_dedup_ds` and the granularity LLM training data is
+    actually near-deduped at (a re-run of the same session differs by a few
+    turns, so turn- or doc-level dedup misses it).
+
+    Reuses the doc-level minhash kernels (shingle -> signature -> band
+    buckets -> intra-bucket pairs, all vectorized) but carries STRING conv
+    ids: inside each bucket partition the ids are factorized with
+    ``np.unique`` (codes sort lexicographically, so pair order a < b is the
+    conv_id order) and mapped back after pairing. Pairs from different
+    bands dedupe in a second coarse exchange. Approximate by construction
+    (LSH) — rows-only in the driver gate; the planted-near-dup recall
+    contract lives in tests/test_transcripts_ops.py."""
+    from web_search_engine_ray.pipelines.dedup import (
+        LSH_BANDS,
+        _band_hashes,
+        _batch_signatures,
+        _intra_bucket_pairs,
+    )
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(max(n_parts, 16))
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        toks = token_lists(t["conv_text"]).to_list()
+        ids = t["conv_id"].to_pylist()
+        sigs = _batch_signatures(toks)
+        bh = _band_hashes(sigs)
+        n = len(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)),
+                "bhash": pa.array((bh.reshape(-1) >> np.uint64(1)).astype(np.int64)),
+                "conv_id": pa.array(np.repeat(np.asarray(ids, dtype=object), LSH_BANDS)),
+            }
+        )
+
+    def partition_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"conv_a": pa.array([], pa.string()), "conv_b": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bhash = t["bhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        uniq, codes = np.unique(ids, return_inverse=True)
+        a, b = _intra_bucket_pairs((band, bhash), codes, max_bucket=max_bucket)
+        if a.size == 0:
+            return empty
+        return pa.table(
+            {
+                "conv_a": pa.array(uniq[a].tolist(), pa.string()),
+                "conv_b": pa.array(uniq[b].tolist(), pa.string()),
+            }
+        )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique(subset=["conv_a", "conv_b"])
+            .to_arrow()
+            .select(["conv_a", "conv_b"])
+            .cast(pa.schema([("conv_a", pa.string()), ("conv_b", pa.string())]))
+        )
+
+    bands = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
+        to_bands, batch_format="pyarrow"
+    )
+    pairs = exchange_map(
+        bands,
+        lambda t: t["bhash"].to_numpy(zero_copy_only=False) % np_,
+        np_,
+        partition_pairs,
+        auto_shrink=True,
+    )
+    return exchange_map(
+        pairs,
+        lambda t: (
+            pl.from_arrow(t["conv_a"]).hash(seed=7).to_numpy() % np.uint64(np_)
+        ).astype(np.int64),
+        np_,
+        dedup_pairs,
+        auto_shrink=True,
+    )
 
 
 def sft_examples_ds(
