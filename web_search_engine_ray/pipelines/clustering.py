@@ -47,14 +47,30 @@ def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.einsum("nkd,nkd->nk", diff, diff)
 
 
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+
+    return ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+
+
 def kmeans_centroids(
     sf_dir: str,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    emb_ds=None,
 ) -> np.ndarray:
     """Train the (k, d) float64 centroid matrix: deterministic seeding
     (centroids = the embeddings of ``vec_id < k``) + ``iters`` Lloyd
-    rounds, centroids rounded to 6 decimals after each update."""
+    rounds, centroids rounded to 6 decimals after each update.
+
+    ``emb_ds`` lets the caller pass a MATERIALIZED (vec_id, embedding)
+    Dataset so the per-iteration pass runs over object-store blocks instead
+    of re-reading + re-decoding parquet every round (Lloyd's is iterative —
+    the cache-once-iterate-many pattern; the object store spills if the
+    corpus outgrows aggregate memory, so the streaming discipline holds).
+    Without it, each iteration is an independent pruned parquet scan."""
     import ray
     import ray.data
 
@@ -67,21 +83,20 @@ def kmeans_centroids(
 
     path = _emb_path(sf_dir)
 
-    seeds = (
-        ray.data.read_parquet(
-            path,
-            columns=["vec_id", "embedding"],
-            filter=(pc.field("vec_id") < k),
-        )
-        .sort("vec_id")
-        .take_all()
-    )  # k rows by construction — a driver-side read of the SEEDS only
+    seeds = ray.data.read_parquet(
+        path,
+        columns=["vec_id", "embedding"],
+        filter=(pc.field("vec_id") < k),
+    ).take_all()  # k rows by construction — a driver-side read of the SEEDS only
     if len(seeds) < k:
         raise ValueError(f"corpus has only {len(seeds)} seed rows, need k={k}")
+    seeds.sort(key=lambda r: r["vec_id"])  # k rows: driver sort, no shuffle
     C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
 
     def read_embs():
-        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return emb_ds if emb_ds is not None else ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"]
+        )
 
     for _ in range(iters):
         cref = ray.put(C)
@@ -130,18 +145,17 @@ def kmeans_ds(
 ):
     """(vec_id, cluster, dist): train via :func:`kmeans_centroids`, then a
     final streaming assignment pass. ``dist`` is the euclidean distance to
-    the assigned centroid, rounded to 6 decimals."""
+    the assigned centroid, rounded to 6 decimals. The embedding Dataset is
+    materialized once and shared by the training iterations AND the final
+    assignment (one parquet decode total, not iters+1)."""
     import ray
-    import ray.data
 
-    from web_search_engine_ray.pipelines.similarity import _emb_path
-
-    path = _emb_path(sf_dir)
+    emb = _emb_ds(sf_dir).materialize()
 
     def read_embs():
-        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return emb
 
-    C = kmeans_centroids(sf_dir, k=k, iters=iters)
+    C = kmeans_centroids(sf_dir, k=k, iters=iters, emb_ds=emb)
     cref = ray.put(C)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
@@ -185,13 +199,12 @@ def semdedup_ds(
     for LAION-scale) so per-cluster blocks stay bounded — the exchange key
     IS the scale knob. Returns survivors (vec_id, cluster)."""
     import ray
-    import ray.data
 
-    from web_search_engine_ray.pipelines.similarity import _emb_path
     from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
     np_ = cluster_parts(min(32, max(2, k)))
-    C = kmeans_centroids(sf_dir, k=k, iters=iters)
+    emb = _emb_ds(sf_dir).materialize()
+    C = kmeans_centroids(sf_dir, k=k, iters=iters, emb_ds=emb)
     cref = ray.put(C)
 
     def assign_fwd(batch: pa.Table) -> pa.Table:
@@ -206,9 +219,7 @@ def semdedup_ds(
             }
         )
 
-    ds = ray.data.read_parquet(
-        _emb_path(sf_dir), columns=["vec_id", "embedding"]
-    ).map_batches(assign_fwd, batch_format="pyarrow")
+    ds = emb.map_batches(assign_fwd, batch_format="pyarrow")
 
     def drop_dominated(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
