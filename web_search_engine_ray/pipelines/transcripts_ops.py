@@ -252,6 +252,11 @@ def conversation_minhash_dups_ds(
     from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
     np_ = cluster_parts(max(n_parts, 16))
+    # the signature stage's parallelism is capped by the reassembly
+    # exchange's output partition count — scale it with the cluster, not
+    # the caller's (bucket-oriented) n_parts (measured: 32 parts serialized
+    # 444k convs into 32 long signature tasks)
+    n_parts = max(n_parts, np_)
 
     def to_bands(t: pa.Table) -> pa.Table:
         toks = token_lists(t["conv_text"]).to_list()
