@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_minhash_dups": lambda sf: transcripts_ops.conversation_minhash_dups_ds(
             transcripts_ops.fixture_corpus()
         ),
+        "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
+            transcripts_ops.fixture_corpus()
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
@@ -988,5 +991,7 @@ FROM w
         # incremental_novel (Bloom bit-layout dependent), conv_* +
         # sft_examples (no transcript-shaped driver table; DuckDB-oracled
         # in pytest; conv_minhash_dups additionally LSH-approximate with a
-        # planted-near-dup recall + true-jaccard precision contract)
+        # planted-near-dup recall + true-jaccard precision contract;
+        # role_search is pinned against the reference-semantics OracleIndex
+        # post-filtered by role)
     }

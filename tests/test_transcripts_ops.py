@@ -264,3 +264,47 @@ def test_conversation_minhash_pairs_are_similar(ray_session, neardup_corpus):
         inter = np.intersect1d(sa, sb).size
         jac = inter / max(1, sa.size + sb.size - inter)
         assert jac >= 0.2, (a, b, jac)
+
+
+def test_role_filtered_search_vs_oracle(ray_session, conv_corpus):
+    """Fielded BM25: engine's role-filtered top-k must equal the reference
+    oracle's full ranking post-filtered by role (same corpus-global stats)."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.oracle import OracleIndex
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        FIXED_TRANSCRIPT_QUERIES,
+        role_filtered_search_table,
+    )
+    from web_search_engine_ray.sources.transcripts import corpus_files
+
+    rows = []
+    for f in corpus_files(conv_corpus):
+        rows.extend(pq.read_table(f, columns=["text", "role"]).to_pylist())
+    docs = [(i, r["text"] or "") for i, r in enumerate(rows)]
+    roles = [r["role"] for r in rows]
+    oi = OracleIndex.build(docs)
+
+    for role in ("assistant", "user"):
+        got = role_filtered_search_table(conv_corpus, role=role, topk=10).to_pandas()
+        for qi, q in enumerate(FIXED_TRANSCRIPT_QUERIES):
+            want = [
+                (d, s) for d, s in oi.search(q, mode="OR") if roles[d] == role
+            ][:10]
+            g = got[got["query_id"] == qi].sort_values("rank")
+            assert list(g["docid"]) == [d for d, _ in want], (role, q)
+            for s_got, (_, s_want) in zip(g["score"], want):
+                assert abs(s_got - s_want) < 1e-8, (role, q)
+
+
+def test_role_filtered_probe_cap(ray_session, conv_corpus):
+    import pytest
+
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        role_filtered_search_table,
+    )
+
+    with pytest.raises(RuntimeError, match="probe_cap"):
+        role_filtered_search_table(
+            conv_corpus, role="nosuchrole", queries=["the"], probe_cap=50
+        )

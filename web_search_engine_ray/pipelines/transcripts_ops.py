@@ -24,6 +24,9 @@ exchange on ``conv_id`` — never a global sort.
 - :func:`conversation_minhash_dups_ds` — near-duplicate conversation
   candidate pairs (banded minhash LSH over the reassembled text), the
   fuzzy counterpart of :func:`conversation_dedup_ds`.
+- :func:`role_filtered_search_table` — fielded BM25 ("what did the
+  assistant say about X"): corpus-global ranking post-filtered by role
+  via score-ordered row-group-seek probes.
 
 Each has a DuckDB-oracle pytest contract over the deterministic fixture
 corpus (tests/test_transcripts_ops.py); the driver-gate entries run over a
@@ -412,6 +415,104 @@ def sft_examples_ds(
         rows, batch_format="pyarrow"
     )
     return exchange_map(ds, route, n_parts, build, auto_shrink=True)
+
+
+# Fixed queries over the transcript fixture vocabulary (stopwords + zipf
+# words + specials), mirroring serving.FIXED_QUERIES' case coverage.
+FIXED_TRANSCRIPT_QUERIES = [
+    "the w0007",
+    "agent call",
+    "w0005 w0035",
+    "task step",
+    "data w0091",
+    "bm25 http",
+    "run model tool",
+    "nosuchterm w0255",
+]
+
+_tidx_searchers: dict[str, object] = {}
+
+
+def transcript_index(corpus: str) -> str:
+    """Build (or reuse) the inverted turn index for a transcript corpus dir.
+    Keyed by dir + first-file identity; resumable on disk like
+    ``serving.documents_index``."""
+    import hashlib
+    import os
+
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.sources.transcripts import corpus_files
+
+    first = corpus_files(corpus)[0]
+    st = os.stat(first)
+    key = hashlib.sha256(
+        f"{corpus}:{first}:{st.st_size}:{st.st_mtime_ns}:tidx1".encode()
+    ).hexdigest()[:16]
+    out = os.path.join("/tmp", "wse_ray_cache", f"tidx_{key}")
+    build_index(
+        corpus, out, partition_rows=20_000, num_shards=8, n_salts=4,
+        heavy_df_frac=0.05,
+    )
+    return out
+
+
+def role_filtered_search_table(
+    corpus: str,
+    role: str = "assistant",
+    queries: list[str] | None = None,
+    topk: int = 10,
+    mode: str = "OR",
+    probe_cap: int = 10_000,
+) -> pa.Table:
+    """(query_id, rank, docid, score): BM25 top-k restricted to turns of one
+    ROLE — fielded retrieval over the transcript index ("what did the
+    assistant say about X"). BM25 statistics (N, avgdl, df) stay
+    corpus-global, exactly as if the role were a post-filter on the full
+    ranking — the contract the OracleIndex twin replays.
+
+    Scale shape: the full TAAT ranking is candidate-scale (scored docs
+    only); the role of each candidate is fetched by walking the ranking in
+    score order with row-group-seek :class:`DocStore` reads and stopping at
+    ``topk`` hits — expected probes ~ topk / role_frequency, never a corpus
+    scan (``probe_cap`` bounds the pathological all-misses case, and a
+    truncated walk is reported by raising, never silently)."""
+    from web_search_engine_ray.pipelines.query import Searcher
+    from web_search_engine_ray.state.docstore import DocStore
+
+    idx = transcript_index(corpus)
+    s = _tidx_searchers.get(idx)
+    if s is None:
+        s = _tidx_searchers[idx] = Searcher(idx)
+    store = DocStore(corpus, columns=["role"])
+    q_l, r_l, d_l, s_l = [], [], [], []
+    for qi, q in enumerate(queries or FIXED_TRANSCRIPT_QUERIES):
+        full = s.search(q, mode=mode, topk=None)  # (-score, docid) order
+        kept: list[tuple[int, float]] = []
+        for probes, (docid, score) in enumerate(full):
+            if probes >= probe_cap:
+                raise RuntimeError(
+                    f"role_filtered_search: probe_cap={probe_cap} exhausted "
+                    f"for query {q!r} with {len(kept)}/{topk} hits — raise "
+                    "the cap or build a role-partitioned index"
+                )
+            row = store.get(docid)
+            if row is not None and row.get("role") == role:
+                kept.append((docid, score))
+                if len(kept) == topk:
+                    break
+        for rank, (d, sc) in enumerate(kept, start=1):
+            q_l.append(qi)
+            r_l.append(rank)
+            d_l.append(d)
+            s_l.append(round(sc, 9))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "rank": pa.array(r_l, pa.int64()),
+            "docid": pa.array(d_l, pa.int64()),
+            "score": pa.array(s_l, pa.float64()),
+        }
+    )
 
 
 def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
