@@ -326,3 +326,272 @@ def run_llm_corpus_job(
         }
     stats["n_final"] = int(sum(stats["splits"].values()))
     return stats
+
+
+# --------------------------------------------- transcripts -> SFT dataset
+
+
+def _conv_drop_set(corpus, n_parts: int) -> set:
+    """conv_ids to DROP: exact-dup losers (all but min conv_id per content
+    hash) plus near-dup minhash-cluster losers. Both relations are
+    dup-scale, so the driver-side reduction/union-find is
+    output-proportional — never conversation-scale."""
+    import polars as pl
+    import ray
+
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_dedup_ds,
+        conversation_minhash_dups_ds,
+    )
+
+    drop: set = set()
+    # exact: conversation_dedup_ds emits the SURVIVOR per hash group; losers
+    # are group members != survivor — recover them from the pair relation of
+    # group sizes > 1 by re-grouping on conv_hash with all members.
+    # conversation_dedup_ds collapses to one row per hash, so instead reuse
+    # the reassembly+hash directly here (same rule, losers visible).
+    import hashlib
+
+    import pyarrow as _pa
+
+    from web_search_engine_ray.pipelines.transcripts_ops import conversation_text_ds
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def hash_rows(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "conv_hash": _pa.array(
+                    [
+                        hashlib.md5(x.encode("utf-8")).hexdigest()
+                        for x in t["conv_text"].to_pylist()
+                    ],
+                    _pa.string(),
+                ),
+                "conv_id": t["conv_id"].cast(_pa.string()),
+            }
+        )
+
+    def losers(t: _pa.Table) -> _pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(keep=pl.col("conv_id").min().over("conv_hash"))
+            .filter(pl.col("conv_id") != pl.col("keep"))
+            .select("conv_id")
+        )
+        return out.to_arrow().cast(_pa.schema([("conv_id", _pa.string())]))
+
+    hashed = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
+        hash_rows, batch_format="pyarrow"
+    )
+    lost = exchange_map(
+        hashed,
+        lambda t: (
+            pl.from_arrow(t["conv_hash"]).hash(seed=7).to_numpy()
+            % np.uint64(n_parts)
+        ).astype(np.int64),
+        n_parts,
+        losers,
+        auto_shrink=True,
+    )
+    for b in lost.iter_batches(batch_format="pyarrow"):
+        drop.update(b["conv_id"].to_pylist())
+
+    # near-dup: minhash candidate pairs -> union-find -> keep min per cluster
+    pairs = []
+    tables = ray.get(conversation_minhash_dups_ds(corpus).to_arrow_refs())
+    for t in tables:
+        pairs.extend(zip(t["conv_a"].to_pylist(), t["conv_b"].to_pylist()))
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    clusters: dict = {}
+    for a, b in pairs:
+        for x in (a, b):
+            clusters.setdefault(find(x), set()).add(x)
+    for root, members in clusters.items():
+        keep = min(members)
+        drop.update(m for m in members if m != keep and m not in drop)
+    return drop
+
+
+def run_sft_dataset_job(
+    corpus: str,
+    out_dir: str,
+    max_context_turns: int = 64,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    n_parts: int = 16,
+) -> dict:
+    """Transcripts -> SFT training dataset, staged and resumable:
+
+        conversation exact dedup + minhash near-dup removal  ->
+        SFT example construction (per-assistant-turn context/target)  ->
+        CONVERSATION-addressed train/val/test split  ->  parquet per split.
+
+    The split keys on md5(conv_id), not the example text, so every example
+    of a conversation lands in the same split — the leakage rule that
+    matters for conversational data (examples of one conversation share
+    most of their context; splitting them across train/val would leak)."""
+    import hashlib
+
+    import polars as pl
+
+    from web_search_engine_ray.pipelines.transcripts_ops import sft_examples_ds
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict = {"corpus": str(corpus), "out_dir": out_dir}
+
+    # ---- stage 1: conversation-level dedup (exact + near-dup)
+    s1 = os.path.join(out_dir, "s1_convs")
+    p1 = {"n_parts": n_parts}
+    n1 = _stage_done(s1, p1)
+    if n1 is None:
+        import ray
+        import ray.data
+
+        from web_search_engine_ray.sources.transcripts import corpus_files
+        from web_search_engine_ray.stages.exchange import exchange_map
+
+        drop = _conv_drop_set(corpus, n_parts)
+        stats["n_convs_dropped"] = len(drop)
+        dref = ray.put(drop)
+
+        def keep_rows(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            if not d or t.num_rows == 0:
+                return t
+            mask = [c not in d for c in t["conv_id"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+        os.makedirs(s1, exist_ok=True)
+
+        def route(t: pa.Table) -> np.ndarray:
+            return (
+                pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy()
+                % np.uint64(n_parts)
+            ).astype(np.int64)
+
+        def write_part(t: pa.Table, pi: int) -> pa.Table:
+            path = os.path.join(s1, f"transcripts_{pi:05d}.parquet")
+            if os.path.exists(path):
+                n = pq.read_metadata(path).num_rows
+            else:
+                out = pl.from_arrow(t).sort(["conv_id", "turn_idx"]).to_arrow()
+                pq.write_table(out, path + ".tmp")
+                os.replace(path + ".tmp", path)
+                n = t.num_rows
+            return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+        ds = ray.data.read_parquet(
+            corpus_files(corpus),
+            columns=["conv_id", "turn_idx", "role", "text"],
+        ).map_batches(keep_rows, batch_format="pyarrow")
+        parts = exchange_map(ds, route, n_parts, write_part, with_index=True)
+        n1 = int(
+            sum(b["n"].to_numpy().sum() for b in parts.iter_batches(batch_format="pyarrow"))
+        )
+        _finish_stage(s1, p1, n1)
+    stats["n_turns_after_dedup"] = n1
+
+    # ---- stage 2: SFT examples + conversation-addressed split
+    final = os.path.join(out_dir, "final")
+    p2 = {
+        "max_context_turns": max_context_turns,
+        "val_pct": val_pct,
+        "test_pct": test_pct,
+        "n_parts": n_parts,
+    }
+    done = _stage_done(final, p2)
+    if done is None:
+        ex = sft_examples_ds(s1, n_parts=n_parts, max_context_turns=max_context_turns)
+
+        def with_split(t: pa.Table) -> pa.Table:
+            convs = t["conv_id"].to_pylist()
+            low64 = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(c.encode("utf-8")).digest()[8:16], "little"
+                    )
+                    for c in convs
+                ),
+                dtype=np.uint64,
+                count=len(convs),
+            )
+            bucket = (low64 % np.uint64(100)).astype(np.int64)
+            split = np.where(
+                bucket < val_pct,
+                "val",
+                np.where(bucket < val_pct + test_pct, "test", "train"),
+            )
+            return t.append_column("split", pa.array(split.tolist(), pa.string()))
+
+        ds = ex.map_batches(with_split, batch_format="pyarrow").materialize()
+        counts = {}
+        for sp in ("train", "val", "test"):
+            sdir = os.path.join(final, sp)
+            os.makedirs(sdir, exist_ok=True)
+
+            def only(t: pa.Table, _sp=sp) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(pc.equal(t["split"], _sp)).drop_columns(["split"])
+
+            import polars as _pl
+
+            from web_search_engine_ray.stages.exchange import exchange_map
+
+            def route(t: pa.Table) -> np.ndarray:
+                return (
+                    _pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy()
+                    % np.uint64(n_parts)
+                ).astype(np.int64)
+
+            def write_part(t: pa.Table, pi: int, _sdir=sdir) -> pa.Table:
+                path = os.path.join(_sdir, f"sft_{pi:05d}.parquet")
+                if os.path.exists(path):
+                    n = pq.read_metadata(path).num_rows
+                else:
+                    out = _pl.from_arrow(t).sort(["conv_id", "turn_idx"]).to_arrow()
+                    pq.write_table(out, path + ".tmp")
+                    os.replace(path + ".tmp", path)
+                    n = t.num_rows
+                return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+            parts = exchange_map(
+                ds.map_batches(only, batch_format="pyarrow"),
+                route,
+                n_parts,
+                write_part,
+                with_index=True,
+            )
+            counts[sp] = int(
+                sum(
+                    b["n"].to_numpy().sum()
+                    for b in parts.iter_batches(batch_format="pyarrow")
+                )
+            )
+        _finish_stage(final, p2, sum(counts.values()))
+        stats["splits"] = counts
+    else:
+        stats["splits"] = {
+            sp: int(
+                sum(
+                    pq.read_metadata(os.path.join(final, sp, f)).num_rows
+                    for f in os.listdir(os.path.join(final, sp))
+                    if f.endswith(".parquet")
+                )
+            )
+            for sp in ("train", "val", "test")
+        }
+    stats["n_examples"] = int(sum(stats["splits"].values()))
+    return stats
