@@ -123,3 +123,28 @@ def test_stage_markers_written(job_out):
         with open(os.path.join(out, d, "_done.json")) as f:
             m = json.load(f)
         assert m["n_rows"] >= 0
+
+
+def test_input_drift_raises(ray_session, job_out):
+    """Same out_dir, different input corpus: stage markers embed the input
+    fingerprint, so the job raises instead of silently re-serving the old
+    stage outputs (review finding: params-only markers reused stale data)."""
+    from web_search_engine_ray.pipelines.corpus_job import run_llm_corpus_job
+
+    out, _ = job_out
+    with pytest.raises(ValueError, match="different parameters"):
+        run_llm_corpus_job("/root/testdata/sf0.01", out)
+
+
+def test_partial_stage_param_drift_raises(ray_session, tmp_path):
+    """A crash-resume with different params must raise at stage START (the
+    _params.json begin marker), never mix partitions from two runs."""
+    import json
+
+    from web_search_engine_ray.pipelines.corpus_job import _begin_stage
+
+    d = str(tmp_path / "s2")
+    _begin_stage(d, {"tau": 0.8})
+    _begin_stage(d, {"tau": 0.8})  # same params: fine
+    with pytest.raises(ValueError, match="partial stage"):
+        _begin_stage(d, {"tau": 0.5})

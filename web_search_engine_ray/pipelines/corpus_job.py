@@ -36,28 +36,73 @@ def _marker(stage_dir: str) -> str:
     return os.path.join(stage_dir, "_done.json")
 
 
-def _stage_done(stage_dir: str, params: dict) -> int | None:
-    """Row count if the stage already completed with THESE params, else
-    None. Mismatched params raise — silent reuse of a differently-built
-    stage would corrupt every stage after it."""
-    mp = _marker(stage_dir)
-    if not os.path.exists(mp):
+def _begin_marker(stage_dir: str) -> str:
+    return os.path.join(stage_dir, "_params.json")
+
+
+def _corpus_fp(files: list[str]) -> list:
+    """Input identity for a stage's params: (name, size, mtime_ns) of every
+    file. Stage markers embed this so a re-run against a DIFFERENT or
+    changed input fails loudly instead of silently re-serving the old
+    stage outputs."""
+    return [
+        [os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns]
+        for f in files
+    ]
+
+
+def _pl_routing_probe(n_parts: int) -> list:
+    """polars' hash() is not pinned across releases (curate.py documents
+    this); sinks routed by it embed this probe so a crash-resume under a
+    different polars never mixes two routings in one stage dir."""
+    import polars as pl
+
+    return (
+        pl.Series(["wse-routing-probe-a", "wse-routing-probe-b", ""])
+        .hash(seed=7)
+        .to_numpy()
+        % np.uint64(n_parts)
+    ).tolist()
+
+
+def _check_params(stage_dir: str, path: str, params: dict, what: str) -> dict | None:
+    if not os.path.exists(path):
         return None
-    with open(mp) as f:
+    with open(path) as f:
         prev = json.load(f)
     if prev.get("params") != params:
         raise ValueError(
-            f"{stage_dir} holds a run with different parameters "
+            f"{stage_dir} holds a {what} with different parameters or input "
             f"({prev.get('params')} != {params}); use a fresh --out"
         )
-    return int(prev["n_rows"])
+    return prev
 
 
-def _finish_stage(stage_dir: str, params: dict, n_rows: int) -> None:
+def _stage_done(stage_dir: str, params: dict) -> dict | None:
+    """The completed marker dict if the stage already finished with THESE
+    params (incl. input fingerprint), else None. Mismatches raise."""
+    return _check_params(stage_dir, _marker(stage_dir), params, "completed stage")
+
+
+def _begin_stage(stage_dir: str, params: dict) -> None:
+    """Record the stage params BEFORE any partition file is written, so a
+    crash-resume with different params (or a different polars routing)
+    raises instead of silently mixing partitions from two runs."""
+    os.makedirs(stage_dir, exist_ok=True)
+    if _check_params(stage_dir, _begin_marker(stage_dir), params, "partial stage") is None:
+        tmp = _begin_marker(stage_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"params": params}, f)
+        os.replace(tmp, _begin_marker(stage_dir))
+
+
+def _finish_stage(stage_dir: str, params: dict, n_rows: int, **extra) -> dict:
+    marker = {"params": params, "n_rows": n_rows, **extra}
     tmp = _marker(stage_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"params": params, "n_rows": n_rows}, f)
+        json.dump(marker, f)
     os.replace(tmp, _marker(stage_dir))
+    return marker
 
 
 def _write_doc_parts(ds, stage_dir: str, n_parts: int) -> int:
@@ -143,36 +188,40 @@ def run_llm_corpus_job(
     CLI prints: per-stage row counts + split sizes."""
     import ray
 
-    from web_search_engine_ray.functions.tokenize import token_lists
     from web_search_engine_ray.pipelines.curate import write_curated_corpus
-    from web_search_engine_ray.pipelines.dedup import _shingle_hashes
     from web_search_engine_ray.pipelines.redact import pii_redact_ds
+
+    from web_search_engine_ray.sources.documents import docs_files
 
     os.makedirs(out_dir, exist_ok=True)
     stats: dict = {"input": input_dir, "out_dir": out_dir}
-    n_input = pq.ParquetFile(
-        os.path.join(input_dir, "documents.parquet")
-    ).metadata.num_rows
-    stats["n_input"] = int(n_input)
+    src = os.path.join(input_dir, "documents.parquet")
+    stats["n_input"] = int(pq.ParquetFile(src).metadata.num_rows)
 
     # ---- stage 1: quality gate + exact dedup (existing resumable sink)
     s1 = os.path.join(out_dir, "s1_curated")
-    p1 = {"min_tokens": min_tokens, "max_stop_ratio": max_stop_ratio, "n_parts": n_parts}
-    n1 = _stage_done(s1, p1)
-    if n1 is None:
+    p1 = {
+        "min_tokens": min_tokens,
+        "max_stop_ratio": max_stop_ratio,
+        "n_parts": n_parts,
+        "input_fp": _corpus_fp([src]),
+    }
+    m1 = _stage_done(s1, p1)
+    if m1 is None:
         rep = write_curated_corpus(
             input_dir, s1, min_tokens=min_tokens,
             max_stop_ratio=max_stop_ratio, n_parts=n_parts,
         )
-        n1 = int(rep["n_rows"])
-        _finish_stage(s1, p1, n1)
+        m1 = _finish_stage(s1, p1, int(rep["n_rows"]))
+    n1 = int(m1["n_rows"])
     stats["n_after_quality_exact_dedup"] = n1
 
     # ---- stage 2: near-dup removal (minhash -> jaccard clusters -> keep min)
     s2 = os.path.join(out_dir, "s2_neardup")
-    p2 = {"tau": tau, "n_parts": n_parts}
-    n2 = _stage_done(s2, p2)
-    if n2 is None:
+    p2 = {"tau": tau, "n_parts": n_parts, "input_fp": _corpus_fp(docs_files(s1))}
+    m2 = _stage_done(s2, p2)
+    if m2 is None:
+        _begin_stage(s2, p2)
         drop = _neardup_drop_set(s1, tau)
         dref = ray.put(drop)
 
@@ -185,18 +234,23 @@ def run_llm_corpus_job(
             pos[pos == d.size] = 0
             return t.filter(pa.array(d[pos] != ids))
 
-        n2 = _write_doc_parts(
-            read_docs(s1).map_batches(keep_fn, batch_format="pyarrow"), s2, n_parts
+        m2 = _finish_stage(
+            s2,
+            p2,
+            _write_doc_parts(
+                read_docs(s1).map_batches(keep_fn, batch_format="pyarrow"), s2, n_parts
+            ),
         )
-        _finish_stage(s2, p2, n2)
-        stats["n_neardup_dropped"] = n1 - n2
+    n2 = int(m2["n_rows"])
+    stats["n_neardup_dropped"] = n1 - n2
     stats["n_after_neardup"] = n2
 
     # ---- stage 3: PII redaction (redact stored text as-is, plant=False)
     s3 = os.path.join(out_dir, "s3_redacted")
-    p3 = {"n_parts": n_parts}
-    n3 = _stage_done(s3, p3)
-    if n3 is None:
+    p3 = {"n_parts": n_parts, "input_fp": _corpus_fp(docs_files(s2))}
+    m3 = _stage_done(s3, p3)
+    if m3 is None:
+        _begin_stage(s3, p3)
         red = pii_redact_ds(s2, plant=False)
 
         def to_docs(t: pa.Table) -> pa.Table:
@@ -204,77 +258,84 @@ def run_llm_corpus_job(
                 {"docid": t["docid"].cast(pa.int64()), "text": t["redacted"].cast(pa.string())}
             )
 
-        n3 = _write_doc_parts(
-            red.map_batches(to_docs, batch_format="pyarrow"), s3, n_parts
+        m3 = _finish_stage(
+            s3,
+            p3,
+            _write_doc_parts(
+                red.map_batches(to_docs, batch_format="pyarrow"), s3, n_parts
+            ),
         )
-        _finish_stage(s3, p3, n3)
+    n3 = int(m3["n_rows"])
     stats["n_after_redact"] = n3
 
     # ---- stage 4: benchmark decontamination (drop docs sharing any n-gram
     # with the ORIGINAL corpus's holdout slice; holdout docs themselves are
-    # excluded from the training output too)
+    # excluded from the training output too). Reuses the oracle-checked
+    # holdout_contamination_ds operator with its scan side pointed at s3.
     s4 = os.path.join(out_dir, "s4_decontaminated")
-    p4 = {"holdout_max_docid": holdout_max_docid, "n": ngram_n, "n_parts": n_parts}
-    n4 = _stage_done(s4, p4)
-    if n4 is None:
-        import pyarrow.compute as pc
+    p4 = {
+        "holdout_max_docid": holdout_max_docid,
+        "n": ngram_n,
+        "n_parts": n_parts,
+        "input_fp": _corpus_fp(docs_files(s3)),
+    }
+    m4 = _stage_done(s4, p4)
+    if m4 is None:
+        from web_search_engine_ray.pipelines.dedup import holdout_contamination_ds
 
-        import ray.data
-
-        hold = ray.data.read_parquet(
-            os.path.join(input_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-            filter=(pc.field("doc_id") < holdout_max_docid),
+        _begin_stage(s4, p4)
+        cont = holdout_contamination_ds(
+            input_dir, holdout_max_docid=holdout_max_docid, n=ngram_n,
+            scan_corpus=s3,
         )
-
-        def gram_rows(batch: pa.Table) -> pa.Table:
-            toks = token_lists(batch["text"]).to_list()
-            hs = [_shingle_hashes(t or [], k=ngram_n) for t in toks]
-            flat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-            return pa.table({"g": pa.array(flat, pa.uint64())})
-
-        parts = ray.get(
-            hold.map_batches(gram_rows, batch_format="pyarrow").to_arrow_refs()
-        )
-        grams = np.unique(
+        # contaminated-scale relation -> sorted id array, broadcast once
+        cont_ids = np.sort(
             np.concatenate(
-                [p["g"].to_numpy(zero_copy_only=False) for p in parts if p.num_rows]
-                or [np.empty(0, np.uint64)]
-            )
+                [
+                    b["docid"].to_numpy(zero_copy_only=False)
+                    for b in cont.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            ).astype(np.int64)
         )
-        gref = ray.put(grams)
+        cref = ray.put(cont_ids)
 
         def clean_fn(t: pa.Table) -> pa.Table:
-            g = ray.get(gref)
+            c = ray.get(cref)
+            if t.num_rows == 0:
+                return t
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            toks = token_lists(t["text"]).to_list()
-            keep = np.ones(len(toks), dtype=bool)
-            keep &= ids >= holdout_max_docid  # holdout never trains
-            if g.size:
-                for i, tk in enumerate(toks):
-                    if not keep[i]:
-                        continue
-                    hs = _shingle_hashes(tk or [], k=ngram_n)
-                    if hs.size:
-                        pos = np.searchsorted(g, hs)
-                        pos[pos == g.size] = 0
-                        if (g[pos] == hs).any():
-                            keep[i] = False
+            keep = ids >= holdout_max_docid  # holdout never trains
+            if c.size:
+                pos = np.searchsorted(c, ids)
+                pos[pos == c.size] = 0
+                keep &= c[pos] != ids
             return t.filter(pa.array(keep))
 
-        n4 = _write_doc_parts(
-            read_docs(s3).map_batches(clean_fn, batch_format="pyarrow"), s4, n_parts
+        m4 = _finish_stage(
+            s4,
+            p4,
+            _write_doc_parts(
+                read_docs(s3).map_batches(clean_fn, batch_format="pyarrow"), s4, n_parts
+            ),
         )
-        _finish_stage(s4, p4, n4)
-        stats["n_contaminated_dropped"] = n3 - n4
+    n4 = int(m4["n_rows"])
+    stats["n_contaminated_dropped"] = n3 - n4
     stats["n_after_decontamination"] = n4
 
     # ---- stage 5: content-addressed split + final partitioned write
     final = os.path.join(out_dir, "final")
-    p5 = {"val_pct": val_pct, "test_pct": test_pct, "n_parts": n_parts}
-    done = _stage_done(final, p5)
-    if done is None:
+    p5 = {
+        "val_pct": val_pct,
+        "test_pct": test_pct,
+        "n_parts": n_parts,
+        "input_fp": _corpus_fp(docs_files(s4)),
+    }
+    m5 = _stage_done(final, p5)
+    if m5 is None:
         import hashlib
+
+        _begin_stage(final, p5)
 
         def with_split(t: pa.Table) -> pa.Table:
             # identical rule to split.split_docs_ds: md5_low64(text) % 100
@@ -298,7 +359,9 @@ def run_llm_corpus_job(
             )
             return t.append_column("split", pa.array(split.tolist(), pa.string()))
 
-        ds = read_docs(s4).map_batches(with_split, batch_format="pyarrow")
+        # one corpus scan + md5 pass total: the three per-split sinks below
+        # re-read object-store blocks, not parquet
+        ds = read_docs(s4).map_batches(with_split, batch_format="pyarrow").materialize()
         counts = {"train": 0, "val": 0, "test": 0}
         for sp in ("train", "val", "test"):
             sdir = os.path.join(final, sp)
@@ -311,19 +374,8 @@ def run_llm_corpus_job(
             counts[sp] = _write_doc_parts(
                 ds.map_batches(only, batch_format="pyarrow"), sdir, n_parts
             )
-        _finish_stage(final, p5, sum(counts.values()))
-        stats["splits"] = counts
-    else:
-        stats["splits"] = {
-            sp: int(
-                sum(
-                    pq.read_metadata(os.path.join(final, sp, f)).num_rows
-                    for f in os.listdir(os.path.join(final, sp))
-                    if f.endswith(".parquet")
-                )
-            )
-            for sp in ("train", "val", "test")
-        }
+        m5 = _finish_stage(final, p5, sum(counts.values()), splits=counts)
+    stats["splits"] = {k: int(v) for k, v in m5["splits"].items()}
     stats["n_final"] = int(sum(stats["splits"].values()))
     return stats
 
@@ -331,16 +383,18 @@ def run_llm_corpus_job(
 # --------------------------------------------- transcripts -> SFT dataset
 
 
-def _conv_drop_set(corpus, n_parts: int) -> set:
+def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
     """conv_ids to DROP: exact-dup losers (all but min conv_id per content
-    hash) plus near-dup minhash-cluster losers. Both relations are
-    dup-scale, so the driver-side reduction/union-find is
+    hash) plus VERIFIED near-dup cluster losers — minhash LSH candidates are
+    only edges after their true conversation-shingle jaccard clears ``tau``
+    (an unverified drop would delete merely-overlapping conversations:
+    b=32/r=2 banding collides ~28% of the time even at jaccard 0.1). All
+    relations are dup-scale, so the driver-side verify/union-find is
     output-proportional — never conversation-scale."""
     import polars as pl
     import ray
 
     from web_search_engine_ray.pipelines.transcripts_ops import (
-        conversation_dedup_ds,
         conversation_minhash_dups_ds,
     )
 
@@ -396,11 +450,52 @@ def _conv_drop_set(corpus, n_parts: int) -> set:
     for b in lost.iter_batches(batch_format="pyarrow"):
         drop.update(b["conv_id"].to_pylist())
 
-    # near-dup: minhash candidate pairs -> union-find -> keep min per cluster
-    pairs = []
+    # near-dup: minhash candidates -> EXACT jaccard verify -> union-find ->
+    # keep min per cluster
+    cand = []
     tables = ray.get(conversation_minhash_dups_ds(corpus).to_arrow_refs())
     for t in tables:
-        pairs.extend(zip(t["conv_a"].to_pylist(), t["conv_b"].to_pylist()))
+        cand.extend(zip(t["conv_a"].to_pylist(), t["conv_b"].to_pylist()))
+    # shingle sets for the pair ENDPOINTS only (dup-scale): one distributed
+    # reassembly pass filtered to endpoints, shingles collected to the driver
+    involved = {c for p in cand for c in p}
+    pairs: list = []
+    if involved:
+        from web_search_engine_ray.functions.tokenize import token_lists
+        from web_search_engine_ray.pipelines.dedup import _shingle_hashes
+
+        iref = ray.put(involved)
+
+        def endpoint_shingles(t: _pa.Table) -> _pa.Table:
+            want = ray.get(iref)
+            mask = [c in want for c in t["conv_id"].to_pylist()]
+            t = t.filter(_pa.array(mask))
+            toks = token_lists(t["conv_text"]).to_list()
+            return _pa.table(
+                {
+                    "conv_id": t["conv_id"].cast(_pa.string()),
+                    "sh": _pa.array(
+                        [_shingle_hashes(x or []).tolist() for x in toks],
+                        _pa.list_(_pa.uint64()),
+                    ),
+                }
+            )
+
+        sh: dict = {}
+        ep = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
+            endpoint_shingles, batch_format="pyarrow"
+        )
+        for b in ep.iter_batches(batch_format="pyarrow"):
+            for c, s in zip(b["conv_id"].to_pylist(), b["sh"].to_pylist()):
+                sh[c] = np.asarray(s, dtype=np.uint64)
+        for a, b_ in cand:
+            sa, sb = sh.get(a), sh.get(b_)
+            if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
+                continue
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            if union and inter / union >= tau:
+                pairs.append((a, b_))
     parent: dict = {}
 
     def find(x):
@@ -448,22 +543,27 @@ def run_sft_dataset_job(
 
     from web_search_engine_ray.pipelines.transcripts_ops import sft_examples_ds
 
+    from web_search_engine_ray.sources.transcripts import corpus_files
+
     os.makedirs(out_dir, exist_ok=True)
     stats: dict = {"corpus": str(corpus), "out_dir": out_dir}
 
-    # ---- stage 1: conversation-level dedup (exact + near-dup)
+    # ---- stage 1: conversation-level dedup (exact + verified near-dup)
     s1 = os.path.join(out_dir, "s1_convs")
-    p1 = {"n_parts": n_parts}
-    n1 = _stage_done(s1, p1)
-    if n1 is None:
+    p1 = {
+        "n_parts": n_parts,
+        "input_fp": _corpus_fp(corpus_files(corpus)),
+        "routing_probe": _pl_routing_probe(n_parts),
+    }
+    m1 = _stage_done(s1, p1)
+    if m1 is None:
         import ray
         import ray.data
 
-        from web_search_engine_ray.sources.transcripts import corpus_files
         from web_search_engine_ray.stages.exchange import exchange_map
 
+        _begin_stage(s1, p1)
         drop = _conv_drop_set(corpus, n_parts)
-        stats["n_convs_dropped"] = len(drop)
         dref = ray.put(drop)
 
         def keep_rows(t: pa.Table) -> pa.Table:
@@ -500,8 +600,9 @@ def run_sft_dataset_job(
         n1 = int(
             sum(b["n"].to_numpy().sum() for b in parts.iter_batches(batch_format="pyarrow"))
         )
-        _finish_stage(s1, p1, n1)
-    stats["n_turns_after_dedup"] = n1
+        m1 = _finish_stage(s1, p1, n1, n_convs_dropped=len(drop))
+    stats["n_turns_after_dedup"] = int(m1["n_rows"])
+    stats["n_convs_dropped"] = int(m1["n_convs_dropped"])
 
     # ---- stage 2: SFT examples + conversation-addressed split
     final = os.path.join(out_dir, "final")
@@ -510,9 +611,16 @@ def run_sft_dataset_job(
         "val_pct": val_pct,
         "test_pct": test_pct,
         "n_parts": n_parts,
+        "input_fp": _corpus_fp(
+            sorted(
+                os.path.join(s1, f) for f in os.listdir(s1) if f.endswith(".parquet")
+            )
+        ),
+        "routing_probe": _pl_routing_probe(n_parts),
     }
-    done = _stage_done(final, p2)
-    if done is None:
+    m2 = _stage_done(final, p2)
+    if m2 is None:
+        _begin_stage(final, p2)
         ex = sft_examples_ds(s1, n_parts=n_parts, max_context_turns=max_context_turns)
 
         def with_split(t: pa.Table) -> pa.Table:
@@ -580,18 +688,7 @@ def run_sft_dataset_job(
                     for b in parts.iter_batches(batch_format="pyarrow")
                 )
             )
-        _finish_stage(final, p2, sum(counts.values()))
-        stats["splits"] = counts
-    else:
-        stats["splits"] = {
-            sp: int(
-                sum(
-                    pq.read_metadata(os.path.join(final, sp, f)).num_rows
-                    for f in os.listdir(os.path.join(final, sp))
-                    if f.endswith(".parquet")
-                )
-            )
-            for sp in ("train", "val", "test")
-        }
+        m2 = _finish_stage(final, p2, sum(counts.values()), splits=counts)
+    stats["splits"] = {k: int(v) for k, v in m2["splits"].items()}
     stats["n_examples"] = int(sum(stats["splits"].values()))
     return stats

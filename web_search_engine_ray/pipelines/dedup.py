@@ -1172,13 +1172,21 @@ def embedding_dups_lsh(
     )
 
 
-def holdout_contamination_ds(sf_dir: str, holdout_max_docid: int = 100, n: int = 8):
+def holdout_contamination_ds(
+    sf_dir: str, holdout_max_docid: int = 100, n: int = 8, scan_corpus=None
+):
     """(docid, n_hits): benchmark decontamination — corpus documents sharing
     any n-token gram with the holdout set (docs with docid <
     ``holdout_max_docid``), n_hits = how many of the doc's DISTINCT n-grams
     appear in the holdout. The standard train/test-leakage sweep an LLM
     corpus runs before training (n=8 ≈ the 8-gram convention of GPT-3's
     decontamination appendix).
+
+    ``scan_corpus`` redirects the SCAN side to a different corpus (a staged
+    job directory via :func:`sources.documents.read_docs`) while the
+    holdout still comes from ``sf_dir`` — the composed-job path. Default
+    None keeps the original single-corpus semantics (scan = docs with
+    docid >= ``holdout_max_docid``, pushed down at the read).
 
     Shape: the holdout side is benchmark-sized by definition, so its distinct
     gram hashes are collected once, sorted, and broadcast (``ray.put``); the
@@ -1242,11 +1250,16 @@ def holdout_contamination_ds(sf_dir: str, holdout_max_docid: int = 100, n: int =
             }
         )
 
-    corpus = ray.data.read_parquet(
-        path,
-        columns=["doc_id", "text"],
-        filter=(pc.field("doc_id") >= holdout_max_docid),
-    )
+    if scan_corpus is None:
+        corpus = ray.data.read_parquet(
+            path,
+            columns=["doc_id", "text"],
+            filter=(pc.field("doc_id") >= holdout_max_docid),
+        )
+    else:
+        from web_search_engine_ray.sources.documents import read_docs
+
+        corpus = read_docs(scan_corpus)
     return corpus.map_batches(scan, batch_format="pyarrow")
 
 

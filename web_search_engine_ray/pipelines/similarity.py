@@ -49,6 +49,44 @@ def _topk_det(s: np.ndarray, vid: np.ndarray, k: int) -> np.ndarray:
     return cand[order]
 
 
+def _empty_knn_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _knn_partials_table(out_q, out_v, out_s) -> pa.Table:
+    if not out_q:
+        return _empty_knn_table()
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "cos": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
+def _merge_query_topk(partials, topk: int) -> pa.Table:
+    """Driver-side merge of per-batch top-k partials: per query, sort by
+    (cos desc, vec_id asc) — the deterministic tie contract every kNN
+    variant and the SQL oracle share — cut to ``topk``, round cos to 6."""
+    import pandas as pd
+
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
+    if not out:
+        return _empty_knn_table()
+    merged = pd.concat(out).reset_index(drop=True)
+    merged["cos"] = merged["cos"].round(6)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def _emb_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "embeddings.parquet")
 
@@ -107,33 +145,11 @@ def knn_cosine(sf_dir: str, n_queries: int = 3, topk: int = 10) -> pa.Table:
             out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cos": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        return _knn_partials_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk)
-        out_rows.append(grp)
-    import pandas as pd
-
-    merged = pd.concat(out_rows).reset_index(drop=True)
-    merged["cos"] = merged["cos"].round(6)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return _merge_query_topk(partials, topk)
 
 
 def lsh_bucketed_knn(
@@ -172,40 +188,11 @@ def lsh_bucketed_knn(
             out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cos": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        return _knn_partials_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    import pandas as pd
-
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
-    if not out:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-    merged = pd.concat(out).reset_index(drop=True)
-    merged["cos"] = merged["cos"].round(6)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return _merge_query_topk(partials, topk)
 
 
 def _sample_matrix(sf_dir: str, sample_rows: int) -> np.ndarray:
@@ -289,40 +276,11 @@ def ivf_knn(
             out_q.append(np.full(part.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[part])
             out_s.append(s[part])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cos": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        return _knn_partials_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    import pandas as pd
-
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
-    if not out:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-    merged = pd.concat(out).reset_index(drop=True)
-    merged["cos"] = merged["cos"].round(6)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return _merge_query_topk(partials, topk)
 
 
 def _train_pq(
@@ -419,37 +377,8 @@ def pq_knn(
             out_q.append(np.full(keep.size, q_ids[qi], dtype=np.int64))
             out_v.append(vid[cand][keep])
             out_s.append(s[keep])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cos": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        return _knn_partials_table(out_q, out_v, out_s)
 
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    import pandas as pd
-
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
-    if not out:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-            }
-        )
-    merged = pd.concat(out).reset_index(drop=True)
-    merged["cos"] = merged["cos"].round(6)
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return _merge_query_topk(partials, topk)

@@ -435,19 +435,20 @@ _tidx_searchers: dict[str, object] = {}
 
 def transcript_index(corpus: str) -> str:
     """Build (or reuse) the inverted turn index for a transcript corpus dir.
-    Keyed by dir + first-file identity; resumable on disk like
-    ``serving.documents_index``."""
+    Keyed by the identity of EVERY corpus file (a change confined to a later
+    file must invalidate the cache — docids are positional row ranks over
+    the whole file list); resumable on disk like ``serving.documents_index``."""
     import hashlib
     import os
 
     from web_search_engine_ray.pipelines.build import build_index
     from web_search_engine_ray.sources.transcripts import corpus_files
 
-    first = corpus_files(corpus)[0]
-    st = os.stat(first)
-    key = hashlib.sha256(
-        f"{corpus}:{first}:{st.st_size}:{st.st_mtime_ns}:tidx1".encode()
-    ).hexdigest()[:16]
+    ident = ";".join(
+        f"{f}:{os.stat(f).st_size}:{os.stat(f).st_mtime_ns}"
+        for f in corpus_files(corpus)
+    )
+    key = hashlib.sha256(f"{corpus}:{ident}:tidx1".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", "wse_ray_cache", f"tidx_{key}")
     build_index(
         corpus, out, partition_rows=20_000, num_shards=8, n_salts=4,
