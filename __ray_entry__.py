@@ -324,6 +324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_minhash_dups": lambda sf: transcripts_ops.conversation_minhash_dups_ds(
             transcripts_ops.fixture_corpus()
         ),
+        # verified near-dups over a planted-clone corpus (the plain fixture
+        # has no true near-dups -> empty relation); pytest pins equality
+        # with the naive all-pairs answer
+        "conv_jaccard_dups": lambda sf: transcripts_ops.conversation_jaccard_dups_ds(
+            transcripts_ops.neardup_fixture_corpus()
+        ),
         "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
             transcripts_ops.fixture_corpus()
         ),
@@ -992,6 +998,8 @@ FROM w
         # sft_examples (no transcript-shaped driver table; DuckDB-oracled
         # in pytest; conv_minhash_dups additionally LSH-approximate with a
         # planted-near-dup recall + true-jaccard precision contract;
+        # conv_jaccard_dups is pinned equal to the naive all-pairs verified
+        # answer over the planted-clone corpus (tests/test_transcripts_ops);
         # role_search is pinned against the reference-semantics OracleIndex
         # post-filtered by role)
     }

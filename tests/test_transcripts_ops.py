@@ -266,6 +266,51 @@ def test_conversation_minhash_pairs_are_similar(ray_session, neardup_corpus):
         assert jac >= 0.2, (a, b, jac)
 
 
+def test_conversation_jaccard_dups_vs_naive(ray_session, neardup_corpus):
+    """The fully-distributed verified near-dup relation must equal the
+    naive all-pairs answer (banding miss probability for tau>=0.5 pairs is
+    negligible at b=32/r=2, so LSH candidates + exact verify == all-pairs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.dedup import _shingle_hashes
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_jaccard_dups_ds,
+        conversation_text_ds,
+    )
+
+    d, _ = neardup_corpus
+    for tau in (0.8, 0.5):
+        got = sorted(
+            (a, b, j)
+            for t in conversation_jaccard_dups_ds(d, tau=tau).iter_batches(
+                batch_format="pyarrow"
+            )
+            for a, b, j in zip(
+                t["conv_a"].to_pylist(),
+                t["conv_b"].to_pylist(),
+                t["jaccard"].to_pylist(),
+            )
+        )
+        texts = conversation_text_ds(d).to_pandas().set_index("conv_id")["conv_text"]
+        ids = sorted(texts.index)
+        sh = {
+            c: _shingle_hashes(token_lists(pa.array([texts[c]])).to_list()[0] or [])
+            for c in ids
+        }
+        exp = []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                sa, sb = sh[ids[i]], sh[ids[k]]
+                inter = np.intersect1d(sa, sb).size
+                den = sa.size + sb.size - inter
+                if den and inter / den >= tau:
+                    exp.append((ids[i], ids[k], round(inter / den, 6)))
+        assert got == sorted(exp), f"tau={tau}"
+        assert len(got) >= 7  # 5 planted near-dups + 2 exact clones
+
+
 def test_role_filtered_search_vs_oracle(ray_session, conv_corpus):
     """Fielded BM25: engine's role-filtered top-k must equal the reference
     oracle's full ranking post-filtered by role (same corpus-global stats)."""

@@ -392,11 +392,6 @@ def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
     relations are dup-scale, so the driver-side verify/union-find is
     output-proportional — never conversation-scale."""
     import polars as pl
-    import ray
-
-    from web_search_engine_ray.pipelines.transcripts_ops import (
-        conversation_minhash_dups_ds,
-    )
 
     drop: set = set()
     # exact: conversation_dedup_ds emits the SURVIVOR per hash group; losers
@@ -450,52 +445,19 @@ def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
     for b in lost.iter_batches(batch_format="pyarrow"):
         drop.update(b["conv_id"].to_pylist())
 
-    # near-dup: minhash candidates -> EXACT jaccard verify -> union-find ->
-    # keep min per cluster
-    cand = []
-    tables = ray.get(conversation_minhash_dups_ds(corpus).to_arrow_refs())
-    for t in tables:
-        cand.extend(zip(t["conv_a"].to_pylist(), t["conv_b"].to_pylist()))
-    # shingle sets for the pair ENDPOINTS only (dup-scale): one distributed
-    # reassembly pass filtered to endpoints, shingles collected to the driver
-    involved = {c for p in cand for c in p}
+    # near-dup: minhash candidates -> exact jaccard verify, ALL distributed
+    # (conversation_jaccard_dups_ds: the candidate relation never reaches
+    # the driver — the 2M-turn stress produced 5.35M candidates but ~500
+    # true dups). Only the VERIFIED pairs land here, for the union-find,
+    # which is output-proportional by construction.
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_jaccard_dups_ds,
+    )
+
     pairs: list = []
-    if involved:
-        from web_search_engine_ray.functions.tokenize import token_lists
-        from web_search_engine_ray.pipelines.dedup import _shingle_hashes
-
-        iref = ray.put(involved)
-
-        def endpoint_shingles(t: _pa.Table) -> _pa.Table:
-            want = ray.get(iref)
-            mask = [c in want for c in t["conv_id"].to_pylist()]
-            t = t.filter(_pa.array(mask))
-            toks = token_lists(t["conv_text"]).to_list()
-            return _pa.table(
-                {
-                    "conv_id": t["conv_id"].cast(_pa.string()),
-                    "sh": _pa.array(
-                        [_shingle_hashes(x or []).tolist() for x in toks],
-                        _pa.list_(_pa.uint64()),
-                    ),
-                }
-            )
-
-        sh: dict = {}
-        ep = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
-            endpoint_shingles, batch_format="pyarrow"
-        )
-        for b in ep.iter_batches(batch_format="pyarrow"):
-            for c, s in zip(b["conv_id"].to_pylist(), b["sh"].to_pylist()):
-                sh[c] = np.asarray(s, dtype=np.uint64)
-        for a, b_ in cand:
-            sa, sb = sh.get(a), sh.get(b_)
-            if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
-                continue
-            inter = np.intersect1d(sa, sb).size
-            union = sa.size + sb.size - inter
-            if union and inter / union >= tau:
-                pairs.append((a, b_))
+    verified = conversation_jaccard_dups_ds(corpus, tau=tau, n_parts=n_parts)
+    for b in verified.iter_batches(batch_format="pyarrow"):
+        pairs.extend(zip(b["conv_a"].to_pylist(), b["conv_b"].to_pylist()))
     parent: dict = {}
 
     def find(x):

@@ -325,6 +325,275 @@ def conversation_minhash_dups_ds(
     )
 
 
+_CJ_REQUEST = 0  # (ckey=conv_id, p): "verify partition p needs this conv"
+_CJ_CORPUS = 1  # (ckey=conv_id, text): a reassembled-conversation row
+_CJ_SHINGLES = 1  # (p, ckey, shingles): a conv's shingle set, en route to p
+_CJ_PAIR = 2  # (p, conv_a, conv_b): a candidate pair, en route to p
+
+
+def _cj_shingle_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("p", pa.int64()),
+            ("kind", pa.int8()),
+            ("ckey", pa.string()),
+            ("shingles", pa.list_(pa.uint64())),
+            ("conv_a", pa.string()),
+            ("conv_b", pa.string()),
+        ]
+    )
+
+
+def conversation_jaccard_dups_ds(
+    corpus: str | list[str],
+    tau: float = 0.8,
+    n_parts: int = 32,
+    max_bucket: int | None = None,
+):
+    """(conv_a, conv_b, jaccard): VERIFIED near-duplicate conversation
+    pairs — :func:`conversation_minhash_dups_ds` candidates whose exact
+    conversation-shingle Jaccard clears ``tau``. The conversation-level
+    twin of the doc-level ``ngram_jaccard_dups`` (pipelines/dedup.py), and
+    like it FULLY distributed: candidate pairs never leave Dataset land, no
+    driver dicts, two hash exchanges over union relations:
+
+    1. **Semi-join exchange on hash(conv_id) % P.** Union of request rows
+       (two per candidate pair, tagging each endpoint with the pair's
+       verify partition ``p = hash(conv_a) % P``) and the reassembled
+       corpus (:func:`conversation_text_ds`). The partition fn inner-joins
+       distinct requests against its corpus slice ON THE STRING conv_id
+       (exact — no hash-collision exposure), shingles each requested
+       conversation once, and fans the set out per partition with a
+       vectorized offset gather.
+    2. **Verify exchange on p.** Union of shingle rows and pair rows;
+       string ids are factorized per partition (``np.unique`` codes), then
+       exact Jaccard per pair via sorted-u64 membership count.
+
+    The driver sees only the VERIFIED pair relation — true-dup-scale, not
+    candidate-scale (the 2M-turn stress produced 5.35M candidates but
+    ~500 verified dups). Used by the SFT dataset job's conversation-dedup
+    stage (pipelines/corpus_job.py)."""
+    from web_search_engine_ray.pipelines.dedup import _shingle_hashes
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(max(n_parts, 16))
+    cand = conversation_minhash_dups_ds(
+        corpus, n_parts=n_parts, max_bucket=max_bucket
+    )
+
+    def _route_str(col: str):
+        def f(t: pa.Table) -> np.ndarray:
+            return (
+                pl.from_arrow(t[col]).hash(seed=7).to_numpy() % np.uint64(np_)
+            ).astype(np.int64)
+
+        return f
+
+    def _pair_p(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_a"]).hash(seed=11).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    def pairs_to_requests(t: pa.Table) -> pa.Table:
+        p = pl.Series("p", _pair_p(t))
+        df = pl.concat(
+            [
+                pl.DataFrame(
+                    {"ckey": pl.from_arrow(t["conv_a"]), "p": p}
+                ),
+                pl.DataFrame(
+                    {"ckey": pl.from_arrow(t["conv_b"]), "p": p}
+                ),
+            ]
+        ).unique()  # clone-heavy corpora repeat endpoints across pairs
+        n = df.height
+        return pa.table(
+            {
+                "ckey": df["ckey"].to_arrow().cast(pa.string()),
+                "kind": pa.array(np.full(n, _CJ_REQUEST, np.int8), pa.int8()),
+                "p": pa.array(df["p"].to_numpy().astype(np.int64), pa.int64()),
+                "text": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def corpus_to_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "ckey": t["conv_id"].cast(pa.string()),
+                "kind": pa.array(np.full(n, _CJ_CORPUS, np.int8), pa.int8()),
+                "p": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "text": t["conv_text"],
+            }
+        )
+
+    def join_shingles(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False).astype(np.int8)
+        req = t.filter(pa.array(kind == _CJ_REQUEST))
+        corp = t.filter(pa.array(kind == _CJ_CORPUS))
+        need = (
+            pl.from_arrow(req.select(["ckey", "p"]))
+            .unique()
+            .join(
+                pl.from_arrow(corp.select(["ckey", "text"])),
+                on="ckey",
+                how="inner",
+            )
+            .sort(["ckey", "p"])
+        )
+        docs = need.unique(subset="ckey", maintain_order=True)
+        sh_per_doc = (
+            [
+                _shingle_hashes(tl or [])
+                for tl in token_lists(docs["text"].to_arrow()).to_list()
+            ]
+            if docs.height
+            else []
+        )
+        doc_lens = np.array([r.size for r in sh_per_doc], dtype=np.int64)
+        doc_offs = np.zeros(doc_lens.size + 1, dtype=np.int64)
+        np.cumsum(doc_lens, out=doc_offs[1:])
+        doc_values = (
+            np.concatenate(sh_per_doc)
+            if sh_per_doc
+            else np.empty(0, dtype=np.uint64)
+        )
+        # need -> row in docs, by exact string join (need is a superset of
+        # docs rows repeated per p; docs order == first-occurrence order of
+        # the ckey-sorted need, so searchsorted over the sorted keys works)
+        dkeys = docs["ckey"].to_numpy()
+        idx = np.searchsorted(dkeys, need["ckey"].to_numpy())
+        lens = doc_lens[idx]
+        offsets = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        pos = (
+            np.repeat(doc_offs[idx], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1], lens)
+        )
+        values = doc_values[pos]
+        shingles = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+        ).cast(pa.list_(pa.uint64()))
+        n = need.height
+        empty_str = pa.array([""] * n, pa.string())
+        return pa.table(
+            {
+                "p": pa.array(need["p"].to_numpy().astype(np.int64), pa.int64()),
+                "kind": pa.array(np.full(n, _CJ_SHINGLES, np.int8), pa.int8()),
+                "ckey": need["ckey"].to_arrow().cast(pa.string()),
+                "shingles": shingles,
+                "conv_a": empty_str,
+                "conv_b": empty_str,
+            },
+            schema=_cj_shingle_schema(),
+        )
+
+    def pairs_to_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+            pa.array(np.empty(0, np.uint64), pa.uint64()),
+        )
+        return pa.table(
+            {
+                "p": pa.array(_pair_p(t), pa.int64()),
+                "kind": pa.array(np.full(n, _CJ_PAIR, np.int8), pa.int8()),
+                "ckey": pa.array([""] * n, pa.string()),
+                "shingles": empty,
+                "conv_a": t["conv_a"].cast(pa.string()),
+                "conv_b": t["conv_b"].cast(pa.string()),
+            },
+            schema=_cj_shingle_schema(),
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False).astype(np.int8)
+        pairs_t = group.filter(pa.array(kind == _CJ_PAIR))
+        docs_t = group.filter(pa.array(kind == _CJ_SHINGLES))
+        a_s = np.asarray(pairs_t["conv_a"].to_pylist(), dtype=object)
+        b_s = np.asarray(pairs_t["conv_b"].to_pylist(), dtype=object)
+        did_s = np.asarray(docs_t["ckey"].to_pylist(), dtype=object)
+        # factorize the partition's string ids once; codes preserve
+        # lexicographic order so downstream logic is pure int64
+        uniq, codes = np.unique(
+            np.concatenate([a_s, b_s, did_s]), return_inverse=True
+        )
+        a = codes[: a_s.size].astype(np.int64)
+        b = codes[a_s.size : a_s.size + b_s.size].astype(np.int64)
+        did = codes[a_s.size + b_s.size :].astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        sh = docs_t["shingles"].combine_chunks()
+        if isinstance(sh, pa.ChunkedArray):
+            sh = (
+                sh.chunk(0)
+                if sh.num_chunks
+                else pa.array([], pa.list_(pa.uint64()))
+            )
+        offs = sh.offsets.to_numpy()
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        sorder = np.argsort(did, kind="stable")
+        dsorted = did[sorder]
+
+        def locate(x: np.ndarray) -> np.ndarray:
+            if dsorted.size == 0:
+                return np.full(x.size, -1, dtype=np.int64)
+            p_ = np.searchsorted(dsorted, x)
+            p_c = np.minimum(p_, dsorted.size - 1)
+            ok = dsorted[p_c] == x
+            return np.where(ok, sorder[p_c], -1)
+
+        ia_all = locate(a)
+        ib_all = locate(b)
+        a_l, b_l, j_l = [], [], []
+        for i in range(a.size):
+            ra, rb = int(ia_all[i]), int(ib_all[i])
+            sa = vals[offs[ra] : offs[ra + 1]] if ra >= 0 else vals[:0]
+            sb = vals[offs[rb] : offs[rb + 1]] if rb >= 0 else vals[:0]
+            if sa.size and sb.size:
+                # both sorted unique: membership count beats intersect1d
+                p_ = np.searchsorted(sa, sb)
+                p_[p_ == sa.size] = sa.size - 1
+                inter = int(np.count_nonzero(sa[p_] == sb))
+            else:
+                inter = 0
+            denom = sa.size + sb.size - inter
+            if denom == 0:
+                continue
+            j = inter / denom
+            if j >= tau:
+                a_l.append(a[i])
+                b_l.append(b[i])
+                j_l.append(round(j, 6))
+        ai = np.asarray(a_l, dtype=np.int64)
+        bi = np.asarray(b_l, dtype=np.int64)
+        return pa.table(
+            {
+                "conv_a": pa.array(uniq[ai].tolist(), pa.string()),
+                "conv_b": pa.array(uniq[bi].tolist(), pa.string()),
+                "jaccard": pa.array(j_l, pa.float64()),
+            }
+        )
+
+    requests = cand.map_batches(pairs_to_requests, batch_format="pyarrow")
+    corpus_rows = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
+        corpus_to_rows, batch_format="pyarrow"
+    )
+    shingle_rows = exchange_map(
+        requests.union(corpus_rows),
+        _route_str("ckey"),
+        np_,
+        join_shingles,
+        auto_shrink=True,
+    )
+    pair_rows = cand.map_batches(pairs_to_rows, batch_format="pyarrow")
+    return exchange_map(
+        shingle_rows.union(pair_rows), "p", np_, verify, auto_shrink=True
+    )
+
+
 def sft_examples_ds(
     corpus: str | list[str], n_parts: int = 32, max_context_turns: int = 64
 ):
@@ -525,6 +794,57 @@ def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
 
     d = f"/tmp/wse_gate_transcripts_c{n_convs}_t{max_turns}"
     write_corpus(d, n_convs=n_convs, max_turns=max_turns, rows_per_file=300)
+    return d
+
+
+def neardup_fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
+    """:func:`fixture_corpus` plus 7 deterministic planted clones (5 with
+    one perturbed turn -> jaccard near 1, 2 exact) — the gate corpus for
+    the verified conversation near-dup entry, which is empty on the plain
+    fixture (no true near-dups)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = fixture_corpus(n_convs=n_convs, max_turns=max_turns)
+    d = f"/tmp/wse_gate_transcripts_neardup_c{n_convs}_t{max_turns}"
+    marker = os.path.join(d, "_done")
+    if os.path.exists(marker):
+        return d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)  # partial build from a dead run
+    os.makedirs(d, exist_ok=True)
+    files = sorted(
+        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    df = pl.from_arrow(pq.read_table(files[0]))
+    convs = sorted(df["conv_id"].unique().to_list())[:7]
+    clones = []
+    for i, c in enumerate(convs):
+        g = df.filter(pl.col("conv_id") == c).with_columns(
+            conv_id=pl.lit(f"zclone{i:05d}")
+        )
+        if i < 5:  # near-dup: perturb the first turn's text
+            first = g["turn_idx"].min()
+            g = g.with_columns(
+                text=pl.when(pl.col("turn_idx") == first)
+                .then(pl.col("text").fill_null("") + " perturbed")
+                .otherwise(pl.col("text"))
+            )
+        clones.append(g)
+    for src in files:
+        os.link(src, os.path.join(d, os.path.basename(src)))
+    base_schema = pq.read_schema(files[0])
+    # polars emits large_string; cast back to the base files' schema so the
+    # multi-file read sees ONE schema (mixed string/large_string breaks
+    # concat inside the reassembly exchange)
+    pq.write_table(
+        pl.concat(clones).to_arrow().select(base_schema.names).cast(base_schema),
+        os.path.join(d, "zclones.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
     return d
 
 
