@@ -270,6 +270,9 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     transcripts_ops.sft_examples_ds(corpus).count()
     timings["sft_examples_bench"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    transcripts_ops.conversation_jaccard_dups_ds(corpus).count()
+    timings["conv_jaccard_dups_bench"] = round(time.perf_counter() - t0, 3)
 
     pos_dir = os.path.join(tempfile.gettempdir(), "wse_bench_posidx")
     shutil.rmtree(pos_dir, ignore_errors=True)
