@@ -44,12 +44,22 @@ VOCAB_SIZE = 5000
 ZIPF_S = 1.1
 
 
+# 0-d array constants: `uint64_array + np.uint64_scalar` takes a slow
+# numpy path (see pipelines/dedup.py _splitmix); same bits, ~200x faster.
+_SM64_A = np.array(0x9E3779B97F4A7C15, dtype=np.uint64)
+_SM64_B = np.array(0xBF58476D1CE4E5B9, dtype=np.uint64)
+_SM64_C = np.array(0x94D049BB133111EB, dtype=np.uint64)
+_SM64_S30 = np.array(30, dtype=np.uint64)
+_SM64_S27 = np.array(27, dtype=np.uint64)
+_SM64_S31 = np.array(31, dtype=np.uint64)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64: u64 counter -> u64 hash."""
-    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    z = (x + _SM64_A).astype(np.uint64)
+    z = (z ^ (z >> _SM64_S30)) * _SM64_B
+    z = (z ^ (z >> _SM64_S27)) * _SM64_C
+    return z ^ (z >> _SM64_S31)
 
 
 def _rand_u64(keys: np.ndarray, stream: int) -> np.ndarray:
