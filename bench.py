@@ -271,7 +271,9 @@ def run_bench() -> dict:
     transcripts_ops.sft_examples_ds(corpus).count()
     timings["sft_examples_bench"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    transcripts_ops.conversation_jaccard_dups_ds(corpus).count()
+    # guard64 mirrors the stress convention: the templated bench corpus is
+    # the adversarial LSH case (giant identical-shingle buckets)
+    transcripts_ops.conversation_jaccard_dups_ds(corpus, max_bucket=64).count()
     timings["conv_jaccard_dups_bench"] = round(time.perf_counter() - t0, 3)
 
     pos_dir = os.path.join(tempfile.gettempdir(), "wse_bench_posidx")
