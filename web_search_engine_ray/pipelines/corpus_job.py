@@ -532,8 +532,13 @@ def run_sft_dataset_job(
             d = ray.get(dref)
             if not d or t.num_rows == 0:
                 return t
-            mask = [c not in d for c in t["conv_id"].to_pylist()]
-            return t.filter(pa.array(mask))
+            dropped = pa.compute.is_in(
+                t["conv_id"],
+                value_set=pa.array(sorted(d), pa.string()).cast(
+                    t["conv_id"].type
+                ),
+            )
+            return t.filter(pa.compute.invert(dropped))
 
         os.makedirs(s1, exist_ok=True)
 
