@@ -44,8 +44,9 @@ VOCAB_SIZE = 5000
 ZIPF_S = 1.1
 
 
-# 0-d array constants: `uint64_array + np.uint64_scalar` takes a slow
-# numpy path (see pipelines/dedup.py _splitmix); same bits, ~200x faster.
+# 0-d array constants: bit-identical to np.uint64 scalars (see
+# pipelines/dedup.py _splitmix — the once-suspected scalar slow path was
+# a measurement artifact; both forms time identically when warmed).
 _SM64_A = np.array(0x9E3779B97F4A7C15, dtype=np.uint64)
 _SM64_B = np.array(0xBF58476D1CE4E5B9, dtype=np.uint64)
 _SM64_C = np.array(0x94D049BB133111EB, dtype=np.uint64)

@@ -429,9 +429,16 @@ def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
         )
         return out.to_arrow().cast(_pa.schema([("conv_id", _pa.string())]))
 
-    hashed = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
-        hash_rows, batch_format="pyarrow"
-    )
+    # ONE reassembly for all three consumers (exact-hash pass, minhash
+    # bands, jaccard semi-join corpus side): materialized so the lazy
+    # pipeline doesn't re-read + re-sort the corpus per consumer.
+    from web_search_engine_ray.stages.exchange import cluster_parts
+
+    conv_text = conversation_text_ds(
+        corpus, n_parts=max(n_parts, cluster_parts(16))
+    ).materialize()
+
+    hashed = conv_text.map_batches(hash_rows, batch_format="pyarrow")
     lost = exchange_map(
         hashed,
         lambda t: (
@@ -455,7 +462,9 @@ def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
     )
 
     pairs: list = []
-    verified = conversation_jaccard_dups_ds(corpus, tau=tau, n_parts=n_parts)
+    verified = conversation_jaccard_dups_ds(
+        corpus, tau=tau, n_parts=n_parts, conv_text=conv_text
+    )
     for b in verified.iter_batches(batch_format="pyarrow"):
         pairs.extend(zip(b["conv_a"].to_pylist(), b["conv_b"].to_pylist()))
     parent: dict = {}
@@ -526,19 +535,19 @@ def run_sft_dataset_job(
 
         _begin_stage(s1, p1)
         drop = _conv_drop_set(corpus, n_parts)
-        dref = ray.put(drop)
+        # build the Arrow value_set ONCE on the driver; workers only gather
+        dref = ray.put(pa.array(sorted(drop), pa.string()) if drop else None)
 
         def keep_rows(t: pa.Table) -> pa.Table:
-            d = ray.get(dref)
-            if not d or t.num_rows == 0:
+            import pyarrow.compute as pc
+
+            darr = ray.get(dref)
+            if darr is None or t.num_rows == 0:
                 return t
-            dropped = pa.compute.is_in(
-                t["conv_id"],
-                value_set=pa.array(sorted(d), pa.string()).cast(
-                    t["conv_id"].type
-                ),
+            dropped = pc.is_in(
+                t["conv_id"], value_set=darr.cast(t["conv_id"].type)
             )
-            return t.filter(pa.compute.invert(dropped))
+            return t.filter(pc.invert(dropped))
 
         os.makedirs(s1, exist_ok=True)
 

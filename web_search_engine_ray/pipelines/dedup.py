@@ -158,10 +158,11 @@ def exact_dedup_ds(sf_dir: str, hash_fn: str = "md5"):
 # ------------------------------------------------------------- hashing core
 
 
-# 0-d ARRAY constants, not np.uint64 scalars: numpy 1.26's value-based
-# casting sends `uint64_array + uint64_scalar` through a ~200x slower path
-# (measured 7.5 s vs 0.036 s for 8M adds); 0-d arrays take the fast loop
-# and produce the identical uint64 result.
+# 0-d ARRAY constants produce bit-identical uint64 results to np.uint64
+# scalars and dodge value-based-casting ambiguity. (An apparent large
+# scalar-add slowdown once measured here was a contended-host artifact —
+# see BASELINE.md "Same-code noise band"; warmed interleaved benchmarks
+# time both forms identically, so do NOT chase this pattern elsewhere.)
 _SM_A = np.array(0x9E3779B97F4A7C15, dtype=np.uint64)
 _SM_B = np.array(0xBF58476D1CE4E5B9, dtype=np.uint64)
 _SM_C = np.array(0x94D049BB133111EB, dtype=np.uint64)

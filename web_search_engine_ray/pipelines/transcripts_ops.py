@@ -229,7 +229,10 @@ def conversation_text_ds(corpus: str | list[str], n_parts: int = 32):
 
 
 def conversation_minhash_dups_ds(
-    corpus: str | list[str], n_parts: int = 32, max_bucket: int | None = None
+    corpus: str | list[str],
+    n_parts: int = 32,
+    max_bucket: int | None = None,
+    conv_text=None,
 ):
     """(conv_a, conv_b): candidate NEAR-duplicate conversation pairs —
     banded minhash LSH over the reassembled ordered conversation text
@@ -245,7 +248,11 @@ def conversation_minhash_dups_ds(
     conv_id order) and mapped back after pairing. Pairs from different
     bands dedupe in a second coarse exchange. Approximate by construction
     (LSH) — rows-only in the driver gate; the planted-near-dup recall
-    contract lives in tests/test_transcripts_ops.py."""
+    contract lives in tests/test_transcripts_ops.py.
+
+    ``conv_text``: optionally pass an already-built (ideally materialized)
+    :func:`conversation_text_ds` Dataset so composed jobs reassemble the
+    corpus ONCE instead of once per consumer."""
     from web_search_engine_ray.pipelines.dedup import (
         LSH_BANDS,
         _band_hashes,
@@ -304,9 +311,9 @@ def conversation_minhash_dups_ds(
             .cast(pa.schema([("conv_a", pa.string()), ("conv_b", pa.string())]))
         )
 
-    bands = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
-        to_bands, batch_format="pyarrow"
-    )
+    if conv_text is None:
+        conv_text = conversation_text_ds(corpus, n_parts=n_parts)
+    bands = conv_text.map_batches(to_bands, batch_format="pyarrow")
     pairs = exchange_map(
         bands,
         lambda t: t["bhash"].to_numpy(zero_copy_only=False) % np_,
@@ -349,6 +356,7 @@ def conversation_jaccard_dups_ds(
     tau: float = 0.8,
     n_parts: int = 32,
     max_bucket: int | None = None,
+    conv_text=None,
 ):
     """(conv_a, conv_b, jaccard): VERIFIED near-duplicate conversation
     pairs — :func:`conversation_minhash_dups_ds` candidates whose exact
@@ -377,8 +385,16 @@ def conversation_jaccard_dups_ds(
     from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
     np_ = cluster_parts(max(n_parts, 16))
+    if conv_text is None:
+        # one reassembly shared by the candidate stage and the semi-join
+        # corpus side; materialized because BOTH consume it (a lazy Dataset
+        # re-executes per consumer). Object-store spill bounds the cost —
+        # the reassembled text is the same order of bytes as the input.
+        conv_text = conversation_text_ds(
+            corpus, n_parts=max(n_parts, np_)
+        ).materialize()
     cand = conversation_minhash_dups_ds(
-        corpus, n_parts=n_parts, max_bucket=max_bucket
+        corpus, n_parts=n_parts, max_bucket=max_bucket, conv_text=conv_text
     )
 
     def _route_str(col: str):
@@ -578,9 +594,7 @@ def conversation_jaccard_dups_ds(
         )
 
     requests = cand.map_batches(pairs_to_requests, batch_format="pyarrow")
-    corpus_rows = conversation_text_ds(corpus, n_parts=n_parts).map_batches(
-        corpus_to_rows, batch_format="pyarrow"
-    )
+    corpus_rows = conv_text.map_batches(corpus_to_rows, batch_format="pyarrow")
     shingle_rows = exchange_map(
         requests.union(corpus_rows),
         _route_str("ckey"),
