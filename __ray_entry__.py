@@ -330,6 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_jaccard_dups": lambda sf: transcripts_ops.conversation_jaccard_dups_ds(
             transcripts_ops.neardup_fixture_corpus()
         ),
+        # episode split over a planted-gap corpus (identity on the gap-free
+        # fixture); pytest pins the DuckDB LAG/SUM window twin
+        "conv_episode_split": lambda sf: transcripts_ops.conversation_episode_split_ds(
+            transcripts_ops.gapped_fixture_corpus()
+        ),
         "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
             transcripts_ops.fixture_corpus()
         ),
@@ -1000,6 +1005,8 @@ FROM w
         # planted-near-dup recall + true-jaccard precision contract;
         # conv_jaccard_dups is pinned equal to the naive all-pairs verified
         # answer over the planted-clone corpus (tests/test_transcripts_ops);
+        # conv_episode_split is pinned against a DuckDB LAG/SUM window twin
+        # over a planted-gap corpus;
         # role_search is pinned against the reference-semantics OracleIndex
         # post-filtered by role)
     }

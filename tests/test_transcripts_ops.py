@@ -266,6 +266,94 @@ def test_conversation_minhash_pairs_are_similar(ray_session, neardup_corpus):
         assert jac >= 0.2, (a, b, jac)
 
 
+@pytest.fixture(scope="module")
+def gapped_corpus(conv_corpus, tmp_path_factory):
+    """Fixture corpus with planted intra-conversation time gaps: every 3rd
+    turn of every 2nd conversation jumps forward 2 hours (cumulatively),
+    so episode boundaries land mid-conversation deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import polars as pl
+    import glob
+    import os
+
+    d = tmp_path_factory.mktemp("gapped")
+    for i, f in enumerate(sorted(glob.glob(f"{conv_corpus}/*.parquet"))):
+        t = pq.read_table(f)
+        base = pq.read_schema(f)
+        df = pl.from_arrow(t).with_columns(
+            _cn=pl.col("conv_id").str.slice(-2).cast(pl.Int64)
+        )
+        bump = (
+            (df["_cn"] % 2 == 0) & (df["turn_idx"] % 3 == 2)
+        ).cast(pl.Int64).cum_sum()  # cumulative so later turns stay ordered
+        df = (
+            df.with_columns(
+                ts=pl.col("ts") + pl.duration(hours=2 * bump)
+            ).drop("_cn")
+        )
+        pq.write_table(
+            df.to_arrow().select(base.names).cast(base),
+            os.path.join(d, os.path.basename(f)),
+        )
+    return str(d)
+
+
+def test_conversation_episode_split_vs_oracle(ray_session, gapped_corpus):
+    """Episode assignment must equal the DuckDB LAG/SUM window twin (exact
+    integer-us arithmetic on both sides)."""
+    import duckdb
+
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_episode_split_ds,
+    )
+
+    got = _canon(conversation_episode_split_ds(gapped_corpus, gap_s=1800).to_pandas())
+    assert got["episode_idx"].max() > 0  # gaps actually split something
+    c = duckdb.connect()
+    c.sql(
+        f"CREATE VIEW tr AS SELECT * FROM read_parquet('{gapped_corpus}/*.parquet')"
+    )
+    want = _canon(
+        c.sql(
+            """
+WITH g AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM tr
+), e AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS episode_idx
+  FROM g
+)
+SELECT conv_id, turn_idx, episode_idx,
+       conv_id || '#' || episode_idx AS episode_id,
+       (ROW_NUMBER() OVER (PARTITION BY conv_id, episode_idx
+                           ORDER BY turn_idx) - 1)::BIGINT AS episode_turn_idx,
+       role, text, tool, ts
+FROM e
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_conversation_episode_split_no_gaps_is_identity(ray_session, conv_corpus):
+    """On the gap-free fixture every conversation is one episode and
+    episode_turn_idx mirrors the turn order."""
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_episode_split_ds,
+    )
+
+    got = conversation_episode_split_ds(conv_corpus, gap_s=1800).to_pandas()
+    assert (got["episode_idx"] == 0).all()
+    assert (got["episode_id"] == got["conv_id"] + "#0").all()
+    g = got.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")
+    assert (g["episode_turn_idx"].apply(lambda s: (s.values == range(len(s))).all())).all()
+
+
 def test_conversation_jaccard_dups_vs_naive(ray_session, neardup_corpus):
     """The fully-distributed verified near-dup relation must equal the
     naive all-pairs answer (banding miss probability for tau>=0.5 pairs is

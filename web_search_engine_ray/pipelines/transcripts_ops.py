@@ -228,6 +228,89 @@ def conversation_text_ds(corpus: str | list[str], n_parts: int = 32):
     return exchange_map(ds, route, n_parts, assemble, auto_shrink=True)
 
 
+def conversation_episode_split_ds(
+    corpus: str | list[str], gap_s: float = 1800.0, n_parts: int = 32
+):
+    """Per-turn relation with EPISODE assignment: a conversation splits
+    wherever the gap between consecutive turns exceeds ``gap_s`` seconds —
+    the session-segmentation rule for long-running agent transcripts (one
+    conv_id can span days of intermittent activity; training wants
+    coherent episodes). Adds three columns:
+
+    - ``episode_idx``  — cumulative break count within the conversation
+      (0 for the first episode), in turn order;
+    - ``episode_id``   — ``"{conv_id}#{episode_idx}"``, the new corpus key
+      downstream conv-granularity ops can run on unchanged;
+    - ``episode_turn_idx`` — turns re-indexed from 0 within the episode.
+
+    One conv-keyed hash exchange (a conversation can span input files);
+    the partition pass is a single vectorized polars window chain over
+    integer-microsecond arithmetic — no floats, so the DuckDB LAG/SUM
+    window twin (tests/test_transcripts_ops.py) matches exactly."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    gap_us = int(round(gap_s * 1_000_000))
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("episode_idx", pa.int64()),
+            ("episode_id", pa.string()),
+            ("episode_turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def split(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(us=pl.col("ts").cast(pl.Int64))
+            .with_columns(
+                brk=(pl.col("us") - pl.col("us").shift(1).over("conv_id") > gap_us)
+                .fill_null(False)
+                .cast(pl.Int64)
+            )
+            .with_columns(episode_idx=pl.col("brk").cum_sum().over("conv_id"))
+            .with_columns(
+                episode_id=pl.col("conv_id")
+                + "#"
+                + pl.col("episode_idx").cast(pl.String),
+                episode_turn_idx=pl.int_range(pl.len(), dtype=pl.Int64).over(
+                    ["conv_id", "episode_idx"]
+                ),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "episode_idx",
+                "episode_id",
+                "episode_turn_idx",
+                "role",
+                "text",
+                "tool",
+                "ts",
+            )
+        )
+        return df.to_arrow().cast(out_schema)
+
+    ds = _read(corpus, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, split, auto_shrink=True)
+
+
 def conversation_minhash_dups_ds(
     corpus: str | list[str],
     n_parts: int = 32,
@@ -808,6 +891,49 @@ def fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
 
     d = f"/tmp/wse_gate_transcripts_c{n_convs}_t{max_turns}"
     write_corpus(d, n_convs=n_convs, max_turns=max_turns, rows_per_file=300)
+    return d
+
+
+def gapped_fixture_corpus(n_convs: int = 200, max_turns: int = 6) -> str:
+    """:func:`fixture_corpus` with planted intra-conversation time gaps
+    (every 3rd turn of every 2nd conversation jumps +2 h, cumulative) —
+    the gate corpus for the episode-split entry, which is an identity map
+    on the gap-free fixture."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    base = fixture_corpus(n_convs=n_convs, max_turns=max_turns)
+    d = f"/tmp/wse_gate_transcripts_gapped_c{n_convs}_t{max_turns}"
+    marker = os.path.join(d, "_done")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    files = sorted(
+        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    for f in files:
+        t = pq.read_table(f)
+        base_schema = pq.read_schema(f)
+        df = pl.from_arrow(t).with_columns(
+            _cn=pl.col("conv_id").str.slice(-2).cast(pl.Int64)
+        )
+        bump = (
+            ((df["_cn"] % 2 == 0) & (df["turn_idx"] % 3 == 2))
+            .cast(pl.Int64)
+            .cum_sum()
+        )
+        df = df.with_columns(ts=pl.col("ts") + pl.duration(hours=2 * bump)).drop(
+            "_cn"
+        )
+        pq.write_table(
+            df.to_arrow().select(base_schema.names).cast(base_schema),
+            os.path.join(d, os.path.basename(f)),
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
     return d
 
 
