@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_episode_split": lambda sf: transcripts_ops.conversation_episode_split_ds(
             transcripts_ops.gapped_fixture_corpus()
         ),
+        # conversation-granular sequence packing; pytest pins the DuckDB
+        # window-sum twin + partition invariance
+        "conv_pack": lambda sf: transcripts_ops.pack_conversations_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
             transcripts_ops.fixture_corpus()
         ),
@@ -1006,7 +1011,8 @@ FROM w
         # conv_jaccard_dups is pinned equal to the naive all-pairs verified
         # answer over the planted-clone corpus (tests/test_transcripts_ops);
         # conv_episode_split is pinned against a DuckDB LAG/SUM window twin
-        # over a planted-gap corpus;
+        # over a planted-gap corpus; conv_pack against the window-sum twin
+        # in global conv_id order plus a partition-invariance contract;
         # role_search is pinned against the reference-semantics OracleIndex
         # post-filtered by role)
     }

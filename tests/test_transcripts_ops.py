@@ -354,6 +354,48 @@ def test_conversation_episode_split_no_gaps_is_identity(ray_session, conv_corpus
     assert (g["episode_turn_idx"].apply(lambda s: (s.values == range(len(s))).all())).all()
 
 
+def test_pack_conversations_vs_oracle(ray_session, conv_corpus, con):
+    """Conversation packing must equal the single SQL window sum in global
+    conv_id order (exact integer arithmetic on both sides)."""
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        pack_conversations_ds,
+    )
+
+    B = 512
+    got = _canon(pack_conversations_ds(conv_corpus, bin_tokens=B).to_pandas())
+    want = _canon(
+        con.sql(
+            f"""
+WITH c AS (SELECT conv_id,
+           sum(len(regexp_extract_all(lower(text), '{PAT}')))::BIGINT AS n_tok
+           FROM tr GROUP BY conv_id),
+ s AS (SELECT conv_id, n_tok,
+       coalesce(sum(n_tok) OVER (ORDER BY conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_tok
+       FROM c)
+SELECT conv_id, n_tok AS n_tokens, start_tok,
+       (start_tok // {B})::BIGINT AS bin_id,
+       (start_tok % {B})::BIGINT AS bin_off
+FROM s
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_conversations_partition_invariance(ray_session, conv_corpus):
+    """Same assignment regardless of partition count (the sampled range
+    boundaries change, the global order does not)."""
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        pack_conversations_ds,
+    )
+
+    a = _canon(pack_conversations_ds(conv_corpus, bin_tokens=512, n_parts=4).to_pandas())
+    b = _canon(pack_conversations_ds(conv_corpus, bin_tokens=512, n_parts=64).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_conversation_jaccard_dups_vs_naive(ray_session, neardup_corpus):
     """The fully-distributed verified near-dup relation must equal the
     naive all-pairs answer (banding miss probability for tau>=0.5 pairs is

@@ -311,6 +311,176 @@ def conversation_episode_split_ds(
     return exchange_map(ds, route, n_parts, split, auto_shrink=True)
 
 
+def pack_conversations_ds(
+    corpus: str | list[str], bin_tokens: int = 8192, n_parts: int = 32
+):
+    """(conv_id, n_tokens, start_tok, bin_id, bin_off): conversation-granular
+    sequence packing — conversations are concatenated in global conv_id
+    order and every conversation belongs to the ``bin_tokens``-sized
+    training bin its FIRST token lands in (the conv-level counterpart of
+    ``pack.pack_chunks_ds``; a whole conversation is never split across an
+    attention-masked pack boundary mid-count).
+
+    The order-dependent primitive is the global exclusive prefix sum over
+    per-conversation token counts, in STRING conv_id order — the engine's
+    two-level scan with sampled range boundaries:
+
+    1. per-turn token counts partial-agg per (batch, conv), hash exchange
+       on conv_id -> one (conv_id, n_tok) row per conversation (the
+       working set: ~tens of bytes/conv, not the corpus);
+    2. ordered ranges over strings: each partition emits its conv_id
+       quantiles, the driver merges the tiny sample and picks R-1 range
+       boundaries; ``range_id = searchsorted(boundaries, conv_id)`` is
+       order-preserving;
+    3. per-range totals -> driver exclusive prefix in range order
+       (R rows) -> broadcast; one exchange on range_id computes the
+       within-range cumsum in conv_id order and adds the range offset.
+
+    Token counts are over turn ``text`` only (same counting rule as
+    ``role_stats_ds``). Oracle: one SQL window sum ORDER BY conv_id —
+    integer arithmetic, no drift (tests/test_transcripts_ops.py)."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    if bin_tokens < 1:
+        raise ValueError(f"need bin_tokens >= 1, got {bin_tokens}")
+    np_ = cluster_parts(max(n_parts, 16))
+
+    def turn_partials(t: pa.Table) -> pa.Table:
+        n = token_lists(t["text"]).list.len().fill_null(0)
+        df = (
+            pl.DataFrame(
+                {"conv_id": pl.from_arrow(t["conv_id"]), "n_tok": n}
+            )
+            .group_by("conv_id")
+            .agg(pl.col("n_tok").sum())
+        )
+        return df.to_arrow().cast(
+            pa.schema([("conv_id", pa.string()), ("n_tok", pa.int64())])
+        )
+
+    def merge_conv(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by("conv_id")
+            .agg(pl.col("n_tok").sum())
+            .sort("conv_id")
+        )
+        return df.to_arrow().cast(
+            pa.schema([("conv_id", pa.string()), ("n_tok", pa.int64())])
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    convs = exchange_map(
+        _read(corpus, ["conv_id", "text"]).map_batches(
+            turn_partials, batch_format="pyarrow"
+        ),
+        route,
+        np_,
+        merge_conv,
+        auto_shrink=True,
+    ).materialize()
+
+    # --- sampled string boundaries for order-preserving ranges
+    def sample_keys(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        ids.sort()
+        k = min(32, ids.size)
+        if k == 0:
+            return pa.table({"key": pa.array([], pa.string())})
+        pick = ids[np.linspace(0, ids.size - 1, k).astype(np.int64)]
+        return pa.table({"key": pa.array(pick.tolist(), pa.string())})
+
+    sample = sorted(
+        s
+        for b in convs.map_batches(sample_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for s in b["key"].to_pylist()
+    )
+    nr = int(np_)
+    if sample:
+        bidx = np.linspace(0, len(sample) - 1, nr + 1).astype(np.int64)[1:-1]
+        boundaries = sorted(set(sample[i] for i in bidx))
+    else:
+        boundaries = []
+    barr = np.asarray(boundaries, dtype=object)
+
+    def _rid(t: pa.Table) -> np.ndarray:
+        """range_id from conv_id on the fly (monotone in conv_id) — no
+        intermediate column, so empty skipped-UDF blocks can't lose it."""
+        ids = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        if not barr.size:
+            return np.zeros(ids.size, dtype=np.int64)
+        return np.searchsorted(barr, ids, side="right").astype(np.int64)
+
+    # --- range totals -> driver exclusive prefix (R rows), broadcast
+    def range_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.DataFrame(
+                {
+                    "range_id": _rid(t),
+                    "n_tok": pl.from_arrow(t["n_tok"]),
+                }
+            )
+            .group_by("range_id")
+            .agg(pl.col("n_tok").sum())
+            .to_arrow()
+            .cast(pa.schema([("range_id", pa.int64()), ("n_tok", pa.int64())]))
+        )
+
+    partials = convs.map_batches(range_partial, batch_format="pyarrow").to_pandas()
+    totals = partials.groupby("range_id")["n_tok"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0)
+    off_by_range = dict(zip(offsets.index.astype(int), offsets.astype(int)))
+    oref = ray.put(off_by_range)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("bin_id", pa.int64()),
+            ("bin_off", pa.int64()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        offs = ray.get(oref)
+        # range_id is monotone in conv_id, so one string sort orders both
+        df = pl.from_arrow(t.select(["conv_id", "n_tok"])).sort("conv_id")
+        rid = _rid(df.to_arrow())
+        ntok = df["n_tok"].to_numpy()
+        cum = np.cumsum(ntok) - ntok
+        starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+        reps = np.diff(np.r_[starts, len(rid)])
+        base = np.repeat(cum[starts], reps)
+        local = cum - base
+        goff = local + np.repeat(
+            np.array([offs[int(r)] for r in rid[starts]], np.int64), reps
+        )
+        return pa.table(
+            {
+                "conv_id": df["conv_id"].to_arrow().cast(pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "start_tok": pa.array(goff, pa.int64()),
+                "bin_id": pa.array(goff // bin_tokens, pa.int64()),
+                "bin_off": pa.array(goff % bin_tokens, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return exchange_map(convs, _rid, np_, assign, auto_shrink=True)
+
+
 def conversation_minhash_dups_ds(
     corpus: str | list[str],
     n_parts: int = 32,
