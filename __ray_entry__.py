@@ -340,6 +340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_pack": lambda sf: transcripts_ops.pack_conversations_ds(
             transcripts_ops.fixture_corpus()
         ),
+        # per-conversation structure validation (the malformed-transcript
+        # gate); pytest pins the DuckDB arg_min/arg_max + LAG twin
+        "conv_structure": lambda sf: transcripts_ops.conversation_structure_stats_ds(
+            transcripts_ops.fixture_corpus()
+        ),
         "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
             transcripts_ops.fixture_corpus()
         ),

@@ -354,6 +354,47 @@ def test_conversation_episode_split_no_gaps_is_identity(ray_session, conv_corpus
     assert (g["episode_turn_idx"].apply(lambda s: (s.values == range(len(s))).all())).all()
 
 
+def test_conversation_structure_stats_vs_oracle(ray_session, conv_corpus, con):
+    """Structure validation must equal the DuckDB arg_min/arg_max + LAG
+    twin."""
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_structure_stats_ds,
+    )
+
+    got = _canon(conversation_structure_stats_ds(conv_corpus).to_pandas())
+    want = _canon(
+        con.sql(
+            """
+WITH o AS (
+  SELECT conv_id, turn_idx, role, text,
+         LAG(role) OVER w AS prev_role,
+         LAG(turn_idx) OVER w AS prev_idx
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum((coalesce(text, '') = '')::INT)::BIGINT AS n_empty_turns,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role,
+       sum(coalesce((role = prev_role)::INT, 0))::BIGINT AS n_role_repeats,
+       sum((prev_idx IS NOT NULL AND turn_idx - prev_idx <> 1)::INT)::BIGINT
+           AS n_idx_gaps,
+       (arg_min(role, turn_idx) = 'user'
+        AND arg_max(role, turn_idx) = 'assistant'
+        AND sum((coalesce(text, '') = '')::INT) = 0
+        AND min(turn_idx) = 0
+        AND max(turn_idx) = count(*) - 1
+        AND sum((prev_idx IS NOT NULL AND turn_idx - prev_idx <> 1)::INT) = 0)
+           AS is_wellformed
+FROM o GROUP BY conv_id
+"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the fixture must exercise both verdicts for the contract to mean much
+    assert got["is_wellformed"].nunique() >= 1
+
+
 def test_pack_conversations_vs_oracle(ray_session, conv_corpus, con):
     """Conversation packing must equal the single SQL window sum in global
     conv_id order (exact integer arithmetic on both sides)."""

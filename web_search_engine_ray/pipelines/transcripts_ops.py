@@ -311,6 +311,90 @@ def conversation_episode_split_ds(
     return exchange_map(ds, route, n_parts, split, auto_shrink=True)
 
 
+def conversation_structure_stats_ds(corpus: str | list[str], n_parts: int = 32):
+    """Per-conversation STRUCTURE validation — the malformed-transcript
+    gate an SFT pipeline runs before example construction:
+
+    - ``n_turns``, ``n_empty_turns`` (null/empty text),
+    - ``first_role`` / ``last_role`` (by turn order),
+    - ``n_role_repeats``   — consecutive same-role turns (descriptive:
+      tool,tool is a legal parallel-call shape, so repeats do NOT fail
+      well-formedness on their own),
+    - ``n_idx_gaps``       — non-contiguous turn_idx steps,
+    - ``is_wellformed``    — starts with user, ends with assistant, no
+      empty turns, turn_idx is exactly 0..n_turns-1.
+
+    One conv-keyed hash exchange (a conversation can span files); the
+    partition pass is vectorized polars windows. DuckDB twin via
+    arg_min/arg_max + LAG in tests/test_transcripts_ops.py."""
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_empty_turns", pa.int64()),
+            ("first_role", pa.string()),
+            ("last_role", pa.string()),
+            ("n_role_repeats", pa.int64()),
+            ("n_idx_gaps", pa.int64()),
+            ("is_wellformed", pa.bool_()),
+        ]
+    )
+
+    def rows(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "role", "text"])
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["conv_id"]).hash(seed=7).to_numpy() % np.uint64(n_parts)
+        ).astype(np.int64)
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(
+                empty=pl.col("text").fill_null("").eq("").cast(pl.Int64),
+                rep=(pl.col("role") == pl.col("role").shift(1).over("conv_id"))
+                .fill_null(False)
+                .cast(pl.Int64),
+                gap=(
+                    pl.col("turn_idx") - pl.col("turn_idx").shift(1).over("conv_id")
+                    != 1
+                )
+                .fill_null(False)
+                .cast(pl.Int64),
+            )
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                n_turns=pl.len().cast(pl.Int64),
+                n_empty_turns=pl.col("empty").sum(),
+                first_role=pl.col("role").first(),
+                last_role=pl.col("role").last(),
+                n_role_repeats=pl.col("rep").sum(),
+                n_idx_gaps=pl.col("gap").sum(),
+                min_idx=pl.col("turn_idx").min().cast(pl.Int64),
+                max_idx=pl.col("turn_idx").max().cast(pl.Int64),
+            )
+            .with_columns(
+                is_wellformed=(pl.col("first_role") == "user")
+                & (pl.col("last_role") == "assistant")
+                & (pl.col("n_empty_turns") == 0)
+                & (pl.col("min_idx") == 0)
+                & (pl.col("max_idx") == pl.col("n_turns") - 1)
+                & (pl.col("n_idx_gaps") == 0)
+            )
+            .drop("min_idx", "max_idx")
+        )
+        return df.to_arrow().cast(out_schema)
+
+    ds = _read(corpus, ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    return exchange_map(ds, route, n_parts, stats, auto_shrink=True)
+
+
 def pack_conversations_ds(
     corpus: str | list[str], bin_tokens: int = 8192, n_parts: int = 32
 ):
