@@ -98,3 +98,40 @@ def test_resume_and_drift(ray_session, sft_out, sft_corpus):
     assert again["splits"] == first["splits"]
     with pytest.raises(ValueError, match="different parameters"):
         run_sft_dataset_job(d, out, max_context_turns=2)
+
+
+def test_drop_malformed_flag(ray_session, sft_corpus, tmp_path_factory):
+    """With --drop-malformed, the job additionally drops every conversation
+    the structure gate rejects; the surviving corpus must be exactly the
+    well-formed non-dup set."""
+    from web_search_engine_ray.pipelines.corpus_job import run_sft_dataset_job
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_structure_stats_ds,
+    )
+
+    d, _ = sft_corpus
+    st = conversation_structure_stats_ds(d).to_pandas()
+    malformed = set(st.loc[~st["is_wellformed"], "conv_id"])
+    assert malformed  # the fixture must exercise the gate
+    out = str(tmp_path_factory.mktemp("sftjob_malformed"))
+    stats = run_sft_dataset_job(d, out, drop_malformed=True)
+    assert stats["n_malformed_dropped"] > 0
+    # surviving conversations in s1 must exclude every malformed conv
+    kept = set()
+    for f in sorted(glob.glob(os.path.join(out, "s1_convs", "*.parquet"))):
+        kept.update(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
+    assert not (kept & malformed)
+    # counts agree: dropped = dups + malformed-not-already-dup
+    assert stats["n_convs_dropped"] >= stats["n_malformed_dropped"]
+
+
+def test_drop_malformed_param_drift(ray_session, sft_corpus, tmp_path_factory):
+    """Resuming a flagged run without the flag (or vice versa) must refuse,
+    not silently mix."""
+    from web_search_engine_ray.pipelines.corpus_job import run_sft_dataset_job
+
+    d, _ = sft_corpus
+    out = str(tmp_path_factory.mktemp("sftjob_drift"))
+    run_sft_dataset_job(d, out, drop_malformed=True)
+    with pytest.raises(ValueError):
+        run_sft_dataset_job(d, out, drop_malformed=False)

@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--val-pct", type=int, default=10)
     ap.add_argument("--test-pct", type=int, default=10)
     ap.add_argument("--n-parts", type=int, default=16)
+    ap.add_argument(
+        "--drop-malformed",
+        action="store_true",
+        help="also drop conversations failing the structure gate "
+        "(start user / end assistant / no empty turns / contiguous turn_idx)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -43,6 +49,7 @@ def main() -> None:
         val_pct=args.val_pct,
         test_pct=args.test_pct,
         n_parts=args.n_parts,
+        drop_malformed=args.drop_malformed,
     )
     stats["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(stats))

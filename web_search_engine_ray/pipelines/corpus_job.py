@@ -497,17 +497,26 @@ def run_sft_dataset_job(
     val_pct: int = 10,
     test_pct: int = 10,
     n_parts: int = 16,
+    drop_malformed: bool = False,
 ) -> dict:
     """Transcripts -> SFT training dataset, staged and resumable:
 
-        conversation exact dedup + minhash near-dup removal  ->
+        conversation exact dedup + verified near-dup removal
+        (+ optional malformed-structure drop)  ->
         SFT example construction (per-assistant-turn context/target)  ->
         CONVERSATION-addressed train/val/test split  ->  parquet per split.
 
     The split keys on md5(conv_id), not the example text, so every example
     of a conversation lands in the same split — the leakage rule that
     matters for conversational data (examples of one conversation share
-    most of their context; splitting them across train/val would leak)."""
+    most of their context; splitting them across train/val would leak).
+
+    ``drop_malformed`` additionally drops conversations failing
+    ``conversation_structure_stats_ds``'s well-formedness rule (must start
+    with user, end with assistant, no empty turns, contiguous turn_idx).
+    The malformed id set rides the same driver-held drop set as the dup
+    losers — fine while the malformed FRACTION is filter-scale; a corpus
+    where it is corpus-scale should fix ingestion instead."""
     import hashlib
 
     import polars as pl
@@ -526,6 +535,8 @@ def run_sft_dataset_job(
         "input_fp": _corpus_fp(corpus_files(corpus)),
         "routing_probe": _pl_routing_probe(n_parts),
     }
+    if drop_malformed:  # key only when on: pre-flag markers stay resumable
+        p1["drop_malformed"] = True
     m1 = _stage_done(s1, p1)
     if m1 is None:
         import ray
@@ -535,6 +546,20 @@ def run_sft_dataset_job(
 
         _begin_stage(s1, p1)
         drop = _conv_drop_set(corpus, n_parts)
+        n_dup_dropped = len(drop)
+        if drop_malformed:
+            import pyarrow.compute as pc
+
+            from web_search_engine_ray.pipelines.transcripts_ops import (
+                conversation_structure_stats_ds,
+            )
+
+            bad = conversation_structure_stats_ds(corpus, n_parts=n_parts)
+            for b in bad.iter_batches(batch_format="pyarrow"):
+                keep_mask = pc.invert(b["is_wellformed"])
+                drop.update(
+                    b.filter(keep_mask)["conv_id"].to_pylist()
+                )
         # build the Arrow value_set ONCE on the driver; workers only gather
         dref = ray.put(pa.array(sorted(drop), pa.string()) if drop else None)
 
@@ -561,6 +586,8 @@ def run_sft_dataset_job(
             path = os.path.join(s1, f"transcripts_{pi:05d}.parquet")
             if os.path.exists(path):
                 n = pq.read_metadata(path).num_rows
+            elif t.num_rows == 0:
+                n = 0  # empty partition (e.g. heavy filtering): no file
             else:
                 out = pl.from_arrow(t).sort(["conv_id", "turn_idx"]).to_arrow()
                 pq.write_table(out, path + ".tmp")
@@ -576,9 +603,16 @@ def run_sft_dataset_job(
         n1 = int(
             sum(b["n"].to_numpy().sum() for b in parts.iter_batches(batch_format="pyarrow"))
         )
-        m1 = _finish_stage(s1, p1, n1, n_convs_dropped=len(drop))
+        m1 = _finish_stage(
+            s1,
+            p1,
+            n1,
+            n_convs_dropped=len(drop),
+            n_malformed_dropped=(len(drop) - n_dup_dropped) if drop_malformed else 0,
+        )
     stats["n_turns_after_dedup"] = int(m1["n_rows"])
     stats["n_convs_dropped"] = int(m1["n_convs_dropped"])
+    stats["n_malformed_dropped"] = int(m1.get("n_malformed_dropped", 0))
 
     # ---- stage 2: SFT examples + conversation-addressed split
     final = os.path.join(out_dir, "final")
@@ -644,6 +678,8 @@ def run_sft_dataset_job(
                 path = os.path.join(_sdir, f"sft_{pi:05d}.parquet")
                 if os.path.exists(path):
                     n = pq.read_metadata(path).num_rows
+                elif t.num_rows == 0:
+                    n = 0  # empty partition (e.g. heavy filtering): no file
                 else:
                     out = _pl.from_arrow(t).sort(["conv_id", "turn_idx"]).to_arrow()
                     pq.write_table(out, path + ".tmp")

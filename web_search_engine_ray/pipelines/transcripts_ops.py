@@ -273,6 +273,8 @@ def conversation_episode_split_ds(
         ).astype(np.int64)
 
     def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         df = (
             pl.from_arrow(t)
             .sort(["conv_id", "turn_idx"])
@@ -351,6 +353,8 @@ def conversation_structure_stats_ds(corpus: str | list[str], n_parts: int = 32):
         ).astype(np.int64)
 
     def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         df = (
             pl.from_arrow(t)
             .sort(["conv_id", "turn_idx"])
@@ -446,15 +450,16 @@ def pack_conversations_ds(
         )
 
     def merge_conv(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("conv_id", pa.string()), ("n_tok", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
         df = (
             pl.from_arrow(t)
             .group_by("conv_id")
             .agg(pl.col("n_tok").sum())
             .sort("conv_id")
         )
-        return df.to_arrow().cast(
-            pa.schema([("conv_id", pa.string()), ("n_tok", pa.int64())])
-        )
+        return df.to_arrow().cast(schema)
 
     def route(t: pa.Table) -> np.ndarray:
         return (
