@@ -354,6 +354,38 @@ def test_conversation_episode_split_no_gaps_is_identity(ray_session, conv_corpus
     assert (g["episode_turn_idx"].apply(lambda s: (s.values == range(len(s))).all())).all()
 
 
+def test_episode_corpus_composition(ray_session, gapped_corpus, tmp_path_factory):
+    """The episode relation re-keys into a valid transcript corpus
+    (episode_id -> conv_id, episode_turn_idx -> turn_idx) that every
+    conv-granularity op consumes unchanged — prove it with the rollup:
+    per-episode turn counts must match the episode assignment itself."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_episode_split_ds,
+        conversation_rollup_ds,
+    )
+
+    ep = conversation_episode_split_ds(gapped_corpus, gap_s=1800).to_pandas()
+    corpus_df = ep.rename(
+        columns={"conv_id": "orig_conv_id", "episode_id": "conv_id"}
+    )[["conv_id", "episode_turn_idx", "role", "text", "tool", "ts"]].rename(
+        columns={"episode_turn_idx": "turn_idx"}
+    )
+    d = tmp_path_factory.mktemp("episode_corpus")
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(corpus_df, preserve_index=False),
+        f"{d}/episodes.parquet",
+    )
+    roll = conversation_rollup_ds(str(d)).to_pandas()
+    want = ep.groupby("episode_id").size()
+    got = roll.set_index("conv_id")["n_turns"]
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
+    assert (ep["episode_idx"] > 0).any()  # gaps produced real episodes
+
+
 def test_conversation_structure_stats_vs_oracle(ray_session, conv_corpus, con):
     """Structure validation must equal the DuckDB arg_min/arg_max + LAG
     twin."""
