@@ -108,7 +108,14 @@ def exchange_map(
         # on empty blocks) — their partition columns may not exist; they
         # contribute nothing, so route zero-row empties everywhere and let
         # apply() drop schema-mismatched empties
-        ts = tuple(x for x in ts if x.num_rows) or ts[:1]
+        ts = (
+            tuple(x for x in ts if x.num_rows)
+            # all-empty group: prefer a representative that at least HAS
+            # columns — a zero-column empty (some Ray read plans emit them)
+            # would otherwise propagate a schema the partition fn chokes on
+            or tuple(x for x in ts if x.schema.names)[:1]
+            or ts[:1]
+        )
         if ts[0].num_rows == 0:
             empty = _tag_untrusted(ts[0].slice(0, 0))
             return [empty] * n_parts if n_parts > 1 else empty
