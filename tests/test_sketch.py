@@ -237,3 +237,87 @@ def test_dl_quantiles_planted(ray_session, tmp_path):
     pq.write_table(t, str(d / "documents.parquet"))
     got = dl_quantiles_ds(str(d), qs=(0.1, 0.5, 1.0)).to_pandas()
     assert list(zip(got.q, got.dl)) == [(0.1, 1), (0.5, 5), (1.0, 10)]
+
+
+# ---------------------------------------------- mergeable quantile summary
+
+
+def test_compress_weighted_preserves_weight_and_bounds_rank_error():
+    from web_search_engine_ray.pipelines.sketch import _compress_weighted
+
+    rng = np.random.default_rng(17)
+    v = rng.normal(size=50_000)
+    w = np.ones(v.size, dtype=np.int64)
+    k = 256
+    cv, cw = _compress_weighted(v, w, k)
+    assert cw.sum() == v.size
+    assert cv.size <= k
+    assert np.all(np.diff(cv) >= 0)
+    # one compression moves any rank by at most W/k
+    sv = np.sort(v)
+    for q in (0.1, 0.5, 0.9):
+        rank = int(np.ceil(q * v.size))
+        est = cv[np.searchsorted(cw.cumsum(), rank)]
+        true_rank = np.searchsorted(sv, est, side="right")
+        assert abs(true_rank - rank) <= v.size / k + 1
+
+
+def test_compress_weighted_small_input_exact():
+    from web_search_engine_ray.pipelines.sketch import _compress_weighted
+
+    v = np.array([3.0, 1.0, 2.0])
+    w = np.array([1, 5, 2], dtype=np.int64)
+    cv, cw = _compress_weighted(v, w, 10)
+    assert list(cv) == [1.0, 2.0, 3.0]
+    assert list(cw) == [5, 2, 1]
+
+
+def test_value_quantile_sketch_vs_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.sketch import value_quantile_sketch_ds
+
+    t = value_quantile_sketch_ds(SF)
+    vals = pq.read_table(SF + "/events.parquet", columns=["value"])["value"].to_numpy(
+        zero_copy_only=False
+    )
+    vals = np.sort(vals[~np.isnan(vals)])
+    n = vals.size
+    qs = t["q"].to_pylist()
+    ests = t["value_est"].to_pylist()
+    assert len(qs) == 8
+    for q, est in zip(qs, ests):
+        # normalized rank error bound: (max_batch + N) / (k * N) plus slack
+        true_rank = np.searchsorted(vals, est, side="right")
+        assert abs(true_rank / n - q) < 0.01, (q, est)
+
+
+def test_top_terms_per_source_matches_sql(ray_session):
+    import duckdb
+
+    from web_search_engine_ray.pipelines.corpus import top_terms_per_source_ds
+
+    mine = (
+        top_terms_per_source_ds(SF, 5)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    pat = "[a-z0-9]+(?:[.-][a-z0-9]+)*"
+    want = duckdb.sql(
+        f"""
+        WITH tok AS (SELECT source,
+                            unnest(regexp_extract_all(lower(text), '{pat}')) AS term
+                     FROM read_parquet('{SF}/documents.parquet')),
+         cnt AS (SELECT source, term, count(*)::BIGINT AS cf
+                 FROM tok GROUP BY source, term)
+        SELECT source, term, cf, rn::BIGINT AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cf DESC, term) AS rn
+              FROM cnt)
+        WHERE rn <= 5 ORDER BY source, rank
+        """
+    ).df()
+    assert mine["source"].tolist() == want["source"].tolist()
+    assert mine["term"].tolist() == want["term"].tolist()
+    assert mine["cf"].tolist() == want["cf"].tolist()
+    assert mine["rank"].tolist() == want["rank"].tolist()

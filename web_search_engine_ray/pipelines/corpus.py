@@ -183,6 +183,71 @@ def corpus_stats_table(sf_dir: str) -> pa.Table:
     )
 
 
+def top_terms_per_source_ds(sf_dir: str, k: int = 5):
+    """(source, term, cf, rank): top-k terms by collection frequency per
+    document source — the grouped top-k every corpus-composition report needs
+    ("what does each source actually talk about").
+
+    Shape (grouped top-k without a global sort): per-batch partial
+    ``(source, term) -> count`` aggregation, one hash exchange routed by
+    ``source`` (all of a source's partials land in one partition), then the
+    top-k cut happens INSIDE the partition — the driver only ever sees
+    ``k x n_sources`` rows. Ties at the k boundary resolve to the
+    lexicographically first term, matching the SQL twin's
+    ``row_number() OVER (ORDER BY cf DESC, term)`` exactly."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        d = (
+            pl.DataFrame(
+                {"source": pl.from_arrow(batch["source"].combine_chunks()), "term": toks}
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .group_by(["source", "term"])
+            .len(name="cf_p")
+        )
+        return d.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["source"]).hash(seed=11).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t)
+            .group_by(["source", "term"])
+            .agg(pl.col("cf_p").sum().alias("cf"))
+            .sort(["source", "cf", "term"], descending=[False, True, False])
+            .group_by("source", maintain_order=True)
+            .head(k)
+            .with_columns(
+                pl.col("cf").cum_count().over("source").cast(pl.Int64).alias("rank")
+            )
+        )
+        return d.select("source", "term", "cf", "rank").to_arrow().cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("term", pa.string()),
+                    ("cf", pa.int64()),
+                    ("rank", pa.int64()),
+                ]
+            )
+        )
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["source", "text"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return exchange_map(ds, route, np_, merge, auto_shrink=True)
+
+
 def tfidf_topk_ds(sf_dir: str, k: int = 5):
     """(docid, term, tfidf): top-k terms per document by tf-idf — keyword
     extraction, the classic per-doc relevance summary (tfidf = tf * ln(N/df),
