@@ -359,3 +359,84 @@ def dl_quantiles_ds(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa
         v_l.append(int(vals[np.searchsorted(cum, rank)]))
         q_l.append(float(q))
     return pa.table({"q": pa.array(q_l, pa.float64()), "dl": pa.array(v_l, pa.int64())})
+
+
+# ------------------------------------------ mergeable quantile summary (KLL-ish)
+
+
+def _compress_weighted(v: np.ndarray, w: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a weighted value multiset to <= k (value, weight) entries.
+
+    Deterministic equi-depth compression (the compactor step of a KLL /
+    Greenwald-Khanna-style summary, without the randomized coin): sort by
+    value, then take the element at the cumulative-weight midpoint of each of
+    ``k`` equal-weight strata as that stratum's representative. Total weight
+    is preserved exactly (strata weights are the integer split of W), and one
+    compression moves any rank estimate by at most ``W/k`` — so a two-level
+    pipeline (per-batch compress -> concat -> final compress) has additive
+    rank error <= max_batch_n/k + N/k."""
+    if v.size == 0:
+        return v.astype(np.float64), w.astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    W = int(w.sum())
+    if v.size <= k:
+        return v.astype(np.float64), w.astype(np.int64)
+    base, rem = divmod(W, k)
+    # stratum weights: first `rem` get base+1 (integer split, sums to W)
+    sw = np.full(k, base, dtype=np.int64)
+    sw[:rem] += 1
+    ends = sw.cumsum()
+    mids = ends - (sw + 1) // 2  # 0-based midpoint rank of each stratum
+    cum = w.cumsum()
+    idx = np.searchsorted(cum, mids, side="right")
+    return v[idx].astype(np.float64), sw
+
+
+def value_quantile_sketch_ds(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+    k: int = 1024,
+) -> pa.Table:
+    """(q, value_est): approximate quantiles of the continuous ``events.value``
+    column via a mergeable weighted summary — the quantile companion to the
+    HLL / CountMin sketches for domains where the exact value-count histogram
+    (``dl_quantiles_ds``) would itself be corpus-scale (doubles, not small
+    ints).
+
+    Scale shape: each batch compresses to <= k (value, weight) rows — KBs move
+    regardless of batch size — and partials concat+compress once more on the
+    driver (output-scale, like ``sample_docs``). Guaranteed additive rank
+    error <= (max_batch_n + N)/(k*N) of normalized rank; pinned against exact
+    numpy quantiles in ``tests/test_sketch.py``. Deterministic (no coins), so
+    repeated runs over the same blocks agree bit-for-bit."""
+    import polars as pl
+
+    from web_search_engine_ray.pipelines.events import _read_events
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = vals[~np.isnan(vals)].astype(np.float64)
+        cv, cw = _compress_weighted(vals, np.ones(vals.size, dtype=np.int64), k)
+        return pa.table({"v": pa.array(cv, pa.float64()), "w": pa.array(cw, pa.int64())})
+
+    parts = (
+        _read_events(sf_dir, ["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    v = parts["v"].to_numpy(dtype=np.float64)
+    w = parts["w"].to_numpy(dtype=np.int64)
+    cv, cw = _compress_weighted(v, w, k)
+    n = int(cw.sum())
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "value_est": pa.array([], pa.float64())})
+    cum = cw.cumsum()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out_q.append(float(q))
+        out_v.append(float(cv[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value_est": pa.array(out_v, pa.float64())}
+    )
