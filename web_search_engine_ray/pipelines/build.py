@@ -97,6 +97,13 @@ class BuildConfig:
     # "mapside" (default: map-side-partitioned runs, no sort all-to-all) or
     # "groupby" (Ray-native sort shuffle) — identical output bytes
     merge_strategy: str = "mapside"
+    # docids to EXCLUDE from postings and global stats while PRESERVING the
+    # positional docid assignment (compaction rebuilds, pipelines/distributed
+    # `compact_deletes`): deleted rows keep a dense dl slot with dl=0 — never
+    # consulted, since no posting references them — and don't count in
+    # N/avgdl/sum_dl, so the result equals an index over the corpus minus
+    # those docs with docids unchanged
+    delete_docids: tuple = ()
     # a term is "heavy" (salted) when its sampled df fraction exceeds this
     heavy_df_frac: float = 0.05
     # heavy-detection sample: fixed, partitioning-independent file subset
@@ -250,6 +257,9 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
     dl_path = os.path.join(cfg.doclens_dir, f"doclen_{pid:06d}.parquet")
     man_path = os.path.join(cfg.manifests_dir, f"run_{pid:06d}.json")
     fp = mf.descriptor_fingerprint(desc) + ":" + layout["fp"]
+    del_fp = getattr(cfg, "_delete_fp", "")
+    if del_fp:
+        fp += f":del:{del_fp}"
 
     if cfg.resume and mf.partition_done(man_path, fp, [run_path, dl_path]):
         m = mf.read_manifest(man_path)
@@ -258,6 +268,22 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
 
     tbl = read_partition(desc, columns=[cfg.text_column])
     docids = partition_docids(desc)
+
+    # deletion mask (compaction rebuild): drop deleted rows BEFORE tokenize —
+    # their docid slots stay reserved (dl written below as 0)
+    alive_mask = None
+    n_deleted = 0
+    dels = getattr(cfg, "_deletes_np", None)
+    if dels is not None and dels.size:
+        lo = np.uint64(desc["base_docid"])
+        hi = np.uint64(int(desc["base_docid"]) + int(desc["n_rows"]))
+        sel = dels[(dels >= lo) & (dels < hi)]
+        if sel.size:
+            alive_mask = ~np.isin(docids, sel)
+            n_deleted = int(sel.size)
+            tbl = tbl.filter(pa.array(alive_mask))
+            docids_full = docids
+            docids = docids[alive_mask]
     # tokenize in ~8k-row chunks: large polars string pipelines degrade
     # super-linearly under many-way concurrency (allocator/bandwidth churn);
     # chunking halves the 24-way wall time (measured). Chunk concat keeps
@@ -296,8 +322,17 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
     writer.close()
     os.replace(tmp, run_path)
 
+    if alive_mask is not None:
+        # keep the dl shard DENSE over the full docid span (the reader
+        # indexes by docid - lo): deleted slots get dl=0 and are excluded
+        # from sum_dl/N — no posting ever references them
+        dl_full = np.zeros(alive_mask.size, dtype=dl.dtype)
+        dl_full[alive_mask] = dl
+        dl_write_ids, dl_write = docids_full, dl_full
+    else:
+        dl_write_ids, dl_write = docids, dl
     dl_tbl = pa.table(
-        {"docid": pa.array(docids, pa.uint64()), "dl": pa.array(dl, pa.uint32())}
+        {"docid": pa.array(dl_write_ids, pa.uint64()), "dl": pa.array(dl_write, pa.uint32())}
     ).replace_schema_metadata({"docid_lo": str(int(desc["base_docid"]))})
     tmp = dl_path + ".tmp"
     pq.write_table(dl_tbl, tmp)
@@ -321,6 +356,7 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
         },
         "docid_span": [int(desc["base_docid"]), int(desc["base_docid"] + desc["n_rows"])],
         "n_docs": int(desc["n_rows"]),
+        "n_deleted": n_deleted,
         "n_postings": int(postings.num_rows),
         "n_terms": int(len(vals)),
         "sum_dl": int(dl.sum()),
@@ -641,11 +677,17 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
     descs, n_docs = plan_partitions(files, cfg.partition_rows, cfg.docid_offset)
     heavy = detect_heavy_sample(files, cfg)
     layout = make_layout(heavy, cfg.docid_offset + n_docs, cfg)
+    if cfg.delete_docids:
+        dels = np.asarray(sorted({int(x) for x in cfg.delete_docids}), dtype=np.uint64)
+        cfg._deletes_np = dels
+        cfg._delete_fp = hashlib.sha256(dels.tobytes()).hexdigest()[:16]
     t_plan = time.perf_counter()
     run_ms = build_runs(descs, cfg, layout)
     run_ms.sort(key=lambda m: m["pid"])
     total_tokens = sum(m["sum_dl"] for m in run_ms)
-    stats = write_stats(cfg.doclens_dir, n_docs, total_tokens)
+    n_deleted = sum(m.get("n_deleted", 0) for m in run_ms)
+    n_alive = n_docs - n_deleted
+    stats = write_stats(cfg.doclens_dir, n_alive, total_tokens)
     t_runs = time.perf_counter()
 
     build_fp = hashlib.sha256(
@@ -686,10 +728,19 @@ def build_index(input_path_or_dir, out_dir: str, **kw) -> dict:
             raise ValueError(f"unknown merge_strategy: {cfg.merge_strategy}")
     t_merge = time.perf_counter()
 
+    cfg_dict = asdict(cfg)
+    if cfg.delete_docids:
+        # don't inline a possibly-large docid list into build.json
+        cfg_dict["delete_docids"] = {
+            "n": int(cfg._deletes_np.size),
+            "fp": cfg._delete_fp,
+        }
     build = {
-        "config": asdict(cfg),
+        "config": cfg_dict,
         "build_fp": build_fp,
-        "n_docs": n_docs,
+        "n_docs": n_alive,
+        "n_deleted": n_deleted,
+        "docid_span": [cfg.docid_offset, cfg.docid_offset + n_docs],
         "total_tokens": total_tokens,
         "avgdl": stats["avgdl"],
         "n_partitions": len(descs),

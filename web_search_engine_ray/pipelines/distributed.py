@@ -69,6 +69,7 @@ def build_partitioned_index(
         infos.append(
             {
                 "dir": rdir,
+                "files": list(r["files"]),
                 "docid_span": [r["offset"], r["offset"] + r["n_docs"]],
                 "n_docs": r["n_docs"],
                 "total_tokens": b["total_tokens"],
@@ -77,7 +78,11 @@ def build_partitioned_index(
     n_docs = offset
     manifest = {
         "ranges": infos,
+        "build_kw": build_kw,
         "n_docs": n_docs,
+        # end of the docid space — stays FIXED under deletions (n_docs counts
+        # only alive docs after a compaction; appends continue from here)
+        "docid_end": n_docs,
         "total_tokens": total_tokens,
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
     }
@@ -104,7 +109,9 @@ def append_range_index(out_dir: str, input_path_or_dir, **build_kw) -> dict:
     path = os.path.join(out_dir, "partitioned.json")
     with open(path) as f:
         manifest = json.load(f)
-    offset = int(manifest["n_docs"])
+    # new docids continue after the END of the existing docid space — not
+    # after the alive-doc count, which shrinks under deletions
+    offset = int(manifest.get("docid_end", manifest["n_docs"]))
     ri = len(manifest["ranges"])
     files = corpus_files(input_path_or_dir)
     n = sum(pq.read_metadata(f).num_rows for f in files)
@@ -113,17 +120,119 @@ def append_range_index(out_dir: str, input_path_or_dir, **build_kw) -> dict:
     manifest["ranges"].append(
         {
             "dir": rdir,
+            "files": list(files),
             "docid_span": [offset, offset + n],
             "n_docs": n,
             "total_tokens": b["total_tokens"],
         }
     )
-    manifest["n_docs"] = offset + n
+    manifest["n_docs"] = int(manifest["n_docs"]) + n
+    manifest["docid_end"] = offset + n
     manifest["total_tokens"] = int(manifest["total_tokens"]) + b["total_tokens"]
     manifest["avgdl"] = (
         manifest["total_tokens"] / manifest["n_docs"] if manifest["n_docs"] else 0.0
     )
     mf.write_manifest(path, manifest)
+    return manifest
+
+
+def _deletes_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletes.json")
+
+
+def load_deletes(out_dir: str) -> list[int]:
+    """Pending (uncompacted) tombstoned docids, sorted."""
+    p = _deletes_path(out_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return list(json.load(f)["docids"])
+
+
+def delete_docs(out_dir: str, docids) -> dict:
+    """Tombstone deletion (the Lucene model): record docids in
+    ``deletes.json``; queries exclude them IMMEDIATELY (the searcher filters
+    hits), while corpus-global stats (``N``/``avgdl``) and per-term ``df``
+    stay STALE until :func:`compact_deletes` rebuilds the affected ranges —
+    exactly how segment-based engines defer the expensive part. Idempotent;
+    rejects docids outside the corpus docid space.
+
+    At test scale the tombstone set is a JSON list; at 100 TB it would be one
+    sorted tombstone parquet per range (same contract, docid-range routed)."""
+    path = os.path.join(out_dir, "partitioned.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    end = int(manifest.get("docid_end", manifest["n_docs"]))
+    req = sorted({int(d) for d in docids})
+    if req and (req[0] < 0 or req[-1] >= end):
+        bad = [d for d in req if d < 0 or d >= end]
+        raise ValueError(f"docids outside [0, {end}): {bad[:5]}")
+    merged = sorted(set(load_deletes(out_dir)) | set(req))
+    mf.write_manifest(_deletes_path(out_dir), {"docids": merged})
+    return {"n_tombstoned": len(merged)}
+
+
+def compact_deletes(out_dir: str, **build_kw) -> dict:
+    """Apply pending tombstones: rebuild ONLY the ranges that contain deleted
+    docids — each rebuild preserves the global docid assignment (deleted
+    slots keep a dense dl=0 row, get no postings, and drop out of
+    ``N``/``avgdl``; see ``BuildConfig.delete_docids``) — then refresh the
+    corpus-global stats and clear the tombstones. Untouched ranges are not
+    rebuilt; a re-run with no new deletions is a no-op (the per-partition
+    resume fingerprints include the delete-set hash, so even a forced re-run
+    skips every partition).
+
+    After compaction, ``df`` needs no bookkeeping at all: it is gathered
+    per-query from the rebuilt postings (:meth:`RangeSearcher.local_dfs`), so
+    queries are bit-identical to an index built over the corpus minus the
+    deleted docs with docids unchanged (pinned in ``tests/test_deletes.py``).
+    The reference engine has no deletion path (full rebuild only)."""
+    from web_search_engine_ray.pipelines.build import build_index
+
+    path = os.path.join(out_dir, "partitioned.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    pending = load_deletes(out_dir)
+    if not pending:
+        return manifest
+    import numpy as np
+
+    pend = np.asarray(pending, dtype=np.int64)
+    total_tokens = 0
+    n_alive = 0
+    for r in manifest["ranges"]:
+        lo, hi = (int(x) for x in r["docid_span"])
+        mine = pend[(pend >= lo) & (pend < hi)]
+        prev = r.get("deleted_docids", [])
+        if mine.size:
+            # cumulative union — a rebuild with only the NEW deletions would
+            # resurrect previously compacted ones
+            union = sorted(set(prev) | {int(d) for d in mine})
+            files = r.get("files")
+            if not files:
+                raise ValueError(
+                    f"range manifest {r['dir']} predates deletion support "
+                    "(no 'files'); rebuild the partitioned index"
+                )
+            b = build_index(
+                files,
+                r["dir"],
+                docid_offset=lo,
+                delete_docids=tuple(union),
+                # default to the kwargs the range was originally built with
+                **{**manifest.get("build_kw", {}), **build_kw},
+            )
+            r["deleted_docids"] = union
+            r["n_docs"] = int(b["n_docs"])  # alive count
+            r["total_tokens"] = int(b["total_tokens"])
+        total_tokens += int(r["total_tokens"])
+        n_alive += int(r["n_docs"])
+    manifest["n_docs"] = n_alive
+    manifest["total_tokens"] = total_tokens
+    manifest["avgdl"] = (total_tokens / n_alive) if n_alive else 0.0
+    manifest.setdefault("docid_end", int(manifest["ranges"][-1]["docid_span"][1]))
+    mf.write_manifest(path, manifest)
+    os.remove(_deletes_path(out_dir))
     return manifest
 
 
@@ -151,6 +260,7 @@ class RangeSearcher:
         n: int,
         avgdl: float,
         df_global: dict[str, int],
+        exclude: list[int] | None = None,
     ) -> list[tuple[int, float]]:
         self.s.set_global_stats(n, avgdl, df_global)
         if mode.upper() == "AND":
@@ -158,7 +268,17 @@ class RangeSearcher:
             known_local = {t for t in known_global if self.s.lookup(t) is not None}
             if known_local != known_global:
                 return []  # some required term has no postings in this range
-        return self.s.bm25_topk(query, topk=topk, mode=mode, tie_semantics="sorted")
+        if not exclude:
+            return self.s.bm25_topk(query, topk=topk, mode=mode, tie_semantics="sorted")
+        # tombstoned docids in this range: over-fetch by the tombstone count
+        # (a deleted doc displaces at most one live hit), filter, re-cut —
+        # scores use the STALE pre-compaction stats, exactly like segment
+        # engines with uncommitted deletes
+        dels = set(exclude)
+        hits = self.s.bm25_topk(
+            query, topk=topk + len(dels), mode=mode, tie_semantics="sorted"
+        )
+        return [h for h in hits if int(h[0]) not in dels][:topk]
 
 
 class PartitionedSearcher:
@@ -173,6 +293,12 @@ class PartitionedSearcher:
         self.avgdl = float(self.manifest["avgdl"])
         actor = ray.remote(num_cpus=num_cpus_per_actor)(RangeSearcher)
         self.actors = [actor.remote(r["dir"]) for r in self.manifest["ranges"]]
+        # pending tombstones, routed to their owning range
+        pend = load_deletes(out_dir)
+        self.range_deletes: list[list[int]] = []
+        for r in self.manifest["ranges"]:
+            lo, hi = (int(x) for x in r["docid_span"])
+            self.range_deletes.append([d for d in pend if lo <= d < hi])
 
     def bm25_topk(self, query: str, topk: int = 10, mode: str = "OR"):
         import ray
@@ -185,8 +311,10 @@ class PartitionedSearcher:
                 df_global[t] = df_global.get(t, 0) + c
         results = ray.get(
             [
-                a.topk.remote(query, topk, mode, self.N, self.avgdl, df_global)
-                for a in self.actors
+                a.topk.remote(
+                    query, topk, mode, self.N, self.avgdl, df_global, dels or None
+                )
+                for a, dels in zip(self.actors, self.range_deletes)
             ]
         )
         merged = [x for r in results for x in r]

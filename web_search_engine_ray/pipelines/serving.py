@@ -5,6 +5,7 @@ match the DuckDB oracle SQL in ``__ray_entry__``)."""
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 import numpy as np
@@ -95,35 +96,21 @@ def bm25_topk_table(
     )
 
 
-def bm25_partitioned_table(
-    sf_dir: str,
-    queries: list[str] | None = None,
-    topk: int = 10,
-    mode: str = "OR",
-    n_ranges: int = 3,
-    round_to: int = 4,
-) -> pa.Table:
-    """Same result shape as :func:`bm25_topk_table` but served by the
-    doc-range-partitioned actor pool (``pipelines/distributed.py``) — the
-    driver checks it against the SAME SQL oracle, proving the distributed
-    path end-to-end."""
-    from web_search_engine_ray.pipelines.distributed import (
-        PartitionedSearcher,
-        build_partitioned_index,
-    )
+def _partitioned_docs_index(sf_dir: str, n_ranges: int, tag: str) -> str:
+    """Build (or reuse) a doc-range-partitioned index over a documents table.
+
+    The table is a single file: split it into range files once — planned from
+    footer metadata and streamed row-group-at-a-time, the whole table is
+    never resident (same planner discipline as the build's metadata-only
+    docid pass) — then build one index per range."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.distributed import build_partitioned_index
 
     path = os.path.join(sf_dir, "documents.parquet")
-    out = os.path.join(
-        "/tmp", "wse_ray_cache", f"docs_part_{_cache_key(path, f'part{n_ranges}:v1')}"
-    )
-    # the documents table is a single file: split it into range files once.
-    # Planned from footer metadata and streamed row-group-at-a-time — the
-    # whole table is never resident (same planner discipline as the build's
-    # metadata-only docid pass).
+    out = os.path.join("/tmp", "wse_ray_cache", f"docs_part_{_cache_key(path, tag)}")
     corpus_dir = os.path.join(out, "corpus")
     if not os.path.exists(os.path.join(out, "partitioned.json")):
-        import pyarrow.parquet as pq
-
         os.makedirs(corpus_dir, exist_ok=True)
         pf = pq.ParquetFile(path)
         n_rows = pf.metadata.num_rows
@@ -155,6 +142,30 @@ def bm25_partitioned_table(
             corpus_dir, out, n_ranges=n_ranges,
             text_column="text", partition_rows=20_000, num_shards=4, n_salts=4,
         )
+    return out
+
+
+def bm25_partitioned_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    mode: str = "OR",
+    n_ranges: int = 3,
+    round_to: int = 4,
+) -> pa.Table:
+    """Same result shape as :func:`bm25_topk_table` but served by the
+    doc-range-partitioned actor pool (``pipelines/distributed.py``) — the
+    driver checks it against the SAME SQL oracle, proving the distributed
+    path end-to-end."""
+    out = _partitioned_docs_index(sf_dir, n_ranges, f"part{n_ranges}:v1")
+    return _query_partitioned(out, queries, topk, mode, round_to)
+
+
+def _query_partitioned(
+    out: str, queries: list[str] | None, topk: int, mode: str, round_to: int
+) -> pa.Table:
+    from web_search_engine_ray.pipelines.distributed import PartitionedSearcher
+
     ps = PartitionedSearcher(out)
     queries = queries if queries is not None else FIXED_QUERIES
     try:
@@ -173,6 +184,50 @@ def bm25_partitioned_table(
             "score": pa.array(s_l, pa.float64()),
         }
     )
+
+
+DELETE_MODULUS, DELETE_RESIDUE = 7, 3  # gate's deterministic delete rule
+
+
+def bm25_after_delete_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    mode: str = "OR",
+    n_ranges: int = 3,
+    round_to: int = 4,
+) -> pa.Table:
+    """BM25 top-k AFTER deleting every doc with
+    ``doc_id % DELETE_MODULUS == DELETE_RESIDUE`` and compacting: tombstone
+    the docids (``distributed.delete_docs``), rebuild only the affected
+    ranges with preserved docids (``compact_deletes``), then query the
+    partitioned pool. Post-compaction results are exact over the surviving
+    corpus — N/avgdl/df all exclude the deleted docs — so the DuckDB twin is
+    simply the BM25 oracle over ``documents`` minus those rows (docids
+    unchanged). The reference engine's only deletion story is a full rebuild."""
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.distributed import (
+        compact_deletes,
+        delete_docs,
+        load_deletes,
+    )
+
+    out = _partitioned_docs_index(
+        sf_dir, n_ranges, f"part{n_ranges}:del{DELETE_MODULUS}-{DELETE_RESIDUE}:v1"
+    )
+    n_rows = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    want = list(range(DELETE_RESIDUE, n_rows, DELETE_MODULUS))
+    with open(os.path.join(out, "partitioned.json")) as f:
+        pj = json.load(f)
+    done = set()
+    for r in pj["ranges"]:
+        done.update(r.get("deleted_docids", []))
+    todo = [d for d in want if d not in done]
+    if todo or load_deletes(out):
+        delete_docs(out, todo)
+        compact_deletes(out)
+    return _query_partitioned(out, queries, topk, mode, round_to)
 
 
 def bm25_taat_table(
