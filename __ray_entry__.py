@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subset_first_n": lambda sf: corpus.subset_first_n_ds(sf, 100),
         "corpus_stats": corpus.corpus_stats_table,
         "tfidf_topk": lambda sf: corpus.tfidf_topk_ds(sf, 5),
+        "top_terms_per_source": lambda sf: corpus.top_terms_per_source_ds(sf, 5),
         # ---- stream-shaped ops over events ----
         "events_window": lambda sf: events.window_agg_ds(sf),
         "events_hopping": lambda sf: events.hopping_window_ds(sf),
@@ -285,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
         "bm25_taat": lambda sf: serving.bm25_taat_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
+        "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
         "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
@@ -395,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
         "heavy_hitter_terms": lambda sf: sketch.heavy_hitter_terms(sf, k=20),
         "dl_quantiles": lambda sf: sketch.dl_quantiles_ds(sf),
+        "value_quantiles": lambda sf: sketch.value_quantile_sketch_ds(sf),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,
@@ -414,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from web_search_engine_ray.pipelines import serving as serving_mod
+
     qv = _q_values()
     tok_cte = f"tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)"
     tf_cte = "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)"
@@ -561,6 +566,37 @@ WHERE rn <= {TOPK}
         # answer as the single index — same oracle
         "bm25_partitioned": bm25_core
         + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # deletion + compaction: the SAME BM25 oracle over the corpus minus
+        # the deleted rows (docids preserved) — N/avgdl/df/tf all recompute
+        # over survivors, exactly what compact_deletes produces
+        "bm25_after_delete": f"""
+WITH alive AS (SELECT * FROM documents
+               WHERE doc_id % {serving_mod.DELETE_MODULUS} != {serving_mod.DELETE_RESIDUE}),
+ tok AS (SELECT doc_id, unnest({TOK}) AS term FROM alive),
+ tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+ dl AS (SELECT doc_id, len({TOK}) AS dl FROM alive),
+ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ stats AS (SELECT (SELECT count(*) FROM alive)::DOUBLE AS n,
+                  (SELECT avg(dl::DOUBLE) FROM dl) AS avgdl),
+ q(query_id, term) AS (VALUES {qv}),
+ scored AS (
+   SELECT q.query_id, tf.doc_id AS docid,
+          sum( ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2*(0.25 + 0.75*dl.dl::DOUBLE/s.avgdl)) ) AS score
+   FROM q
+   JOIN df ON df.term = q.term
+   JOIN tf ON tf.term = q.term
+   JOIN dl ON dl.doc_id = tf.doc_id
+   CROSS JOIN stats s
+   GROUP BY q.query_id, tf.doc_id
+ )
 SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
@@ -741,6 +777,14 @@ WITH {tok_cte}, {tf_cte}, {df_cte},
 SELECT docid, term, ROUND(s, 6) AS tfidf
 FROM (SELECT *, row_number() OVER (PARTITION BY docid ORDER BY s DESC, term) AS rn
       FROM s)
+WHERE rn <= 5
+""",
+        "top_terms_per_source": f"""
+WITH tok AS (SELECT source, unnest({TOK}) AS term FROM documents),
+ cnt AS (SELECT source, term, count(*)::BIGINT AS cf FROM tok GROUP BY source, term)
+SELECT source, term, cf, rn::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cf DESC, term) AS rn
+      FROM cnt)
 WHERE rn <= 5
 """,
         # Gopher-style repetition signals (dup-word / top-word / dup-bigram)
