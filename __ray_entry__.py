@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": corpus.corpus_stats_table,
         "tfidf_topk": lambda sf: corpus.tfidf_topk_ds(sf, 5),
         "top_terms_per_source": lambda sf: corpus.top_terms_per_source_ds(sf, 5),
+        "chunk_docs": lambda sf: pack.chunk_docs_ds(sf, window=64, stride=32),
         # ---- stream-shaped ops over events ----
         "events_window": lambda sf: events.window_agg_ds(sf),
         "events_hopping": lambda sf: events.hopping_window_ds(sf),
@@ -778,6 +779,17 @@ SELECT docid, term, ROUND(s, 6) AS tfidf
 FROM (SELECT *, row_number() OVER (PARTITION BY docid ORDER BY s DESC, term) AS rn
       FROM s)
 WHERE rn <= 5
+""",
+        # sliding-window chunking: 1-based DuckDB list_slice == 0-based polars
+        # list.slice; range(0, len, stride) emits nothing for token-less docs
+        # on both sides
+        "chunk_docs": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 32)) AS start FROM t),
+ ch AS (SELECT doc_id, start, list_slice(ws, start + 1, start + 64) AS chunk FROM st)
+SELECT doc_id AS docid, (start // 32)::BIGINT AS chunk_idx, start::BIGINT AS start,
+       len(chunk)::BIGINT AS n_tokens, array_to_string(chunk, ' ') AS text
+FROM ch
 """,
         "top_terms_per_source": f"""
 WITH tok AS (SELECT source, unnest({TOK}) AS term FROM documents),

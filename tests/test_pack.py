@@ -70,3 +70,47 @@ def test_chunks_are_dense(ray_session):
     assert (
         got["start_tok"] == got["chunk_id"] * 1024 + got["chunk_off"]
     ).all()
+
+
+def test_chunk_docs_reconstruction_and_edges(ray_session, tmp_path):
+    """Sliding-window chunks: chunk 0 starts at token 0; strided starts;
+    ragged tail; token-less docs emit nothing; concatenating stride-prefixes
+    of the chunks reconstructs the token stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.pack import chunk_docs_ds
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"w{i}" for i in range(10)),  # 10 toks: ragged tail
+                    "",  # no tokens -> no chunks
+                    " ".join(f"x{i}" for i in range(4)),  # window == len
+                    "one",
+                ]
+            ),
+        }
+    )
+    d = str(tmp_path / "chunk_docs")
+    __import__("os").makedirs(d)
+    pq.write_table(docs, d + "/documents.parquet")
+    out = chunk_docs_ds(d, window=4, stride=2).to_pandas()
+
+    assert set(out["docid"]) == {0, 2, 3}
+    d0 = out[out["docid"] == 0].sort_values("chunk_idx")
+    assert d0["start"].tolist() == [0, 2, 4, 6, 8]
+    assert d0["n_tokens"].tolist() == [4, 4, 4, 4, 2]
+    assert d0["text"].iloc[0] == "w0 w1 w2 w3"
+    assert d0["text"].iloc[-1] == "w8 w9"
+    # stride-prefix concat reconstructs the stream
+    toks = []
+    for _, r in d0.iterrows():
+        toks.extend(r["text"].split()[:2])
+    assert " ".join(toks)[: len("w0 w1 w2 w3")] == "w0 w1 w2 w3"
+    d2 = out[out["docid"] == 2].sort_values("chunk_idx")
+    assert d2["n_tokens"].tolist() == [4, 2]
+    d3 = out[out["docid"] == 3]
+    assert d3["text"].tolist() == ["one"]

@@ -133,3 +133,56 @@ def pack_chunks_ds(
         assign,
         auto_shrink=True,
     )
+
+
+def chunk_docs_ds(sf_dir: str, window: int = 64, stride: int = 32):
+    """(docid, chunk_idx, start, n_tokens, text): overlapping sliding-window
+    chunks of each document's token stream — the RAG / context-window
+    chunking step (window tokens per chunk, stride tokens apart, last chunk
+    ragged; token-less docs emit nothing). Chunk text is the space-joined
+    token slice, so both engines share one canonical rendering.
+
+    Shape: documents never span batches, so chunking is a pure per-batch
+    polars expression chain (int_ranges -> explode -> list.slice -> join) —
+    no shuffle, output streams. At 100 TB the only knob is batch size: each
+    row fans out ~n_tokens/stride chunks, so output blocks are ~window/stride
+    times the input text volume."""
+
+    schema = pa.schema(
+        [
+            ("docid", pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("start", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = (
+            pl.DataFrame({"docid": ids, "ws": toks})
+            # an all-empty block tokenizes to list[null]; pin the inner dtype
+            .with_columns(pl.col("ws").cast(pl.List(pl.Utf8)))
+            .with_columns(pl.int_ranges(0, pl.col("ws").list.len(), stride).alias("start"))
+            .explode("start")
+            .drop_nulls("start")  # token-less docs explode to a null start
+        )
+        if d.height == 0:
+            # polars degrades slice-of-list dtype to list[null] on 0-row
+            # frames and list.join then refuses — short-circuit with the
+            # declared schema instead
+            return schema.empty_table()
+        d = d.with_columns(
+            (pl.col("start") // stride).alias("chunk_idx"),
+            pl.col("ws").list.slice(pl.col("start"), window).alias("chunk"),
+        ).with_columns(
+            pl.col("chunk").list.len().alias("n_tokens"),
+            pl.col("chunk").list.join(" ").alias("text"),
+        )
+        return d.select("docid", "chunk_idx", "start", "n_tokens", "text").to_arrow().cast(
+            schema
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
