@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(
             sf, k1=RERANK_K1, k2=RERANK_K2
         ),
+        "rm3_expanded": lambda sf: serving.rm3_expanded_table(sf),
         # ---- legacy run interop (SURVEY S4/S5): corpus -> reference-format
         # TSV+RUN1 runs -> autodetected import -> native index -> decode all
         # postings; must equal the corpus postings relation
@@ -571,6 +572,47 @@ SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # RM3 pseudo-relevance feedback: feedback cut -> anti-joined expansion
+        # counts -> re-scored BM25 with the expanded term set — the full
+        # two-stage expansion replayed in SQL
+        "rm3_expanded": bm25_core
+        + f""",
+ fb AS (SELECT query_id, docid
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, docid) AS rn
+              FROM scored)
+        WHERE rn <= {serving_mod.RM3_FB_DOCS}),
+ expc AS (SELECT f.query_id, t.term, count(*) AS cnt
+          FROM fb f
+          JOIN tok t ON t.doc_id = f.docid
+          LEFT JOIN (SELECT DISTINCT query_id, term FROM q) qq
+            ON qq.query_id = f.query_id AND qq.term = t.term
+          WHERE qq.term IS NULL
+          GROUP BY f.query_id, t.term),
+ exp AS (SELECT query_id, term
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cnt DESC, term) AS rn
+               FROM expc)
+         WHERE rn <= {serving_mod.RM3_FB_TERMS}),
+ q2 AS (SELECT query_id, term FROM q UNION ALL SELECT query_id, term FROM exp),
+ scored2 AS (
+   SELECT q2.query_id, tf.doc_id AS docid,
+          sum( ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+               * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2*(0.25 + 0.75*dl.dl::DOUBLE/s.avgdl)) ) AS score
+   FROM q2
+   JOIN df ON df.term = q2.term
+   JOIN tf ON tf.term = q2.term
+   JOIN dl ON dl.doc_id = tf.doc_id
+   CROSS JOIN stats s
+   GROUP BY q2.query_id, tf.doc_id
+ )
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored2)
 WHERE rn <= {TOPK}
 """,
         # deletion + compaction: the SAME BM25 oracle over the corpus minus

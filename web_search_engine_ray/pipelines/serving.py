@@ -96,6 +96,67 @@ def bm25_topk_table(
     )
 
 
+RM3_FB_DOCS, RM3_FB_TERMS = 5, 3  # gate constants, mirrored in the SQL twin
+
+
+def rm3_expanded_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, docid, score) — RM3-style pseudo-relevance-feedback
+    expansion: BM25 top-``fb_docs`` feedback set, expansion terms ranked by
+    total occurrence count over the feedback docs' text (corpus tokenizer,
+    uniform doc weight — the deterministic RM1 simplification; ties to the
+    lexicographically first term, original query terms excluded), then one
+    re-query with the expanded term set.
+
+    The whole two-stage pipeline has an exact SQL twin (feedback cut ->
+    anti-joined expansion counts -> re-scored BM25), like
+    :func:`hybrid_rerank_table` — the reference has no expansion path at all.
+    Scale shape: the feedback set is ``fb_docs`` rows fetched through the
+    DocStore's row-group random access; only the expanded term set (a
+    handful of strings) feeds stage 2."""
+    from collections import Counter
+
+    from web_search_engine_ray.functions.tokenize import query_terms, tokenize
+    from web_search_engine_ray.state.docstore import DocStore
+
+    s = documents_searcher(sf_dir)
+    store = DocStore(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        fb = s.bm25_topk(q, topk=fb_docs, mode="OR", tie_semantics="sorted")
+        counts: Counter[str] = Counter()
+        for docid, _score in fb:
+            counts.update(tokenize(store.get_text(int(docid))))
+        qset = set(query_terms(q))
+        exp = [
+            t
+            for _, t in sorted(
+                ((-c, t) for t, c in counts.items() if t not in qset)
+            )[:fb_terms]
+        ]
+        expanded = q if not exp else q + " " + " ".join(exp)
+        for docid, score in s.bm25_topk(
+            expanded, topk=topk, mode="OR", tie_semantics="sorted"
+        ):
+            q_l.append(qid)
+            d_l.append(int(docid))
+            s_l.append(float(np.round(score, round_to)))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "docid": pa.array(d_l, pa.int64()),
+            "score": pa.array(s_l, pa.float64()),
+        }
+    )
+
+
 def _partitioned_docs_index(sf_dir: str, n_ranges: int, tag: str) -> str:
     """Build (or reuse) a doc-range-partitioned index over a documents table.
 
