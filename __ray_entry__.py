@@ -215,6 +215,22 @@ GROUP BY d.doc_id
 """
 
 
+def _rag_topk_entry(sf_dir: str):
+    """Composed RAG pipeline (chunk -> hashed embed -> cosine top-k) over the
+    documents table; rows-only (the embedder is hash-based, not SQL math) —
+    the pytest contract (`tests/test_rag.py`) pins exact-chunk retrieval and
+    determinism. Store cached under /tmp keyed by corpus identity."""
+    import os
+
+    from web_search_engine_ray.pipelines.rag import build_rag_store, rag_topk
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES, _cache_key
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join("/tmp", "wse_ray_cache", f"rag_{_cache_key(path, 'rag:v1')}")
+    build_rag_store(sf_dir, out)
+    return rag_topk(out, FIXED_QUERIES, topk=5)
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -295,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k1=RERANK_K1, k2=RERANK_K2
         ),
         "rm3_expanded": lambda sf: serving.rm3_expanded_table(sf),
+        "rag_topk": _rag_topk_entry,
         # ---- legacy run interop (SURVEY S4/S5): corpus -> reference-format
         # TSV+RUN1 runs -> autodetected import -> native index -> decode all
         # postings; must equal the corpus postings relation

@@ -1,0 +1,221 @@
+"""Retrieval-augmented-generation store: chunk -> embed -> ANN-queryable
+chunk table — the composed pipeline a RAG system runs over a curated corpus.
+
+Pieces, each already proven separately, composed here:
+
+- **chunking**: :func:`pipelines.pack.chunk_docs_ds` (sliding token windows,
+  SQL-twinned);
+- **embedding**: a deterministic hashed bag-of-tokens embedder (signed
+  feature hashing: token md5-low-64 -> bucket = h % dim, sign from the top
+  hash bit, counts L2-normalized). No model weights, no network — crude
+  semantics but exactly reproducible across engines and runs, which is what
+  the conformance story needs; a real sentence encoder drops into the same
+  actor-pool stage (``batch_format="pyarrow"``, one matrix per batch) with
+  zero pipeline changes.
+- **retrieval**: per-batch cosine top-k partials against a broadcast query
+  matrix, merged on the driver (the ``knn_cosine`` shape —
+  ``similarity._merge_query_topk`` is reused verbatim, so the tie contract
+  is the engine-wide (cos desc, vec_id asc)).
+
+Store layout: ``<out>/chunks.parquet/`` — a DIRECTORY of streamed parquet
+files (chunk_uid, docid, chunk_idx, text, embedding
+fixed_size_list<float32>[dim]) + ``rag_store.json`` (params
+fingerprint + counts). The store build is single-shot resumable: a rerun
+with identical params + input fingerprint is metadata-only; changed params
+raise (same drift guard as the composed jobs). chunk_uid is
+``docid * 2^20 + chunk_idx`` — deterministic, so reruns and engines agree.
+
+At 100 TB: chunking/embedding stream (no shuffle); the store is partitioned
+parquet (one file per output block); retrieval reads prune to the embedding
+column and stream per-batch partials — the corpus text never moves at query
+time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from web_search_engine_ray.functions.tokenize import token_lists
+from web_search_engine_ray.pipelines.dedup import _token_hashes
+
+EMBED_DIM = 64
+CHUNK_UID_SHIFT = 20  # chunk_uid = docid << 20 | chunk_idx
+
+
+def hash_embed_matrix(texts, dim: int = EMBED_DIM) -> np.ndarray:
+    """(n_rows, dim) float32, L2-normalized signed-feature-hash embeddings.
+
+    Fully vectorized: one explode over the batch's token stream, one
+    memoized md5 pass (shared with the dedup family's token hashing), one
+    bincount. Token-less rows embed to the zero vector."""
+    tl = token_lists(texts)
+    n = len(tl)
+    d = (
+        pl.DataFrame({"rid": pl.Series(np.arange(n, dtype=np.int64)), "t": tl})
+        .explode("t")
+        .drop_nulls("t")
+    )
+    rid = d["rid"].to_numpy()
+    h = _token_hashes(d["t"].to_list())
+    b = (h % np.uint64(dim)).astype(np.int64)
+    sgn = np.where((h >> np.uint64(63)).astype(bool), 1.0, -1.0)
+    flat = np.bincount(rid * dim + b, weights=sgn, minlength=n * dim)
+    M = flat.reshape(n, dim)
+    norms = np.linalg.norm(M, axis=1)
+    M = M / np.where(norms == 0, 1.0, norms)[:, None]
+    return M.astype(np.float32)
+
+
+def _store_params(window: int, stride: int, dim: int, corpus_fp: str) -> dict:
+    return {"window": window, "stride": stride, "dim": dim, "corpus_fp": corpus_fp}
+
+
+def _corpus_fp(corpus) -> str:
+    from web_search_engine_ray.sources.documents import docs_files
+
+    parts = []
+    for f in docs_files(corpus):
+        st = os.stat(f)
+        parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def build_rag_store(
+    corpus,
+    out_dir: str,
+    window: int = 64,
+    stride: int = 32,
+    dim: int = EMBED_DIM,
+) -> dict:
+    """Chunk + embed ``corpus`` into ``<out_dir>/chunks.parquet``. Resumable
+    single-shot: identical params + input -> metadata-only rerun; changed
+    params -> ValueError (drift guard, same contract as the composed jobs)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from web_search_engine_ray.pipelines.pack import chunk_docs_ds
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "rag_store.json")
+    chunks_path = os.path.join(out_dir, "chunks.parquet")
+    params = _store_params(window, stride, dim, _corpus_fp(corpus))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)
+        if prev.get("params") == params and os.path.exists(chunks_path):
+            prev["resumed"] = True
+            return prev
+        if prev.get("params", {}).get("corpus_fp") == params["corpus_fp"]:
+            raise ValueError(
+                "rag store exists with different parameters "
+                f"({prev.get('params')} != {params}); use a fresh --out"
+            )
+
+    def embed(batch: pa.Table) -> pa.Table:
+        M = hash_embed_matrix(batch["text"], dim)
+        uid = (
+            batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+            << CHUNK_UID_SHIFT
+        ) | batch["chunk_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "chunk_uid": pa.array(uid, pa.int64()),
+                "docid": batch["docid"],
+                "chunk_idx": batch["chunk_idx"],
+                "n_tokens": batch["n_tokens"],
+                "text": batch["text"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.reshape(-1), pa.float32()), dim
+                ),
+            }
+        )
+
+    ds = chunk_docs_ds(corpus, window=window, stride=stride).map_batches(
+        embed, batch_format="pyarrow"
+    )
+    # stream the store to disk (no driver materialization): tmp dir + rename
+    # so a crashed build never half-exists
+    import shutil
+
+    tmp_dir = chunks_path + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ds.write_parquet(tmp_dir)
+    shutil.rmtree(chunks_path, ignore_errors=True)
+    os.replace(tmp_dir, chunks_path)
+    n_chunks = sum(
+        pq.read_metadata(os.path.join(chunks_path, f)).num_rows
+        for f in os.listdir(chunks_path)
+        if f.endswith(".parquet")
+    )
+    rep = {
+        "out_dir": out_dir,
+        "params": params,
+        "n_chunks": n_chunks,
+        "resumed": False,
+    }
+    with open(marker + ".tmp", "w") as f:
+        json.dump(rep, f)
+    os.replace(marker + ".tmp", marker)
+    return rep
+
+
+def rag_topk(
+    store_dir: str, queries: list[str], topk: int = 5, dim: int | None = None
+) -> pa.Table:
+    """(query_id, vec_id, cos) — cosine top-k chunks per query over the
+    store, streamed as per-batch partials against the broadcast query
+    matrix (the ``knn_cosine`` shape; ``vec_id`` is the chunk_uid). Queries
+    embedding to the zero vector (no tokens) return no rows."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import (
+        _knn_partials_table,
+        _merge_query_topk,
+        _topk_det,
+    )
+
+    with open(os.path.join(store_dir, "rag_store.json")) as f:
+        dim = dim or int(json.load(f)["params"]["dim"])
+    Q = hash_embed_matrix(pa.chunked_array([pa.array(queries)]), dim)
+    live = np.linalg.norm(Q, axis=1) > 0
+    qref = ray.put(Q)
+
+    def f(batch: pa.Table) -> pa.Table:
+        M = (
+            np.asarray(batch["embedding"].combine_chunks().flatten())
+            .reshape(-1, dim)
+            .astype(np.float64)
+        )
+        vid = batch["chunk_uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        S = np.asarray(ray.get(qref), dtype=np.float64) @ M.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            k = min(topk, vid.size)
+            if not live[qi] or k == 0:
+                continue
+            keep = _topk_det(S[qi], vid, k)
+            out_q.append(np.full(keep.size, qi, dtype=np.int64))
+            out_v.append(vid[keep])
+            out_s.append(S[qi][keep])
+        return _knn_partials_table(out_q, out_v, out_s)
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(store_dir, "chunks.parquet"),
+            columns=["chunk_uid", "embedding"],
+        )
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:  # all-empty partials can arrive column-less from Ray
+        from web_search_engine_ray.pipelines.similarity import _empty_knn_table
+
+        return _empty_knn_table()
+    return _merge_query_topk(parts, topk)
