@@ -176,3 +176,66 @@ def test_partitioned_json_has_no_stale_fields(deleted_pair):
     for (a, b), (c, d) in zip(spans, spans[1:]):
         assert b == c
     assert spans[-1][1] == m["docid_end"]
+
+
+def test_optimize_ranges_preserves_everything(
+    ray_session, small_corpus_dir, tmp_path_factory
+):
+    """append x2 -> delete+compact -> optimize to 2 ranges: results identical
+    before/after, old segment dirs gone, pending tombstones refused."""
+    from web_search_engine_ray.pipelines.distributed import (
+        append_range_index,
+        optimize_ranges,
+    )
+
+    files = sorted(glob.glob(small_corpus_dir + "/*.parquet"))
+    assert len(files) >= 3
+    part = str(tmp_path_factory.mktemp("opt_idx"))
+    m = build_partitioned_index(files[:2], part, n_ranges=2, **CFG)
+    m = append_range_index(part, files[2:3], **CFG)
+    assert len(m["ranges"]) == 3
+    deleted = list(range(2, int(m["docid_end"]), 11))
+    delete_docs(part, deleted)
+
+    with pytest.raises(ValueError, match="pending tombstones"):
+        optimize_ranges(part, 2)
+
+    compact_deletes(part)
+    ps = PartitionedSearcher(part)
+    try:
+        before = {
+            (q, mode): ps.bm25_topk(q, topk=10, mode=mode)
+            for q in QUERIES
+            for mode in ("OR", "AND")
+        }
+    finally:
+        ps.shutdown()
+    m1 = json.load(open(os.path.join(part, "partitioned.json")))
+    old_dirs = [r["dir"] for r in m1["ranges"]]
+
+    m2 = optimize_ranges(part, 2)
+    assert len(m2["ranges"]) == 2
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["total_tokens"] == m1["total_tokens"]
+    assert m2["docid_end"] == m1["docid_end"]
+    spans = [tuple(r["docid_span"]) for r in m2["ranges"]]
+    assert spans[0][0] == 0 and spans[-1][1] == m2["docid_end"]
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
+    for d in old_dirs:
+        assert not os.path.exists(d)
+    # cumulative deletions carried into the merged segments
+    carried = sorted(x for r in m2["ranges"] for x in r.get("deleted_docids", []))
+    assert carried == deleted
+
+    ps = PartitionedSearcher(part)
+    try:
+        for key, want in before.items():
+            got = ps.bm25_topk(key[0], topk=10, mode=key[1])
+            assert got == want, key
+    finally:
+        ps.shutdown()
+
+    # idempotent below target
+    m3 = optimize_ranges(part, 2)
+    assert [r["dir"] for r in m3["ranges"]] == [r["dir"] for r in m2["ranges"]]

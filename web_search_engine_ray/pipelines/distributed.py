@@ -236,6 +236,74 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
     return manifest
 
 
+def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
+    """Segment merging (the forceMerge analog): collapse the index's range
+    list down to ``target_ranges`` by rebuilding groups of ADJACENT ranges as
+    single ranges — docids, deletions, and query results all preserved
+    exactly (pinned in ``tests/test_deletes.py``). Daily appends
+    (:func:`append_range_index`) grow the range count one per ingest; this
+    caps actor count and per-query fan-out again.
+
+    Pending tombstones must be compacted first (raises otherwise — a merged
+    rebuild would bake them in silently, making ``deletes.json`` stale).
+    New ranges build into fresh ``range_NNN_gG`` dirs before the manifest
+    swap, so a crash mid-optimize leaves the old index fully intact."""
+    import shutil
+
+    from web_search_engine_ray.pipelines.build import build_index
+
+    path = os.path.join(out_dir, "partitioned.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    if load_deletes(out_dir):
+        raise ValueError("pending tombstones: run compact_deletes before optimize")
+    ranges = manifest["ranges"]
+    target_ranges = max(1, target_ranges)
+    if len(ranges) <= target_ranges:
+        return manifest
+
+    per = (len(ranges) + target_ranges - 1) // target_ranges
+    gen = int(manifest.get("optimize_gen", 0)) + 1
+    new_infos = []
+    old_dirs = [r["dir"] for r in ranges]
+    for gi in range(0, len(ranges), per):
+        group = ranges[gi : gi + per]
+        lo = int(group[0]["docid_span"][0])
+        hi = int(group[-1]["docid_span"][1])
+        files = [f for r in group for f in r["files"]]
+        deleted = sorted({d for r in group for d in r.get("deleted_docids", [])})
+        rdir = os.path.join(out_dir, f"range_{gi // per:03d}_g{gen}")
+        b = build_index(
+            files,
+            rdir,
+            docid_offset=lo,
+            delete_docids=tuple(deleted),
+            **{**manifest.get("build_kw", {}), **build_kw},
+        )
+        info = {
+            "dir": rdir,
+            "files": files,
+            "docid_span": [lo, hi],
+            "n_docs": int(b["n_docs"]),
+            "total_tokens": int(b["total_tokens"]),
+        }
+        if deleted:
+            info["deleted_docids"] = deleted
+        new_infos.append(info)
+
+    manifest["ranges"] = new_infos
+    manifest["optimize_gen"] = gen
+    manifest["n_docs"] = sum(r["n_docs"] for r in new_infos)
+    manifest["total_tokens"] = sum(r["total_tokens"] for r in new_infos)
+    manifest["avgdl"] = (
+        manifest["total_tokens"] / manifest["n_docs"] if manifest["n_docs"] else 0.0
+    )
+    mf.write_manifest(path, manifest)
+    for d in old_dirs:  # old segments only after the manifest swap succeeded
+        shutil.rmtree(d, ignore_errors=True)
+    return manifest
+
+
 class RangeSearcher:
     """One actor per docid range: a full Searcher over that range's index."""
 
