@@ -297,6 +297,21 @@ def run_bench() -> dict:
         _phrase.phrase_match_counts(pos_dir, list(terms), n_shards=8)
     timings["phrase_10_queries_sf"] = round(time.perf_counter() - t0, 3)
 
+    # RAG store: chunk + hashed-embed the sf documents, then the fixed
+    # query set through cosine retrieval (store cold-built per bench run)
+    import shutil as _sh
+
+    from web_search_engine_ray.pipelines import rag as _rag
+
+    rag_dir = "/tmp/wse_bench_rag_store"
+    _sh.rmtree(rag_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    _rag.build_rag_store(SF_DIR, rag_dir)
+    timings["rag_store_build_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _rag.rag_topk(rag_dir, _FQ, topk=5)
+    timings["rag_topk_sf"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",
         "value": round(t_build, 3),
