@@ -231,6 +231,18 @@ def _rag_topk_entry(sf_dir: str):
     return rag_topk(out, FIXED_QUERIES, topk=5)
 
 
+def _spell_suggest_entry(sf_dir: str):
+    from web_search_engine_ray.pipelines.spell import spell_suggest_ds
+
+    return spell_suggest_ds(sf_dir)
+
+
+def _spell_probe_values() -> str:
+    from web_search_engine_ray.pipelines.spell import PROBES
+
+    return ", ".join(f"('{p}')" for p in PROBES)
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -312,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "rm3_expanded": lambda sf: serving.rm3_expanded_table(sf),
         "rag_topk": _rag_topk_entry,
+        "spell_suggest": _spell_suggest_entry,
         # ---- legacy run interop (SURVEY S4/S5): corpus -> reference-format
         # TSV+RUN1 runs -> autodetected import -> native index -> decode all
         # postings; must equal the corpus postings relation
@@ -590,6 +603,28 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
 WHERE rn <= {TOPK}
+""",
+        # SymSpell depth-1 spell suggestions: shared-deletion-variant join,
+        # best candidate by (df desc, term) — the exact engine rule
+        "spell_suggest": f"""
+WITH {tok_cte}, {tf_cte}, {df_cte},
+ vvar AS (SELECT term, df,
+                 unnest(list_append(
+                   [substr(term, 1, i-1) || substr(term, i+1)
+                    for i in range(1, len(term)+1)], term)) AS v
+          FROM df),
+ pvar AS (SELECT probe,
+                 unnest(list_append(
+                   [substr(probe, 1, i-1) || substr(probe, i+1)
+                    for i in range(1, len(probe)+1)], probe)) AS v
+          FROM (VALUES {_spell_probe_values()}) p(probe)),
+ cand AS (SELECT DISTINCT p.probe, t.term, t.df
+          FROM pvar p JOIN vvar t ON t.v = p.v)
+SELECT probe, term AS suggestion, df::BIGINT AS df
+FROM (SELECT *, row_number() OVER (PARTITION BY probe
+                                   ORDER BY df DESC, term) AS rn
+      FROM cand)
+WHERE rn = 1
 """,
         # RM3 pseudo-relevance feedback: feedback cut -> anti-joined expansion
         # counts -> re-scored BM25 with the expanded term set — the full

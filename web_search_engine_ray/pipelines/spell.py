@@ -1,0 +1,95 @@
+"""Query spell correction: symmetric-delete (SymSpell depth-1) suggestions
+over the corpus vocabulary — the "did you mean" fallback for query terms the
+lexicon doesn't know.
+
+Rule (exact, shared with the SQL twin): two strings are candidates iff
+``{x} ∪ deletes1(x)`` and ``{y} ∪ deletes1(y)`` intersect, which covers edit
+distance <= 1 (substitution = same-position delete on both sides; insertion/
+deletion = one-sided delete; transpositions are distance 2 and deliberately
+out). The suggestion for a probe is the candidate with the highest document
+frequency, ties to the lexicographically first term. The rule ranks purely
+by df — a probe that IS a vocab term usually suggests itself, but a much
+more frequent distance-1 neighbor can outrank it (deliberate: that is how
+SymSpell handles typo-shaped rare vocab words; pin with the ``data`` probe).
+
+Shape: the probe set is tiny and broadcast (``ray.put`` of the
+variant->probe inverted map); the vocabulary relation streams through one
+``map_batches`` that emits only (probe, term, df) candidate rows —
+candidate-scale, never vocabulary-scale — merged on the driver. At 10^9
+terms the same pass runs unchanged; only the per-batch variant generation
+grows with term length (len+1 strings per term, memo-free by design: terms
+stream once).
+
+The reference engine silently drops unknown query terms
+(``HW2/engine/searcher.py:60-68``); this is the capability a real search
+box layers on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# misspellings of the fixed-query vocabulary: substitution, insertion,
+# deletion, an exact vocab word (self-suggests), and an unmatchable junk
+# probe (emits nothing) — mirrored into the SQL twin via PROBES
+PROBES = ["spork", "mergee", "windo", "dta", "data", "zzqqzz"]
+
+
+def _variants(s: str) -> set[str]:
+    """{s} ∪ all single-character deletions of s."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def spell_suggest_ds(sf_dir: str, probes: list[str] | None = None) -> pa.Table:
+    """(probe, suggestion, df): best distance-<=1 vocab term per probe."""
+    import ray
+
+    from web_search_engine_ray.pipelines.corpus import term_stats_ds
+
+    probes = probes if probes is not None else PROBES
+    inv: dict[str, list[str]] = {}
+    for p in probes:
+        for v in _variants(p):
+            inv.setdefault(v, []).append(p)
+    bref = ray.put(inv)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pvm = ray.get(bref)
+        terms = batch["term"].to_pylist()
+        dfs = batch["df"].to_pylist()
+        out_p, out_t, out_d = [], [], []
+        for term, df in zip(terms, dfs):
+            hits: set[str] = set()
+            for v in _variants(term):
+                ps = pvm.get(v)
+                if ps:
+                    hits.update(ps)
+            for p in hits:
+                out_p.append(p)
+                out_t.append(term)
+                out_d.append(int(df))
+        return pa.table(
+            {
+                "probe": pa.array(out_p, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    parts = term_stats_ds(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_p, out_s, out_d = [], [], []
+    if not parts.empty:
+        for probe, grp in parts.groupby("probe"):
+            best = grp.sort_values(["df", "term"], ascending=[False, True]).iloc[0]
+            out_p.append(probe)
+            out_s.append(best["term"])
+            out_d.append(int(best["df"]))
+    order = np.argsort(out_p, kind="stable")
+    return pa.table(
+        {
+            "probe": pa.array([out_p[i] for i in order], pa.string()),
+            "suggestion": pa.array([out_s[i] for i in order], pa.string()),
+            "df": pa.array([out_d[i] for i in order], pa.int64()),
+        }
+    )
