@@ -3,10 +3,12 @@ over the corpus vocabulary — the "did you mean" fallback for query terms the
 lexicon doesn't know.
 
 Rule (exact, shared with the SQL twin): two strings are candidates iff
-``{x} ∪ deletes1(x)`` and ``{y} ∪ deletes1(y)`` intersect, which covers edit
-distance <= 1 (substitution = same-position delete on both sides; insertion/
-deletion = one-sided delete; transpositions are distance 2 and deliberately
-out). The suggestion for a probe is the candidate with the highest document
+``{x} ∪ deletes1(x)`` and ``{y} ∪ deletes1(y)`` intersect — the standard
+SymSpell depth-1 candidate set: substitution (same-position delete on both
+sides), insertion/deletion (one-sided delete), adjacent transposition (each
+side deletes one of the swapped characters), plus the handful of other
+both-sides-delete-to-the-same-string pairs. The suggestion for a probe is
+the candidate with the highest document
 frequency, ties to the lexicographically first term. The rule ranks purely
 by df — a probe that IS a vocab term usually suggests itself, but a much
 more frequent distance-1 neighbor can outrank it (deliberate: that is how
