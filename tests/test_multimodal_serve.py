@@ -138,3 +138,28 @@ def test_docstore_and_snippets(served_index, small_corpus_dir):
     r = app.test_client().post("/search", json={"query": "the data", "mode": "OR"})
     body = r.get_json()
     assert body["results"] and "snippet" in body["results"][0]
+
+
+def test_flask_spell_suggestions(served_index):
+    """Unknown query terms get SymSpell did-you-mean suggestions from the
+    index's own lexicon; known-term queries carry no suggestions field."""
+    from web_search_engine_ray.serve import create_app
+
+    app = create_app(served_index)
+    client = app.test_client()
+
+    r = client.post("/search", json={"query": "dta", "mode": "OR"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["suggestions"] == {"dta": "data"}
+    assert body["suggestedQuery"] == "data"
+
+    r = client.post("/search", json={"query": "the dta qqqzzzqqq", "mode": "OR"})
+    body = r.get_json()
+    assert body["suggestions"].get("dta") == "data"
+    assert "qqqzzzqqq" not in body["suggestions"]
+    assert body["suggestedQuery"].startswith("the data")
+
+    r = client.post("/search", json={"query": "the data", "mode": "OR"})
+    body = r.get_json()
+    assert "suggestions" not in body and "suggestedQuery" not in body

@@ -95,3 +95,50 @@ def spell_suggest_ds(sf_dir: str, probes: list[str] | None = None) -> pa.Table:
             "df": pa.array([out_d[i] for i in order], pa.int64()),
         }
     )
+
+
+class SpellIndex:
+    """Serving-side suggestion state: variant -> best (df, term) candidate,
+    built once from an index's OWN lexicon shards (no Ray, no corpus scan —
+    the vocabulary and df are already on disk next to the postings).
+
+    Keeping only the best candidate per variant is exact: the global pick is
+    ``max over variants of (per-variant best)`` under the same total order
+    (df desc, term asc). Memory is O(vocab x avg_term_len) strings; at 10^9
+    terms the map shards by ``hash(variant)`` exactly like the lexicon —
+    same routing, one more artifact per shard."""
+
+    def __init__(self, terms, dfs):
+        best: dict[str, tuple[int, str]] = {}
+        for term, df in zip(terms, dfs):
+            df = int(df)
+            for v in _variants(term):
+                cur = best.get(v)
+                if cur is None or (-df, term) < (-cur[0], cur[1]):
+                    best[v] = (df, term)
+        self._best = best
+
+    @classmethod
+    def from_searcher(cls, searcher) -> "SpellIndex":
+        """Collect (term, df) from every lexicon shard (normal + heavy)."""
+        terms: list[str] = []
+        dfs: list[int] = []
+        n_shards = int(searcher.build["num_shards"]) + len(
+            searcher.build.get("heavy_terms", [])
+        )
+        for sid in range(n_shards):
+            lex = searcher._lexicon(sid)
+            if lex is None or not len(lex):
+                continue
+            terms.extend(lex.terms)
+            dfs.extend(int(x) for x in lex.df)
+        return cls(terms, dfs)
+
+    def suggest(self, word: str) -> str | None:
+        """Best shared-variant candidate for ``word`` (None if no candidate)."""
+        cand: tuple[int, str] | None = None
+        for v in _variants(word):
+            hit = self._best.get(v)
+            if hit is not None and (cand is None or (-hit[0], hit[1]) < (-cand[0], cand[1])):
+                cand = hit
+        return cand[1] if cand else None

@@ -91,6 +91,27 @@ def create_app(
             results = [(int(docs[i]), int(counts[i])) for i in order[:topk]]
         else:
             results = searcher.bm25_topk(query, topk=topk, mode=mode)
+        # "did you mean": SymSpell suggestions for query terms the lexicon
+        # doesn't know (the reference silently drops them,
+        # HW2/engine/searcher.py:60-68); the variant map builds lazily from
+        # the index's own lexicon shards on the first miss
+        suggestions = {}
+        if mode in ("AND", "OR"):
+            from web_search_engine_ray.functions.tokenize import query_terms
+
+            unknown = [
+                t for t in dict.fromkeys(query_terms(query))
+                if searcher.lookup(t) is None
+            ]
+            if unknown:
+                if not hasattr(app, "_spell_index"):
+                    from web_search_engine_ray.pipelines.spell import SpellIndex
+
+                    app._spell_index = SpellIndex.from_searcher(searcher)
+                for t in unknown:
+                    s = app._spell_index.suggest(t)
+                    if s is not None:
+                        suggestions[t] = s
         search_ms = (time.perf_counter() - t0) * 1000
         out = []
         for d, s in results:
@@ -99,15 +120,19 @@ def create_app(
                 text = docstore.get_text(d)
                 item["snippet"] = create_snippet(text, query)
             out.append(item)
-        return jsonify(
-            {
-                "results": out,
-                "searchTime": search_ms,
-                "totalResults": len(out),
-                "query": query,
-                "mode": mode,
-            }
-        )
+        resp = {
+            "results": out,
+            "searchTime": search_ms,
+            "totalResults": len(out),
+            "query": query,
+            "mode": mode,
+        }
+        if suggestions:
+            resp["suggestions"] = suggestions
+            resp["suggestedQuery"] = " ".join(
+                suggestions.get(t, t) for t in query.lower().split()
+            )
+        return jsonify(resp)
 
     @app.route("/health")
     def health():
