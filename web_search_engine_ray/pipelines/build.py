@@ -257,9 +257,17 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
     dl_path = os.path.join(cfg.doclens_dir, f"doclen_{pid:06d}.parquet")
     man_path = os.path.join(cfg.manifests_dir, f"run_{pid:06d}.json")
     fp = mf.descriptor_fingerprint(desc) + ":" + layout["fp"]
-    del_fp = getattr(cfg, "_delete_fp", "")
-    if del_fp:
-        fp += f":del:{del_fp}"
+    # fingerprint only THIS partition's slice of the delete set, so growing
+    # the tombstone union elsewhere in the range never forces an untouched
+    # partition to re-tokenize on the next compaction
+    sel = np.empty(0, dtype=np.uint64)
+    dels = getattr(cfg, "_deletes_np", None)
+    if dels is not None and dels.size:
+        lo = np.uint64(desc["base_docid"])
+        hi = np.uint64(int(desc["base_docid"]) + int(desc["n_rows"]))
+        sel = dels[(dels >= lo) & (dels < hi)]
+    if sel.size:
+        fp += ":del:" + hashlib.sha256(sel.tobytes()).hexdigest()[:16]
 
     if cfg.resume and mf.partition_done(man_path, fp, [run_path, dl_path]):
         m = mf.read_manifest(man_path)
@@ -273,17 +281,12 @@ def _build_one_partition(desc: dict, cfg: BuildConfig, layout: dict) -> dict:
     # their docid slots stay reserved (dl written below as 0)
     alive_mask = None
     n_deleted = 0
-    dels = getattr(cfg, "_deletes_np", None)
-    if dels is not None and dels.size:
-        lo = np.uint64(desc["base_docid"])
-        hi = np.uint64(int(desc["base_docid"]) + int(desc["n_rows"]))
-        sel = dels[(dels >= lo) & (dels < hi)]
-        if sel.size:
-            alive_mask = ~np.isin(docids, sel)
-            n_deleted = int(sel.size)
-            tbl = tbl.filter(pa.array(alive_mask))
-            docids_full = docids
-            docids = docids[alive_mask]
+    if sel.size:
+        alive_mask = ~np.isin(docids, sel)
+        n_deleted = int(sel.size)
+        tbl = tbl.filter(pa.array(alive_mask))
+        docids_full = docids
+        docids = docids[alive_mask]
     # tokenize in ~8k-row chunks: large polars string pipelines degrade
     # super-linearly under many-way concurrency (allocator/bandwidth churn);
     # chunking halves the 24-way wall time (measured). Chunk concat keeps

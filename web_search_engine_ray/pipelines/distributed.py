@@ -124,6 +124,9 @@ def append_range_index(out_dir: str, input_path_or_dir, **build_kw) -> dict:
             "docid_span": [offset, offset + n],
             "n_docs": n,
             "total_tokens": b["total_tokens"],
+            # appended ranges may use different build kwargs than the
+            # original index; compaction/optimize rebuilds must reuse THESE
+            "build_kw": build_kw,
         }
     )
     manifest["n_docs"] = int(manifest["n_docs"]) + n
@@ -219,8 +222,9 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
                 r["dir"],
                 docid_offset=lo,
                 delete_docids=tuple(union),
-                # default to the kwargs the range was originally built with
-                **{**manifest.get("build_kw", {}), **build_kw},
+                # the range's own kwargs (appended ranges may differ) win
+                # over the index-wide defaults
+                **{**manifest.get("build_kw", {}), **r.get("build_kw", {}), **build_kw},
             )
             r["deleted_docids"] = union
             r["n_docs"] = int(b["n_docs"])  # alive count
@@ -266,19 +270,41 @@ def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
     gen = int(manifest.get("optimize_gen", 0)) + 1
     new_infos = []
     old_dirs = [r["dir"] for r in ranges]
+    for r in ranges:
+        if "files" not in r:
+            raise ValueError(
+                f"range manifest {r['dir']} predates deletion support "
+                "(no 'files'); rebuild the partitioned index"
+            )
     for gi in range(0, len(ranges), per):
         group = ranges[gi : gi + per]
         lo = int(group[0]["docid_span"][0])
         hi = int(group[-1]["docid_span"][1])
         files = [f for r in group for f in r["files"]]
         deleted = sorted({d for r in group for d in r.get("deleted_docids", [])})
+        # a merged range can only carry ONE kwarg set; refuse silently mixing
+        # ranges that were built differently (e.g. an appended range with
+        # another text_column)
+        kws = {
+            json.dumps(
+                {**manifest.get("build_kw", {}), **r.get("build_kw", {})},
+                sort_keys=True,
+            )
+            for r in group
+        }
+        if len(kws) > 1:
+            raise ValueError(
+                "cannot merge ranges built with different kwargs "
+                f"({sorted(kws)}); optimize with a target that keeps them apart"
+            )
+        group_kw = json.loads(next(iter(kws)))
         rdir = os.path.join(out_dir, f"range_{gi // per:03d}_g{gen}")
         b = build_index(
             files,
             rdir,
             docid_offset=lo,
             delete_docids=tuple(deleted),
-            **{**manifest.get("build_kw", {}), **build_kw},
+            **{**group_kw, **build_kw},
         )
         info = {
             "dir": rdir,
@@ -286,6 +312,7 @@ def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
             "docid_span": [lo, hi],
             "n_docs": int(b["n_docs"]),
             "total_tokens": int(b["total_tokens"]),
+            "build_kw": {**group_kw, **build_kw},
         }
         if deleted:
             info["deleted_docids"] = deleted

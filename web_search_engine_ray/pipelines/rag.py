@@ -108,10 +108,13 @@ def build_rag_store(
     if os.path.exists(marker):
         with open(marker) as f:
             prev = json.load(f)
-        if prev.get("params") == params and os.path.exists(chunks_path):
-            prev["resumed"] = True
-            return prev
-        if prev.get("params", {}).get("corpus_fp") == params["corpus_fp"]:
+        if prev.get("params") == params:
+            if os.path.exists(chunks_path):
+                prev["resumed"] = True
+                return prev
+            # marker survived but the chunks dir didn't: fall through and
+            # rebuild into the same out dir (not a parameter drift)
+        elif prev.get("params", {}).get("corpus_fp") == params["corpus_fp"]:
             raise ValueError(
                 "rag store exists with different parameters "
                 f"({prev.get('params')} != {params}); use a fresh --out"
@@ -182,7 +185,10 @@ def rag_topk(
     )
 
     with open(os.path.join(store_dir, "rag_store.json")) as f:
-        dim = dim or int(json.load(f)["params"]["dim"])
+        store_dim = int(json.load(f)["params"]["dim"])
+    if dim is not None and dim != store_dim:
+        raise ValueError(f"dim={dim} does not match the store's dim={store_dim}")
+    dim = store_dim
     Q = hash_embed_matrix(pa.chunked_array([pa.array(queries)]), dim)
     live = np.linalg.norm(Q, axis=1) > 0
     qref = ray.put(Q)

@@ -425,6 +425,10 @@ def value_quantile_sketch_ds(
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if parts.empty:  # all-empty partials can arrive column-less from Ray
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value_est": pa.array([], pa.float64())}
+        )
     v = parts["v"].to_numpy(dtype=np.float64)
     w = parts["w"].to_numpy(dtype=np.int64)
     cv, cw = _compress_weighted(v, w, k)

@@ -90,9 +90,14 @@ class DocLengths:
 
     def dense(self) -> np.ndarray:
         """Full dense dl array indexed from this store's first docid
-        (test/small-scale convenience only)."""
-        out = np.zeros(self.N, dtype=np.uint32)
-        base = int(self._lo[0]) if self._lo.size else 0
+        (test/small-scale convenience only). Sized by the shards' docid SPAN,
+        not ``N`` — on a deletion-compacted index N counts only alive docs
+        while the shards keep dl=0 placeholder rows for deleted slots."""
+        if not self._lo.size:
+            return np.zeros(0, dtype=np.uint32)
+        base = int(self._lo[0])
+        span = int(self._lo[-1]) + int(self._n[-1]) - base
+        out = np.zeros(span, dtype=np.uint32)
         for si in range(len(self._paths)):
             dl = self._shard_dl(si)
             lo = int(self._lo[si]) - base
