@@ -64,3 +64,108 @@ def test_spell_suggest_vs_bruteforce(ray_session):
     assert got == want
     assert "zzqqzz" not in got  # junk probe matches nothing
     assert "data" in got  # vocab probe yields a suggestion (df rule decides)
+
+
+# ---------------------------------------------------------- sharded serving
+
+
+def test_fnv_vector_scalar_twins():
+    import numpy as np
+    import pyarrow as pa
+
+    from web_search_engine_ray.pipelines.spell import _fnv1a64, _fnv1a64_column
+
+    words = ["", "a", "data", "zzqqzz", "x" * 40, "naïve", "日本語", "merge"]
+    vec = _fnv1a64_column(pa.array(words, pa.string()))
+    assert [int(v) for v in vec] == [_fnv1a64(w) for w in words]
+    # sliced arrays (non-zero arrow offset) hash identically
+    sl = pa.array(words, pa.string()).slice(2, 4)
+    assert [int(v) for v in _fnv1a64_column(sl)] == [_fnv1a64(w) for w in words[2:6]]
+
+
+def test_variant_frame_matches_rule():
+    from web_search_engine_ray.pipelines.spell import _variant_frame, _variants
+
+    terms = ["data", "a", "merge", "zz"]
+    dfs = [5, 1, 3, 2]
+    f = _variant_frame(terms, dfs)
+    got: dict[str, set] = {}
+    for v, t in zip(f["variant"], f["term"]):
+        got.setdefault(t, set()).add(v)
+    for t in terms:
+        assert got[t] == _variants(t)
+
+
+@pytest.fixture(scope="module")
+def spell_index_dir(ray_session, tmp_path_factory):
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+    from web_search_engine_ray.pipelines.build import build_index
+
+    corpus = tmp_path_factory.mktemp("spell_corpus")
+    write_corpus(str(corpus), n_convs=200, max_turns=6, rows_per_file=400)
+    out = str(tmp_path_factory.mktemp("spell_idx"))
+    build_index(str(corpus), out, partition_rows=500, num_shards=4, n_salts=2)
+    return out
+
+
+def test_sharded_spell_index(spell_index_dir):
+    """Sharded serving state: exact vs a whole-vocab brute force, artifact
+    persisted beside the lexicon, per-shard memory bounded, lazy loading."""
+    import os
+
+    from web_search_engine_ray.pipelines.query import Searcher
+    from web_search_engine_ray.pipelines.spell import (
+        N_SPELL_SHARDS,
+        SpellIndex,
+        _variants,
+    )
+
+    searcher = Searcher(spell_index_dir)
+    idx = SpellIndex.from_searcher(searcher)
+    spell_dir = os.path.join(spell_index_dir, "spell")
+    assert os.path.exists(os.path.join(spell_dir, "meta.json"))
+    shard_files = [f for f in os.listdir(spell_dir) if f.endswith(".parquet")]
+    assert len(shard_files) == N_SPELL_SHARDS
+
+    # whole-vocab brute force (the OLD in-memory shape) as the oracle
+    terms, dfs = [], []
+    n_lex = int(searcher.build["num_shards"]) + len(searcher.build["heavy_terms"])
+    for sid in range(n_lex):
+        lex = searcher._lexicon(sid)
+        if lex is None or not len(lex):
+            continue
+        terms.extend(lex.terms)
+        dfs.extend(int(x) for x in lex.df)
+    best: dict[str, tuple[int, str]] = {}
+    for term, df in zip(terms, dfs):
+        for v in _variants(term):
+            cur = best.get(v)
+            if cur is None or (-df, term) < (-cur[0], cur[1]):
+                best[v] = (df, term)
+
+    def brute(word):
+        cand = None
+        for v in _variants(word):
+            hit = best.get(v)
+            if hit and (cand is None or (-hit[0], hit[1]) < (-cand[0], cand[1])):
+                cand = hit
+        return cand[1] if cand else None
+
+    probes = ["dta", "data", "mergee", "windo", "zzqqzz"] + terms[:50]
+    for p in probes:
+        assert idx.suggest(p) == brute(p), p
+
+    # bounded per-shard state: no shard holds more than ~3x its fair share
+    import pyarrow.parquet as pq
+
+    counts = [
+        pq.read_metadata(os.path.join(spell_dir, f)).num_rows for f in shard_files
+    ]
+    assert sum(counts) == len(best)
+    assert max(counts) <= max(64, 3 * sum(counts) // len(counts))
+
+    # lazy loading: a fresh handle loads only the probed variants' shards
+    fresh = SpellIndex.from_searcher(searcher)
+    assert fresh.loaded_shards() == []
+    fresh.suggest("dta")
+    assert 0 < len(fresh.loaded_shards()) <= len("dta") + 1

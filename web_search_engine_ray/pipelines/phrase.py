@@ -56,6 +56,28 @@ def _term_shard(term: str, n_shards: int) -> int:
     return h % n_shards
 
 
+def _term_shard_column(terms: pa.ChunkedArray | pa.Array, n_shards: int) -> np.ndarray:
+    """Per-row shard ids for a term column, hashing each DISTINCT term once
+    (dictionary-encode + gather — the ``build.py::assign_gkeys`` pattern;
+    terms repeat heavily in a postings relation, so this cuts Python hash
+    calls by the repeat factor)."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    enc = terms.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    md5 = hashlib.md5
+    shard_of = np.fromiter(
+        (
+            int.from_bytes(md5(w.encode()).digest()[8:16], "little") % n_shards
+            for w in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return shard_of[idx]
+
+
 def positional_postings_ds(sf_dir: str):
     """(term, docid, positions): one row per (term, doc), positions sorted
     ascending, 1-based over the tokenized stream."""
@@ -98,10 +120,7 @@ def build_positional_index(
     os.makedirs(out_dir, exist_ok=True)
 
     def route(t: pa.Table) -> np.ndarray:
-        terms = t["term"].to_pylist()
-        return np.fromiter(
-            (_term_shard(w, n_shards) for w in terms), dtype=np.int64, count=len(terms)
-        )
+        return _term_shard_column(t["term"], n_shards)
 
     def write_shard(t: pa.Table, pi: int) -> pa.Table:
         tt = (

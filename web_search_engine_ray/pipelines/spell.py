@@ -29,6 +29,9 @@ box layers on top.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -97,48 +100,220 @@ def spell_suggest_ds(sf_dir: str, probes: list[str] | None = None) -> pa.Table:
     )
 
 
+# ----------------------------------------------------------- serving state
+#
+# Variant -> best (df, term) maps sharded by hash(variant), persisted beside
+# the lexicon (``<index_dir>/spell/shard_{i:05d}.parquet``) and lazy-loaded
+# per shard — the same serving model as the lexicon itself: each process
+# holds O(vocab / n_shards) of the map, never the whole vocabulary.
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+SPELL_VERSION = "v2"
+N_SPELL_SHARDS = 8
+
+
+def _fnv1a64(s: str) -> int:
+    """FNV-1a 64-bit over the utf-8 bytes — the scalar routing twin of
+    :func:`_fnv1a64_column` (query-time, one variant at a time)."""
+    h = _FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _fnv1a64_column(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a string column: numpy passes over the raw
+    arrow byte buffer, one pass per character position (max_len iterations,
+    each vectorized over every still-active string)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_utf8())
+    buf_off = np.frombuffer(arr.buffers()[1], np.int64)
+    offsets = buf_off[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    starts = offsets[:-1]
+    lengths = (offsets[1:] - starts).astype(np.int64)
+    h = np.full(len(arr), np.uint64(_FNV_OFFSET))
+    prime = np.uint64(_FNV_PRIME)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for k in range(max_len):
+        active = lengths > k
+        if not active.any():
+            break
+        byte = data[starts[active] + k].astype(np.uint64)
+        h[active] = (h[active] ^ byte) * prime  # u64 wraps, matching scalar
+    return h
+
+
+def variant_shard(variant: str, n_shards: int) -> int:
+    """Query-time variant -> spell-shard routing."""
+    return _fnv1a64(variant) % n_shards
+
+
+def _variant_frame(terms: list[str], dfs) -> "pl.DataFrame":
+    """(variant, term, df) rows for one lexicon shard, vectorized: the
+    identity variant plus every single-character deletion via polars string
+    slicing (terms are ASCII by the tokenizer's charset, so byte slices ==
+    character deletions)."""
+    import polars as pl
+
+    base = pl.DataFrame(
+        {"term": terms, "df": [int(x) for x in dfs]},
+        schema={"term": pl.Utf8, "df": pl.Int64},
+    )
+    ident = base.select(variant=pl.col("term"), term="term", df="df")
+    dels = (
+        base.with_columns(i=pl.int_ranges(0, pl.col("term").str.len_chars()))
+        .explode("i", empty_as_null=False)  # len-0 terms: no deletion rows
+        .select(
+            variant=pl.col("term").str.slice(0, pl.col("i"))
+            + pl.col("term").str.slice(pl.col("i") + 1),
+            term="term",
+            df="df",
+        )
+    )
+    return pl.concat([ident, dels])
+
+
+def build_spell_shards(
+    searcher, spell_dir: str, n_spell_shards: int = N_SPELL_SHARDS
+) -> dict:
+    """Persist the variant->best maps beside the index. Streams ONE lexicon
+    shard at a time (bounded memory: O(vocab / n_lex_shards) live rows),
+    scatters per-variant-shard partials to disk, then reduces each variant
+    shard independently — a disk-based exchange, the single-process analogue
+    of the build pipeline's hash exchange."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    tmp_dir = os.path.join(spell_dir, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    n_lex = int(searcher.build["num_shards"]) + len(
+        searcher.build.get("heavy_terms", [])
+    )
+    for lid in range(n_lex):
+        lex = searcher._lexicon(lid)
+        if lex is None or not len(lex):
+            continue
+        frame = _variant_frame(lex.terms, lex.df)
+        # reduce to per-variant best within this lexicon shard first: cuts
+        # partial rows before they hit disk, and the reduce is associative
+        frame = frame.sort(
+            ["variant", "df", "term"], descending=[False, True, False]
+        ).unique(subset="variant", keep="first", maintain_order=True)
+        tbl = frame.to_arrow()
+        shard_ids = _fnv1a64_column(tbl["variant"]) % np.uint64(n_spell_shards)
+        for sid in np.unique(shard_ids):
+            part = tbl.take(np.nonzero(shard_ids == sid)[0])
+            pq.write_table(
+                part, os.path.join(tmp_dir, f"part_{lid:05d}_{int(sid):05d}.parquet")
+            )
+    n_variants = 0
+    for sid in range(n_spell_shards):
+        parts = sorted(
+            os.path.join(tmp_dir, f)
+            for f in os.listdir(tmp_dir)
+            if f.endswith(f"_{sid:05d}.parquet")
+        )
+        if parts:
+            merged = pl.concat([pl.read_parquet(p) for p in parts])
+            merged = merged.sort(
+                ["variant", "df", "term"], descending=[False, True, False]
+            ).unique(subset="variant", keep="first", maintain_order=True)
+        else:
+            merged = pl.DataFrame(
+                schema={"variant": pl.Utf8, "term": pl.Utf8, "df": pl.Int64}
+            )
+        n_variants += len(merged)
+        out = os.path.join(spell_dir, f"shard_{sid:05d}.parquet")
+        merged.write_parquet(out + ".tmp")
+        os.replace(out + ".tmp", out)
+    for f in os.listdir(tmp_dir):
+        os.unlink(os.path.join(tmp_dir, f))
+    os.rmdir(tmp_dir)
+    meta = {
+        "version": SPELL_VERSION,
+        "n_shards": n_spell_shards,
+        "n_variants": n_variants,
+        "build_fp": searcher.build.get("build_fp", ""),
+    }
+    mpath = os.path.join(spell_dir, "meta.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    return meta
+
+
 class SpellIndex:
-    """Serving-side suggestion state: variant -> best (df, term) candidate,
-    built once from an index's OWN lexicon shards (no Ray, no corpus scan —
-    the vocabulary and df are already on disk next to the postings).
+    """Serving-side suggestion state, sharded by ``hash(variant)``.
 
     Keeping only the best candidate per variant is exact: the global pick is
     ``max over variants of (per-variant best)`` under the same total order
-    (df desc, term asc). Memory is O(vocab x avg_term_len) strings; at 10^9
-    terms the map shards by ``hash(variant)`` exactly like the lexicon —
-    same routing, one more artifact per shard."""
+    (df desc, term asc). Shards load lazily on first probe, so a process
+    serving a few shards' worth of traffic holds only those shards; each
+    shard is O(vocab x avg_term_len / n_shards) strings."""
 
-    def __init__(self, terms, dfs):
-        best: dict[str, tuple[int, str]] = {}
-        for term, df in zip(terms, dfs):
-            df = int(df)
-            for v in _variants(term):
-                cur = best.get(v)
-                if cur is None or (-df, term) < (-cur[0], cur[1]):
-                    best[v] = (df, term)
-        self._best = best
+    def __init__(self, spell_dir: str, n_shards: int):
+        self.dir = spell_dir
+        self.n_shards = int(n_shards)
+        self._shards: dict[int, dict[str, tuple[int, str]]] = {}
 
     @classmethod
-    def from_searcher(cls, searcher) -> "SpellIndex":
-        """Collect (term, df) from every lexicon shard (normal + heavy)."""
-        terms: list[str] = []
-        dfs: list[int] = []
-        n_shards = int(searcher.build["num_shards"]) + len(
-            searcher.build.get("heavy_terms", [])
-        )
-        for sid in range(n_shards):
-            lex = searcher._lexicon(sid)
-            if lex is None or not len(lex):
-                continue
-            terms.extend(lex.terms)
-            dfs.extend(int(x) for x in lex.df)
-        return cls(terms, dfs)
+    def from_searcher(
+        cls, searcher, n_spell_shards: int = N_SPELL_SHARDS
+    ) -> "SpellIndex":
+        """Open (building if missing or stale) the spell artifact beside the
+        index. The build streams one lexicon shard at a time; reopening an
+        already-built index costs nothing until the first probe."""
+        spell_dir = os.path.join(searcher.dir, "spell")
+        meta = None
+        mpath = os.path.join(spell_dir, "meta.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                meta = json.load(f)
+            if (
+                meta.get("version") != SPELL_VERSION
+                or meta.get("n_shards") != n_spell_shards
+                or meta.get("build_fp") != searcher.build.get("build_fp", "")
+            ):
+                meta = None
+        if meta is None:
+            os.makedirs(spell_dir, exist_ok=True)
+            meta = build_spell_shards(searcher, spell_dir, n_spell_shards)
+        return cls(spell_dir, meta["n_shards"])
+
+    def _shard(self, sid: int) -> dict[str, tuple[int, str]]:
+        m = self._shards.get(sid)
+        if m is None:
+            import pyarrow.parquet as pq
+
+            path = os.path.join(self.dir, f"shard_{sid:05d}.parquet")
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                m = dict(
+                    zip(
+                        t["variant"].to_pylist(),
+                        zip(t["df"].to_pylist(), t["term"].to_pylist()),
+                    )
+                )
+            else:
+                m = {}
+            self._shards[sid] = m
+        return m
+
+    def loaded_shards(self) -> list[int]:
+        """Shard ids currently resident (for bounded-memory checks)."""
+        return sorted(self._shards)
 
     def suggest(self, word: str) -> str | None:
-        """Best shared-variant candidate for ``word`` (None if no candidate)."""
+        """Best shared-variant candidate for ``word`` (None if no candidate).
+        Routes each of the word's len+1 variants to its owning shard."""
         cand: tuple[int, str] | None = None
         for v in _variants(word):
-            hit = self._best.get(v)
-            if hit is not None and (cand is None or (-hit[0], hit[1]) < (-cand[0], cand[1])):
+            hit = self._shard(variant_shard(v, self.n_shards)).get(v)
+            if hit is not None and (
+                cand is None or (-hit[0], hit[1]) < (-cand[0], cand[1])
+            ):
                 cand = hit
         return cand[1] if cand else None

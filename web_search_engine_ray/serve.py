@@ -52,6 +52,12 @@ def create_app(
         pos_shards = len(_glob.glob(os.path.join(pos_index_dir, "shard_*.parquet")))
         if pos_shards == 0:
             raise ValueError(f"no shard_*.parquet files in {pos_index_dir}")
+    # did-you-mean state: ensure the sharded variant artifact exists (built
+    # beside the lexicon on first app creation, reopened for free after);
+    # eager here so concurrent first requests never race a lexicon-wide build
+    from web_search_engine_ray.pipelines.spell import SpellIndex
+
+    spell_index = SpellIndex.from_searcher(searcher)
 
     @app.route("/")
     def index():
@@ -95,8 +101,8 @@ def create_app(
         # "did you mean": SymSpell suggestions for query terms the lexicon
         # doesn't know (the reference silently drops them,
         # HW2/engine/searcher.py:60-68). Outside the searchTime timer — the
-        # variant map builds lazily from the index's own lexicon shards on
-        # the first miss, and that one-off cost must not corrupt the metric
+        # per-variant shard maps load lazily on first probe, and that
+        # one-off cost must not corrupt the metric
         suggestions = {}
         if mode in ("AND", "OR"):
             from web_search_engine_ray.functions.tokenize import query_terms
@@ -105,15 +111,10 @@ def create_app(
                 t for t in dict.fromkeys(query_terms(query))
                 if searcher.lookup(t) is None
             ]
-            if unknown:
-                if not hasattr(app, "_spell_index"):
-                    from web_search_engine_ray.pipelines.spell import SpellIndex
-
-                    app._spell_index = SpellIndex.from_searcher(searcher)
-                for t in unknown:
-                    s = app._spell_index.suggest(t)
-                    if s is not None:
-                        suggestions[t] = s
+            for t in unknown:
+                s = spell_index.suggest(t)
+                if s is not None:
+                    suggestions[t] = s
         out = []
         for d, s in results:
             item = {"docid": d, "score": s}
