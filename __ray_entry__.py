@@ -222,12 +222,16 @@ def _rag_topk_entry(sf_dir: str):
     determinism. Store cached under /tmp keyed by corpus identity."""
     import os
 
-    from web_search_engine_ray.pipelines.rag import build_rag_store, rag_topk
+    from web_search_engine_ray.pipelines.rag import EMBED_DIM, build_rag_store, rag_topk
     from web_search_engine_ray.pipelines.serving import FIXED_QUERIES, _cache_key
 
     path = os.path.join(sf_dir, "documents.parquet")
-    out = os.path.join("/tmp", "wse_ray_cache", f"rag_{_cache_key(path, 'rag:v1')}")
-    build_rag_store(sf_dir, out)
+    # cache tag carries the store params: a default change produces a fresh
+    # store dir instead of tripping build_rag_store's drift guard
+    window, stride = 64, 32
+    tag = f"rag:v1:{window}:{stride}:{EMBED_DIM}"
+    out = os.path.join("/tmp", "wse_ray_cache", f"rag_{_cache_key(path, tag)}")
+    build_rag_store(sf_dir, out, window=window, stride=stride, dim=EMBED_DIM)
     return rag_topk(out, FIXED_QUERIES, topk=5)
 
 

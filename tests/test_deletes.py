@@ -239,3 +239,85 @@ def test_optimize_ranges_preserves_everything(
     # idempotent below target
     m3 = optimize_ranges(part, 2)
     assert [r["dir"] for r in m3["ranges"]] == [r["dir"] for r in m2["ranges"]]
+
+
+def test_compaction_swaps_generation_dirs(
+    ray_session, small_corpus_dir, tmp_path_factory
+):
+    """compact_deletes rebuilds into fresh ``_c<gen>`` dirs and swaps the
+    manifest atomically (optimize_ranges' crash-safety contract): the old
+    range dirs are gone only after the swap, and a second compaction bumps
+    the generation."""
+    part = str(tmp_path_factory.mktemp("del_gen"))
+    m0 = build_partitioned_index(small_corpus_dir, part, n_ranges=2, **CFG)
+    old_dirs = [r["dir"] for r in m0["ranges"]]
+    n = int(m0["n_docs"])
+
+    delete_docs(part, list(range(0, n, 9)))
+    m1 = compact_deletes(part)
+    assert m1["compact_gen"] == 1
+    for r, old in zip(m1["ranges"], old_dirs):
+        assert r["dir"] == old + "_c1"
+        assert os.path.isdir(r["dir"])
+        assert not os.path.exists(old)  # removed only after the swap
+
+    # second round: new deletions -> gen 2; dirs swap again
+    delete_docs(part, list(range(1, n, 17)))
+    m2 = compact_deletes(part)
+    assert m2["compact_gen"] == 2
+    for r, old in zip(m2["ranges"], old_dirs):
+        assert r["dir"] == old + "_c1_c2"
+        assert os.path.isdir(r["dir"])
+        assert not os.path.exists(old + "_c1")
+
+    # still exact vs the filtered single build
+    deleted = sorted(set(range(0, n, 9)) | set(range(1, n, 17)))
+    single = str(tmp_path_factory.mktemp("del_gen_single"))
+    _single_minus(small_corpus_dir, single, deleted)
+    s = Searcher(single)
+    ps = PartitionedSearcher(part)
+    try:
+        for q in QUERIES:
+            got = ps.bm25_topk(q, topk=10, mode="OR")
+            want = s.bm25_topk(q, topk=10, mode="OR", tie_semantics="sorted")
+            assert got == want, q
+    finally:
+        ps.shutdown()
+
+
+def test_tombstone_overfetch_is_bounded_and_exact(
+    ray_session, small_corpus_dir, tmp_path_factory
+):
+    """A LARGE uncompacted tombstone set: results equal stale-stats scoring
+    filtered post-hoc (the tombstone contract), while the searcher's fetch
+    depth stays near topk instead of topk + len(dels)."""
+    from web_search_engine_ray.pipelines.distributed import RangeSearcher
+
+    part = str(tmp_path_factory.mktemp("del_big"))
+    m = build_partitioned_index(small_corpus_dir, part, n_ranges=1, **CFG)
+    n = int(m["n_docs"])
+    dels = list(range(0, n, 2))  # half the corpus tombstoned
+
+    rs = RangeSearcher(m["ranges"][0]["dir"])
+    calls = []
+    inner = rs.s.bm25_topk
+
+    def spy(query, topk=10, **kw):
+        calls.append(topk)
+        return inner(query, topk=topk, **kw)
+
+    rs.s.bm25_topk = spy
+    full = Searcher(m["ranges"][0]["dir"])
+    df_g = {t: full.df(t) for q in QUERIES for t in q.split()}
+    for q in QUERIES:
+        calls.clear()
+        got = rs.topk(q, 10, "OR", full.N, full.avgdl, df_g, exclude=dels)
+        # oracle: full stale-stats ranking, filtered, cut
+        want = [
+            h
+            for h in full.bm25_topk(q, topk=n, mode="OR", tie_semantics="sorted")
+            if int(h[0]) not in set(dels)
+        ][:10]
+        assert got == want, q
+        # bounded: every fetch depth well under topk + len(dels)
+        assert max(calls) < 10 + len(dels) / 4, (q, calls)

@@ -41,43 +41,51 @@ from web_search_engine_ray.sources.documents import read_docs as _read_docs
 END = "</w>"  # end-of-word sentinel (distinct from any corpus token char)
 
 
-def word_frequencies(sf_dir: str, max_words: int | None = None) -> list[tuple[str, int]]:
+def word_frequencies(sf_dir: str, max_words: int = 100_000) -> list[tuple[str, int]]:
     """(word, count) pairs sorted by (count desc, word asc) — the training
-    relation. ``max_words`` keeps only the most frequent words (ties by
-    word) WITHOUT a global sort: every word's total count lives whole in
-    one exchange partition of the term-stats merge, so the partition-local
+    relation. ``max_words`` (REQUIRED bound, defaulted — this function
+    returns a driver-side list, so an unbounded pull would collect the full
+    vocabulary) keeps only the most frequent words (ties by word) WITHOUT a
+    global sort: every word's total count lives whole in one exchange
+    partition of the term-stats merge, so the partition-local
     top-``max_words`` cut is a guaranteed superset of the global top-k;
     the driver takes the final cut over <= n_parts x max_words rows."""
     import ray
 
-    ds = term_stats_ds(sf_dir)
-    if max_words is not None:
-        # one block per exchange partition -> per-block map IS the
-        # partition-local cut, and it runs remotely: the driver receives at
-        # most n_parts x max_words rows, never the full vocabulary
-        def prune(t: pa.Table) -> pa.Table:
-            return (
-                pl.from_arrow(t)
-                .sort(["cf", "term"], descending=[True, False])
-                .head(max_words)
-                .to_arrow()
-                .cast(t.schema)
-            )
+    if not isinstance(max_words, int) or max_words <= 0:
+        raise ValueError(
+            f"max_words must be a positive int, got {max_words!r} — this is "
+            "a driver-side collection and must stay bounded"
+        )
 
-        ds = ds.map_batches(prune, batch_format="pyarrow")
+    ds = term_stats_ds(sf_dir)
+
+    # one block per exchange partition -> per-block map IS the
+    # partition-local cut, and it runs remotely: the driver receives at
+    # most n_parts x max_words rows, never the full vocabulary
+    def prune(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort(["cf", "term"], descending=[True, False])
+            .head(max_words)
+            .to_arrow()
+            .cast(t.schema)
+        )
+
+    ds = ds.map_batches(prune, batch_format="pyarrow")
     parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
     if not parts:
         return []
-    df = pl.from_arrow(pa.concat_tables(parts)).sort(
-        ["cf", "term"], descending=[True, False]
+    df = (
+        pl.from_arrow(pa.concat_tables(parts))
+        .sort(["cf", "term"], descending=[True, False])
+        .head(max_words)
     )
-    if max_words is not None:
-        df = df.head(max_words)
     return list(zip(df["term"].to_list(), df["cf"].to_list()))
 
 
 def train_bpe(
-    sf_dir: str, n_merges: int = 200, max_words: int | None = 100_000
+    sf_dir: str, n_merges: int = 200, max_words: int = 100_000
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list [(left, right), ...] (rank = position).

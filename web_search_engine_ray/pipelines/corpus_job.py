@@ -183,9 +183,15 @@ def run_llm_corpus_job(
     val_pct: int = 10,
     test_pct: int = 10,
     n_parts: int = 16,
+    hash_fn: str = "fast",
 ) -> dict:
     """Run (or resume) the full curation chain. Returns the stats dict the
-    CLI prints: per-stage row counts + split sizes."""
+    CLI prints: per-stage row counts + split sizes.
+
+    ``hash_fn`` drives the exact-dedup content hash: the composed job
+    defaults to the vectorized 64-bit ``"fast"`` path (throughput work —
+    2.8x at 2M docs); the driver-gate entries keep ``"md5"``, the
+    oracle-shared, collision-safe archival convention."""
     import ray
 
     from web_search_engine_ray.pipelines.curate import write_curated_corpus
@@ -204,13 +210,14 @@ def run_llm_corpus_job(
         "min_tokens": min_tokens,
         "max_stop_ratio": max_stop_ratio,
         "n_parts": n_parts,
+        "hash_fn": hash_fn,
         "input_fp": _corpus_fp([src]),
     }
     m1 = _stage_done(s1, p1)
     if m1 is None:
         rep = write_curated_corpus(
             input_dir, s1, min_tokens=min_tokens,
-            max_stop_ratio=max_stop_ratio, n_parts=n_parts,
+            max_stop_ratio=max_stop_ratio, n_parts=n_parts, hash_fn=hash_fn,
         )
         m1 = _finish_stage(s1, p1, int(rep["n_rows"]))
     n1 = int(m1["n_rows"])
@@ -383,7 +390,7 @@ def run_llm_corpus_job(
 # --------------------------------------------- transcripts -> SFT dataset
 
 
-def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
+def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8, hash_fn: str = "md5") -> set:
     """conv_ids to DROP: exact-dup losers (all but min conv_id per content
     hash) plus VERIFIED near-dup cluster losers — minhash LSH candidates are
     only edges after their true conversation-shingle jaccard clears ``tau``
@@ -399,23 +406,18 @@ def _conv_drop_set(corpus, n_parts: int, tau: float = 0.8) -> set:
     # group sizes > 1 by re-grouping on conv_hash with all members.
     # conversation_dedup_ds collapses to one row per hash, so instead reuse
     # the reassembly+hash directly here (same rule, losers visible).
-    import hashlib
-
+    # ``hash_fn`` picks the content-hash path (dedup.text_hash_column):
+    # "fast" = vectorized 64-bit, "md5" = the oracle-shared convention.
     import pyarrow as _pa
 
+    from web_search_engine_ray.pipelines.dedup import text_hash_column
     from web_search_engine_ray.pipelines.transcripts_ops import conversation_text_ds
     from web_search_engine_ray.stages.exchange import exchange_map
 
     def hash_rows(t: _pa.Table) -> _pa.Table:
         return _pa.table(
             {
-                "conv_hash": _pa.array(
-                    [
-                        hashlib.md5(x.encode("utf-8")).hexdigest()
-                        for x in t["conv_text"].to_pylist()
-                    ],
-                    _pa.string(),
-                ),
+                "conv_hash": text_hash_column(t["conv_text"], hash_fn),
                 "conv_id": t["conv_id"].cast(_pa.string()),
             }
         )
@@ -498,6 +500,7 @@ def run_sft_dataset_job(
     test_pct: int = 10,
     n_parts: int = 16,
     drop_malformed: bool = False,
+    hash_fn: str = "fast",
 ) -> dict:
     """Transcripts -> SFT training dataset, staged and resumable:
 
@@ -532,6 +535,7 @@ def run_sft_dataset_job(
     s1 = os.path.join(out_dir, "s1_convs")
     p1 = {
         "n_parts": n_parts,
+        "hash_fn": hash_fn,
         "input_fp": _corpus_fp(corpus_files(corpus)),
         "routing_probe": _pl_routing_probe(n_parts),
     }
@@ -545,7 +549,7 @@ def run_sft_dataset_job(
         from web_search_engine_ray.stages.exchange import exchange_map
 
         _begin_stage(s1, p1)
-        drop = _conv_drop_set(corpus, n_parts)
+        drop = _conv_drop_set(corpus, n_parts, hash_fn=hash_fn)
         n_dup_dropped = len(drop)
         if drop_malformed:
             import pyarrow.compute as pc

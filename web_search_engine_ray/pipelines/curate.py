@@ -177,6 +177,7 @@ def write_curated_corpus(
     min_tokens: int = 5,
     max_stop_ratio: float = 0.6,
     n_parts: int = 32,
+    hash_fn: str = "md5",
 ) -> dict:
     """Materialize the curated corpus (docid, text of every survivor) as
     partitioned Parquet — the composed filter->dedup pipeline's SINK.
@@ -221,6 +222,7 @@ def write_curated_corpus(
         "min_tokens": min_tokens,
         "max_stop_ratio": max_stop_ratio,
         "n_parts": n_parts,
+        "hash_fn": hash_fn,
         "routing_probe": routing_probe,
     }
     fp_path = os.path.join(out_dir, "_curation_params.json")
@@ -239,7 +241,7 @@ def write_curated_corpus(
         os.replace(tmp, fp_path)
 
     def signals_with_text(batch: pa.Table) -> pa.Table:
-        sig = _doc_signals(batch, min_tokens, max_stop_ratio)
+        sig = _doc_signals(batch, min_tokens, max_stop_ratio, hash_fn)
         return sig.append_column("text", batch["text"])
 
     def write_part(t: pa.Table, pi: int) -> pa.Table:

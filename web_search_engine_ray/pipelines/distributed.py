@@ -198,28 +198,38 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
     pending = load_deletes(out_dir)
     if not pending:
         return manifest
+    import shutil
+
     import numpy as np
 
     pend = np.asarray(pending, dtype=np.int64)
+    # crash safety (optimize_ranges' contract): every affected range rebuilds
+    # into a FRESH generation dir; the manifest swaps to the new dirs only
+    # after ALL rebuilds succeed, so a crash mid-rebuild leaves partitioned.json
+    # pointing at intact pre-compaction ranges (tombstones in deletes.json
+    # still hide the deleted docs) and the rerun resumes into the same gen dirs
+    gen = int(manifest.get("compact_gen", 0)) + 1
     total_tokens = 0
     n_alive = 0
+    rebuilt: list[tuple[dict, str, str]] = []  # (range info, old dir, new dir)
     for r in manifest["ranges"]:
         lo, hi = (int(x) for x in r["docid_span"])
         mine = pend[(pend >= lo) & (pend < hi)]
         prev = r.get("deleted_docids", [])
-        if mine.size:
-            # cumulative union — a rebuild with only the NEW deletions would
-            # resurrect previously compacted ones
-            union = sorted(set(prev) | {int(d) for d in mine})
+        # cumulative union — a rebuild with only the NEW deletions would
+        # resurrect previously compacted ones
+        union = sorted(set(prev) | {int(d) for d in mine}) if mine.size else list(prev)
+        if mine.size and union != sorted(prev):
             files = r.get("files")
             if not files:
                 raise ValueError(
                     f"range manifest {r['dir']} predates deletion support "
                     "(no 'files'); rebuild the partitioned index"
                 )
+            new_dir = f"{r['dir'].rstrip('/')}_c{gen}"
             b = build_index(
                 files,
-                r["dir"],
+                new_dir,
                 docid_offset=lo,
                 delete_docids=tuple(union),
                 # the range's own kwargs (appended ranges may differ) win
@@ -229,14 +239,20 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
             r["deleted_docids"] = union
             r["n_docs"] = int(b["n_docs"])  # alive count
             r["total_tokens"] = int(b["total_tokens"])
+            rebuilt.append((r, r["dir"], new_dir))
         total_tokens += int(r["total_tokens"])
         n_alive += int(r["n_docs"])
+    for r, _old, new_dir in rebuilt:
+        r["dir"] = new_dir
     manifest["n_docs"] = n_alive
     manifest["total_tokens"] = total_tokens
     manifest["avgdl"] = (total_tokens / n_alive) if n_alive else 0.0
     manifest.setdefault("docid_end", int(manifest["ranges"][-1]["docid_span"][1]))
-    mf.write_manifest(path, manifest)
+    manifest["compact_gen"] = gen
+    mf.write_manifest(path, manifest)  # the atomic commit point
     os.remove(_deletes_path(out_dir))
+    for _r, old_dir, _new in rebuilt:  # old gens only after the swap succeeded
+        shutil.rmtree(old_dir, ignore_errors=True)
     return manifest
 
 
@@ -365,15 +381,24 @@ class RangeSearcher:
                 return []  # some required term has no postings in this range
         if not exclude:
             return self.s.bm25_topk(query, topk=topk, mode=mode, tie_semantics="sorted")
-        # tombstoned docids in this range: over-fetch by the tombstone count
-        # (a deleted doc displaces at most one live hit), filter, re-cut —
+        # tombstoned docids in this range: over-fetch, filter, re-cut —
         # scores use the STALE pre-compaction stats, exactly like segment
-        # engines with uncommitted deletes
+        # engines with uncommitted deletes. The over-fetch starts SMALL
+        # (most tombstones can't even score for this query) and doubles on
+        # shortfall up to topk + len(dels), the worst case (each deleted doc
+        # displaces at most one live hit) — so a huge uncompacted delete set
+        # no longer defeats the WAND/MaxScore cutoffs on every query
         dels = set(exclude)
-        hits = self.s.bm25_topk(
-            query, topk=topk + len(dels), mode=mode, tie_semantics="sorted"
-        )
-        return [h for h in hits if int(h[0]) not in dels][:topk]
+        cap = topk + len(dels)
+        fetch = min(cap, topk + min(len(dels), max(16, topk)))
+        while True:
+            hits = self.s.bm25_topk(
+                query, topk=fetch, mode=mode, tie_semantics="sorted"
+            )
+            alive = [h for h in hits if int(h[0]) not in dels]
+            if len(alive) >= topk or len(hits) < fetch or fetch >= cap:
+                return alive[:topk]
+            fetch = min(cap, fetch * 2)
 
 
 class PartitionedSearcher:

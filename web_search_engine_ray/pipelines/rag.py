@@ -122,10 +122,20 @@ def build_rag_store(
 
     def embed(batch: pa.Table) -> pa.Table:
         M = hash_embed_matrix(batch["text"], dim)
+        cidx = batch["chunk_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        # chunk_idx must fit its uid bits: past 2^20 chunks (~33.5M tokens
+        # at stride 32) an idx would bleed into the docid bits and alias
+        # another doc's chunk 0 — fail loudly instead
+        if cidx.size and int(cidx.max()) >= (1 << CHUNK_UID_SHIFT):
+            raise ValueError(
+                f"chunk_idx {int(cidx.max())} exceeds the 2^{CHUNK_UID_SHIFT} "
+                "chunk_uid bound (oversized document); raise CHUNK_UID_SHIFT "
+                "or split the document upstream"
+            )
         uid = (
             batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
             << CHUNK_UID_SHIFT
-        ) | batch["chunk_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        ) | cidx
         return pa.table(
             {
                 "chunk_uid": pa.array(uid, pa.int64()),
