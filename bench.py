@@ -30,6 +30,24 @@ ROWS_PER_FILE = 8000
 QUERY_SAMPLES = 200
 
 
+# --- host-noise sentinel -----------------------------------------------
+# One tiny CANONICAL pipeline (fixed corpus, fixed build params, independent
+# of BENCH_CONVS) timed at the START and END of every bench run. Its two
+# readings + ratio land in the JSON, so a cross-round delta larger than the
+# in-run sentinel spread is attributable to code, and a slow host window
+# (this shared box has a documented ±0.15 band, BASELINE.md) is visible
+# inside the artifact itself instead of needing prose.
+SENTINEL_CONVS = 12000
+SENTINEL_CFG = dict(
+    partition_rows=8000, num_shards=16, n_salts=4, heavy_df_frac=0.5, resume=False
+)
+# quiet-box reading for this sentinel, round 4 (2026-08-18, idle guest,
+# num_cpus=32, first/last 0.987/1.182): carried so the NEXT round can compare
+# its sentinel against a known-quiet reference without cross-referencing
+# BASELINE.md
+SENTINEL_QUIET_S = {"round": 4, "num_cpus": 32, "seconds": 0.99}
+
+
 def corpus_dir() -> str:
     return f"/tmp/wse_bench_corpus_c{BENCH_CONVS}_t{BENCH_MAX_TURNS}_r{ROWS_PER_FILE}"
 
@@ -45,6 +63,31 @@ def ensure_corpus() -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return d
+
+
+def sentinel_corpus() -> str:
+    from web_search_engine_ray.fixtures.transcripts import write_corpus
+
+    d = f"/tmp/wse_sentinel_corpus_c{SENTINEL_CONVS}_t{BENCH_MAX_TURNS}"
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        write_corpus(d, n_convs=SENTINEL_CONVS, max_turns=BENCH_MAX_TURNS,
+                     rows_per_file=ROWS_PER_FILE)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_sentinel() -> float:
+    """One timed run of the canonical sentinel build (fresh output dir)."""
+    from web_search_engine_ray.pipelines.build import build_index
+
+    corpus = sentinel_corpus()
+    out = "/tmp/wse_bench_sentinel_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus, out, **SENTINEL_CFG)
+    return time.perf_counter() - t0
 
 
 def sample_queries(searcher, n: int = QUERY_SAMPLES) -> list[str]:
@@ -110,6 +153,10 @@ def run_bench() -> dict:
     shutil.rmtree("/tmp/wse_bench_warm", ignore_errors=True)
     build_index(warm_files, "/tmp/wse_bench_warm", **cfg)
 
+    # sentinel, first reading (post-warmup, pre-bench)
+    skip_aux = bool(os.environ.get("WSE_BENCH_SKIP_AUX"))
+    sentinel_first = None if skip_aux else run_sentinel()
+
     idx_dir = f"/tmp/wse_bench_index_{NCPU}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -143,7 +190,7 @@ def run_bench() -> dict:
     timings["bm25_actor_pool_200"] = round(pool_s, 3)
     timings["bm25_actor_pool_qps"] = round(len(queries) / pool_s, 1)
 
-    if os.environ.get("WSE_BENCH_SKIP_AUX"):
+    if skip_aux:
         # scaling legs measure the headline build + query path only — the
         # aux sf ops would multiply each leg's wall time without informing
         # the efficiency ratio
@@ -312,6 +359,17 @@ def run_bench() -> dict:
     _rag.rag_topk(rag_dir, _FQ, topk=5)
     timings["rag_topk_sf"] = round(time.perf_counter() - t0, 3)
 
+    # sentinel, last reading: the first/last pair brackets every number above
+    sentinel_last = run_sentinel()
+    noise_sentinel = {
+        "pipeline": f"index_build_c{SENTINEL_CONVS}_fixed_params",
+        "first_s": round(sentinel_first, 3),
+        "last_s": round(sentinel_last, 3),
+        "ratio": round(max(sentinel_first, sentinel_last)
+                       / max(1e-9, min(sentinel_first, sentinel_last)), 3),
+        "prev_quiet": SENTINEL_QUIET_S,
+    }
+
     out = {
         "metric": "index_build_seconds_240k_turn_transcripts",
         "value": round(t_build, 3),
@@ -324,12 +382,13 @@ def run_bench() -> dict:
         "n_postings": build["n_postings"],
         "n_terms": build["n_terms"],
         "heavy_terms": len(build["heavy_terms"]),
+        "noise_sentinel": noise_sentinel,
     }
     ray.shutdown()
     return out
 
 
-def run_scaling() -> dict:
+def run_scaling(ab_tree: str | None = None) -> dict:
     """Same job, fresh ray.init at N and 4N CPUs — the sandbox proxy for the
     N- vs 4N-node cluster rule.
 
@@ -340,9 +399,20 @@ def run_scaling() -> dict:
     node brings its own memory bandwidth, which the 2->8 regime models
     honestly. Override with WSE_SCALE_LO / WSE_SCALE_HI. A larger corpus
     (~1M turns) amortizes fixed startup so the measurement is compute-bound.
+
+    ``--ab <prior-tree>``: interleave every leg with the SAME leg run from a
+    pinned prior checkout (a git worktree of the baseline commit) in one
+    session — HEADlo, BASElo, HEADhi, BASEhi — so a HEAD-vs-baseline claim
+    is a same-window A/B instead of two single runs hours apart. Both trees
+    share the /tmp corpus cache, so inputs are byte-identical.
     """
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, tree: str | None = None) -> dict:
+        script = (
+            os.path.abspath(__file__)
+            if tree is None
+            else os.path.join(os.path.abspath(tree), "bench.py")
+        )
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -352,36 +422,72 @@ def run_scaling() -> dict:
             WSE_BENCH_CONVS=os.environ.get("WSE_SCALE_CONVS", "444000"),
         )
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, script],
             env=env,
             capture_output=True,
             text=True,
             check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(script),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus = int(os.environ.get("WSE_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("WSE_SCALE_HI", "8"))
-    lo, hi = run(lo_cpus), run(hi_cpus)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+
+    if ab_tree is None:
+        lo, hi = run(lo_cpus), run(hi_cpus)
+        t_lo, t_hi = lo["value"], hi["value"]
+        eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+        return {
+            "metric": "index_build_scaling",
+            "unit": "efficiency",
+            "value": round(eff, 3),
+            "cpus": [lo_cpus, hi_cpus],
+            f"sec_{lo_cpus}": t_lo,
+            f"sec_{hi_cpus}": t_hi,
+            f"turns_per_sec_{lo_cpus}": lo["turns_per_sec"],
+            f"turns_per_sec_{hi_cpus}": hi["turns_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "n_turns": lo["n_turns"],
+        }
+
+    # interleaved A/B: each HEAD leg immediately followed by the same BASE
+    # leg, so both see the same host window
+    head_lo = run(lo_cpus)
+    base_lo = run(lo_cpus, ab_tree)
+    head_hi = run(hi_cpus)
+    base_hi = run(hi_cpus, ab_tree)
+    speed = hi_cpus / lo_cpus
+    eff_head = (head_lo["value"] / head_hi["value"]) / speed
+    eff_base = (base_lo["value"] / base_hi["value"]) / speed
     return {
-        "metric": "index_build_scaling",
+        "metric": "index_build_scaling_ab",
         "unit": "efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_head, 3),
         "cpus": [lo_cpus, hi_cpus],
-        f"sec_{lo_cpus}": t_lo,
-        f"sec_{hi_cpus}": t_hi,
-        f"turns_per_sec_{lo_cpus}": lo["turns_per_sec"],
-        f"turns_per_sec_{hi_cpus}": hi["turns_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "n_turns": lo["n_turns"],
+        "baseline_tree": os.path.abspath(ab_tree),
+        "head": {
+            f"sec_{lo_cpus}": head_lo["value"],
+            f"sec_{hi_cpus}": head_hi["value"],
+            "scaling_efficiency": round(eff_head, 3),
+        },
+        "baseline": {
+            f"sec_{lo_cpus}": base_lo["value"],
+            f"sec_{hi_cpus}": base_hi["value"],
+            "scaling_efficiency": round(eff_base, 3),
+        },
+        # per-leg same-window speed ratios (head/base; <1 = HEAD faster)
+        "leg_ratio_lo": round(head_lo["value"] / base_lo["value"], 3),
+        "leg_ratio_hi": round(head_hi["value"] / base_hi["value"], 3),
+        "n_turns": head_lo["n_turns"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        ab = None
+        if "--ab" in sys.argv:
+            ab = sys.argv[sys.argv.index("--ab") + 1]
+        print(json.dumps(run_scaling(ab)))
     else:
         print(json.dumps(run_bench()))
