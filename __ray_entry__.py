@@ -30,6 +30,23 @@ STOP_SQL = "('the','a','and','of','to','in','is')"
 
 TOPK = 10
 N_KNN_QUERIES = 3
+
+# the events->transcripts derivation, shared by every conv_*_events twin —
+# MUST mirror transcripts_ops.events_as_transcripts exactly
+_EVCONV_TR = """ev AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT
+           AS turn_idx,
+         ts, event_type, props
+  FROM events),
+ tr AS (
+  SELECT conv_id, turn_idx,
+         CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         event_type || ' ' || props AS text,
+         CASE WHEN turn_idx % 3 = 2 THEN event_type ELSE '' END AS tool,
+         ts
+  FROM ev)"""
 RERANK_K1 = 50  # hybrid rerank recall depth — templated into BOTH the
 RERANK_K2 = 10  # engine call and its SQL twin so they cannot drift
 KMEANS_K = 8  # k-means config — same templating contract; the SQL twin
@@ -386,6 +403,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_search": lambda sf: transcripts_ops.role_filtered_search_table(
             transcripts_ops.fixture_corpus()
         ),
+        # ---- conversation ops over the events-DERIVED transcript view ----
+        # the same operators, driven by a deterministic conversation view of
+        # the driver's events table (transcripts_ops.events_as_transcripts);
+        # the derivation is a plain window expression, so these carry FULL
+        # SQL value twins — closing the rows-only gap for the conv family
+        "conv_rollup_events": lambda sf: transcripts_ops.conversation_rollup_ds(
+            transcripts_ops.events_as_transcripts(sf)
+        ),
+        "conv_role_stats_events": lambda sf: transcripts_ops.role_stats_ds(
+            transcripts_ops.events_as_transcripts(sf)
+        ),
+        "conv_tool_usage_events": lambda sf: transcripts_ops.tool_usage_ds(
+            transcripts_ops.events_as_transcripts(sf)
+        ),
+        "conv_structure_events": lambda sf: (
+            transcripts_ops.conversation_structure_stats_ds(
+                transcripts_ops.events_as_transcripts(sf)
+            )
+        ),
+        "conv_dedup_events": lambda sf: transcripts_ops.conversation_dedup_ds(
+            transcripts_ops.events_as_transcripts(sf)
+        ),
+        "sft_examples_events": lambda sf: transcripts_ops.sft_examples_ds(
+            transcripts_ops.events_as_transcripts(sf), max_context_turns=64
+        ),
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
@@ -431,9 +473,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": lambda sf: sketch.sample_docs(sf, k=100),
         "sample_per_type": lambda sf: sketch.sample_per_type(sf, k=20),
         "distinct_terms_hll": lambda sf: sketch.hll_distinct_terms(sf),
+        # error-contract twins for the approximate families: the SQL side
+        # recomputes the EXACT quantity (distinct count / exact-knn pair
+        # count) and expects the bound to hold — estimate regressions and
+        # exact-path divergences both hash-mismatch
+        "distinct_terms_hll_bound": lambda sf: sketch.hll_bound_table(sf),
+        "ann_recall_bounds": lambda sf: similarity.ann_recall_bound_table(
+            sf, N_KNN_QUERIES, TOPK
+        ),
         "heavy_hitter_terms": lambda sf: sketch.heavy_hitter_terms(sf, k=20),
         "dl_quantiles": lambda sf: sketch.dl_quantiles_ds(sf),
         "value_quantiles": lambda sf: sketch.value_quantile_sketch_ds(sf),
+        # the sketch's rank-error contract as a driver-checkable inequality:
+        # Ray counts the EXACT rank of each estimate distributed; SQL
+        # contributes the exact n and expects every bound to hold
+        "value_quantiles_bound": lambda sf: sketch.value_quantile_bound_table(sf),
         # ---- text analysis ----
         "text_stats": analysis.text_stats_ds,
         "quality": analysis.quality_ds,
@@ -1157,21 +1211,154 @@ SELECT doc_id AS docid, i::BIGINT AS window_idx,
        md5(array_to_string(ws[i+1:i+8], ' ')) AS whash
 FROM w
 """,
-        # rows-only (no SQL twin): minhash_lsh_candidates (splitmix64 mixing
-        # needs wrapping u64 arithmetic DuckDB lacks), knn_lsh + knn_pq +
-        # embedding_dups_lsh (approximate by construction),
-        # wand_daat_equivalence (engine-internal heap-tie equivalence),
-        # crawl_log (stateful frontier traversal), bpe_merges +
-        # bpe_encode_stats (iterative greedy training loop),
-        # incremental_novel (Bloom bit-layout dependent), conv_* +
-        # sft_examples (no transcript-shaped driver table; DuckDB-oracled
-        # in pytest; conv_minhash_dups additionally LSH-approximate with a
-        # planted-near-dup recall + true-jaccard precision contract;
-        # conv_jaccard_dups is pinned equal to the naive all-pairs verified
-        # answer over the planted-clone corpus (tests/test_transcripts_ops);
-        # conv_episode_split is pinned against a DuckDB LAG/SUM window twin
-        # over a planted-gap corpus; conv_pack against the window-sum twin
-        # in global conv_id order plus a partition-invariance contract;
-        # role_search is pinned against the reference-semantics OracleIndex
-        # post-filtered by role)
+        # error-contract twins: SQL recomputes the exact quantity, asserts
+        # the bound holds on every row
+        "distinct_terms_hll_bound": f"""
+WITH {tok_cte}
+SELECT (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_exact,
+       true AS within_bound
+""",
+        "ann_recall_bounds": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),
+ sims AS (SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.emb) AS cos
+          FROM q JOIN e ON e.vec_id != q.query_id),
+ exact AS (
+   SELECT query_id, vec_id
+   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rn FROM sims)
+   WHERE rn <= {TOPK})
+SELECT m.method, (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       true AS contract_ok
+FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method)
+""",
+        # value_quantiles stays rows-only (the summary's estimates are not
+        # SQL math), but its rank-error CONTRACT is oracled here: the twin
+        # pins the exact n and asserts within_bound for every q — a sketch
+        # regression or a count divergence both hash-mismatch
+        "value_quantiles_bound": """
+SELECT q, (SELECT count(*) FROM events WHERE value IS NOT NULL)::BIGINT AS n,
+       true AS within_bound
+FROM (VALUES (0.01),(0.05),(0.25),(0.5),(0.75),(0.9),(0.95),(0.99)) t(q)
+""",
+        # ---- conversation ops over the events-derived transcript view ----
+        # the derivation (transcripts_ops.events_as_transcripts) is a plain
+        # window expression, so these are FULL value twins of the conv ops
+        "conv_rollup_events": f"""
+WITH {_EVCONV_TR}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum((role = 'user')::INT)::BIGINT AS n_user,
+       sum((role = 'assistant')::INT)::BIGINT AS n_assistant,
+       sum((role = 'tool')::INT)::BIGINT AS n_tool,
+       sum((tool <> '')::INT)::BIGINT AS n_tool_calls,
+       sum(coalesce(length(text), 0))::BIGINT AS total_chars,
+       min(epoch_us(ts) // 1000000)::BIGINT AS first_epoch,
+       max(epoch_us(ts) // 1000000)::BIGINT AS last_epoch
+FROM tr GROUP BY conv_id
+""",
+        "conv_role_stats_events": f"""
+WITH {_EVCONV_TR},
+ t AS (SELECT role,
+       len(regexp_extract_all(lower(text), '{PAT}'))::BIGINT AS n_tok FROM tr)
+SELECT role, count(*)::BIGINT AS n_turns, sum(n_tok)::BIGINT AS total_tokens,
+       round(sum(n_tok) / (1.0 * count(*)), 6) AS avg_tokens
+FROM t GROUP BY role
+""",
+        "conv_tool_usage_events": f"""
+WITH {_EVCONV_TR}
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM tr WHERE tool <> '' GROUP BY tool
+""",
+        "conv_structure_events": f"""
+WITH {_EVCONV_TR},
+ o AS (
+  SELECT conv_id, turn_idx, role, text,
+         LAG(role) OVER w AS prev_role,
+         LAG(turn_idx) OVER w AS prev_idx
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum((coalesce(text, '') = '')::INT)::BIGINT AS n_empty_turns,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role,
+       sum(coalesce((role = prev_role)::INT, 0))::BIGINT AS n_role_repeats,
+       sum((prev_idx IS NOT NULL AND turn_idx - prev_idx <> 1)::INT)::BIGINT
+           AS n_idx_gaps,
+       (arg_min(role, turn_idx) = 'user'
+        AND arg_max(role, turn_idx) = 'assistant'
+        AND sum((coalesce(text, '') = '')::INT) = 0
+        AND min(turn_idx) = 0
+        AND max(turn_idx) = count(*) - 1
+        AND sum((prev_idx IS NOT NULL AND turn_idx - prev_idx <> 1)::INT) = 0)
+           AS is_wellformed
+FROM o GROUP BY conv_id
+""",
+        "conv_dedup_events": f"""
+WITH {_EVCONV_TR},
+ ct AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || coalesce(text, ''), chr(10) ORDER BY turn_idx)
+           AS conv_text
+  FROM tr GROUP BY conv_id)
+SELECT md5(conv_text) AS conv_hash, min(conv_id) AS conv_id
+FROM ct GROUP BY md5(conv_text)
+""",
+        "sft_examples_events": f"""
+WITH {_EVCONV_TR},
+ lines AS (
+  SELECT conv_id, turn_idx, role, text,
+         role || ': ' || coalesce(text, '') AS line
+  FROM tr),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(line, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS context,
+    count(*) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)::BIGINT AS n_context_turns
+  FROM lines)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_context_turns,
+       coalesce(context, '') AS context, coalesce(text, '') AS target
+FROM w WHERE role = 'assistant'
+""",
+        # rows-only (no SQL value twin) — per-entry rationale:
+        # - minhash_lsh_candidates: splitmix64 mixing needs wrapping u64
+        #   arithmetic DuckDB lacks; feeds the hash-green ngram_jaccard_dups.
+        # - knn_lsh/knn_ivf/knn_pq + embedding_dups_lsh: approximate by
+        #   construction — their CONTRACTS are oracled (ann_recall_bounds);
+        #   raw outputs additionally pinned by pytest recall/subset tests.
+        # - distinct_terms_hll / value_quantiles / heavy_hitter_terms:
+        #   sketch estimates are not SQL math; HLL and the quantile summary
+        #   have contract twins (distinct_terms_hll_bound /
+        #   value_quantiles_bound); CountMin heavy hitters may emit
+        #   threshold false positives (the reported SET is not SQL-
+        #   reproducible), pytest pins never-underestimate + eps*N bound.
+        # - wand_daat_equivalence: engine-internal heap-tie membership is
+        #   not SQL-expressible; the entry RAISES on WAND/DAAT divergence
+        #   and the ranking math itself is oracled via bm25_topk_or.
+        # - crawl_log: stateful frontier traversal (priority queue over
+        #   fetch results) — no SQL twin can exist; pytest pins policy.
+        # - bpe_merges + bpe_encode_stats: iterative greedy training loop;
+        #   pytest pins both against an independent naive recount trainer.
+        # - incremental_novel: Bloom verdicts depend on the filter's bit
+        #   layout; pytest pins no-false-negatives + an FPR bound.
+        # - pca_project: eigendecomposition; pytest replays vs numpy.
+        # - rag_topk: hash-based embedder (not SQL math); pytest pins
+        #   exact-chunk retrieval + determinism.
+        # - conv_* + sft_examples + role_search over the transcript FIXTURE
+        #   corpus: the native transcript shape (tool calls, planted dups/
+        #   gaps) has no driver table; all are DuckDB-oracled in pytest, and
+        #   the conv family ADDITIONALLY carries full value twins over the
+        #   events-derived view (conv_*_events / sft_examples_events above).
+        #   conv_minhash_dups: LSH-approximate with planted-near-dup recall
+        #   + true-jaccard precision contract; conv_jaccard_dups: pinned
+        #   equal to the naive all-pairs verified answer over the planted-
+        #   clone corpus; conv_episode_split: DuckDB LAG/SUM twin over a
+        #   planted-gap corpus; conv_pack: window-sum twin + partition-
+        #   invariance; role_search: reference-semantics OracleIndex
+        #   post-filtered by role.
     }

@@ -382,3 +382,66 @@ def pq_knn(
     ds = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     partials = ds.map_batches(f, batch_format="pyarrow").to_pandas()
     return _merge_query_topk(partials, topk)
+
+
+# pinned aggregate recall floors for the driver-gate contract entry
+# (ann_recall_bounds) — same floors the pytest contracts pin. LSH is NOT
+# recall-floored: single-bucket probing over near-uniform embeddings has
+# vanishing recall BY DESIGN (8 planes -> ~0.6^8 neighbor collision odds);
+# its contract is that every pair it DOES return carries the exact cosine
+ANN_RECALL_FLOORS = {"ivf": 0.5, "pq": 0.6}
+
+
+def ann_recall_bound_table(
+    sf_dir: str, n_queries: int = 3, topk: int = 10
+) -> pa.Table:
+    """(method, n_exact, contract_ok): the ANN family's correctness
+    contracts, made driver-checkable. Exact kNN (itself value-oracled as
+    ``knn_cosine``) is the truth set; ivf/pq must clear their pinned
+    aggregate recall floors (ANN_RECALL_FLOORS), and lsh's returned pairs
+    must score the exact cosine (its guarantee is scoring fidelity, not
+    recall — see ANN_RECALL_FLOORS note). The SQL twin contributes the
+    exact-pair count from ITS OWN knn computation, so a divergence in
+    either the exact path or a contract regression hash-mismatches."""
+    import pyarrow.parquet as pq_
+
+    exact = knn_cosine(sf_dir, n_queries, topk).to_pandas()
+    exact_pairs = set(zip(exact["query_id"], exact["vec_id"]))
+
+    def recall(approx) -> float:
+        a = approx.to_pandas()
+        hits = sum(
+            1 for q, v in zip(a["query_id"], a["vec_id"]) if (q, v) in exact_pairs
+        )
+        return hits / max(1, len(exact_pairs))
+
+    # lsh: every returned cos must equal the true cosine (recomputed here
+    # from the raw embeddings for the returned pairs only)
+    lsh = lsh_bucketed_knn(sf_dir, n_queries, topk).to_pandas()
+    lsh_ok = True
+    if len(lsh):
+        emb = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = _norm_rows(list_matrix(emb["embedding"].combine_chunks()))
+        order = np.argsort(ids)
+        qids, Qn = _query_matrix(sf_dir, n_queries)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        for q, v, c in zip(lsh["query_id"], lsh["vec_id"], lsh["cos"]):
+            vi = order[np.searchsorted(ids[order], int(v))]
+            true_cos = float(Qn[qpos[int(q)]] @ V[vi])
+            if abs(true_cos - float(c)) > 1e-6:
+                lsh_ok = False
+                break
+
+    rows = [
+        ("ivf", recall(ivf_knn(sf_dir, n_queries, topk)) >= ANN_RECALL_FLOORS["ivf"]),
+        ("lsh", lsh_ok),
+        ("pq", recall(pq_knn(sf_dir, n_queries, topk)) >= ANN_RECALL_FLOORS["pq"]),
+    ]
+    return pa.table(
+        {
+            "method": pa.array([m for m, _ in rows], pa.string()),
+            "n_exact": pa.array([len(exact_pairs)] * len(rows), pa.int64()),
+            "contract_ok": pa.array([ok for _, ok in rows], pa.bool_()),
+        }
+    )

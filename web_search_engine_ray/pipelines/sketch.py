@@ -444,3 +444,90 @@ def value_quantile_sketch_ds(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value_est": pa.array(out_v, pa.float64())}
     )
+
+
+def value_quantile_bound_table(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+    k: int = 1024,
+    tol: float = 0.01,
+) -> pa.Table:
+    """(q, n, within_bound): the sketch's rank-error contract, made
+    driver-checkable. ``value_est`` comes from the mergeable summary
+    (:func:`value_quantile_sketch_ds`); its EXACT rank is then counted by a
+    second distributed pass (a broadcast of len(qs) thresholds — each batch
+    emits one count row), and ``within_bound`` asserts
+    ``|rank(value_est)/n - q| <= tol`` (same normalized tolerance the pytest
+    contract pins). The SQL twin contributes the exact ``n`` and expects
+    every bound to hold — a sketch regression or a count divergence both
+    hash-mismatch in the gate."""
+    from web_search_engine_ray.pipelines.events import _read_events
+
+    est = value_quantile_sketch_ds(sf_dir, qs, k)
+    thr = est["value_est"].to_numpy()
+    qs_arr = est["q"].to_numpy()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = vals[~np.isnan(vals)].astype(np.float64)
+        le = (vals[None, :] <= thr[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "qi": pa.array(np.arange(thr.size), pa.int64()),
+                "le": pa.array(le, pa.int64()),
+                "n": pa.array(np.full(thr.size, vals.size), pa.int64()),
+            }
+        )
+
+    parts = _read_events(sf_dir, ["value"]).map_batches(
+        counts, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "q": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
+    g = parts.groupby("qi")[["le", "n"]].sum()
+    n = int(g["n"].iloc[0])  # every qi row carries the same per-batch n sum
+    ok = [
+        bool(abs(int(g["le"].loc[i]) / n - float(qs_arr[i])) <= tol)
+        for i in range(thr.size)
+    ]
+    return pa.table(
+        {
+            "q": pa.array([float(x) for x in qs_arr], pa.float64()),
+            "n": pa.array([n] * thr.size, pa.int64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+def hll_bound_table(sf_dir: str, p: int = HLL_P, tol: float = 0.05) -> pa.Table:
+    """(n_exact, within_bound): the HLL estimate's error contract, made
+    driver-checkable. ``n_exact`` is the TRUE distinct-term count from a
+    distributed exact pass (per-batch distinct partials, driver union at
+    vocabulary scale — fine at gate scale; the sketch exists for when it
+    is not); ``within_bound`` asserts |est - n| / n <= tol (~3 sigma at
+    p=12). The SQL twin computes the same exact distinct count, so the
+    exact paths must agree AND the sketch must be in-bound."""
+    est = float(hll_distinct_terms(sf_dir, p)["estimate"][0].as_py())
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"]).to_list()
+        d: set[str] = set()
+        for tl in toks:
+            d.update(tl or [])
+        return pa.table({"term": pa.array(sorted(d), pa.string())})
+
+    parts = _read_docs(sf_dir).map_batches(distinct, batch_format="pyarrow").to_pandas()
+    n = int(parts["term"].nunique())
+    ok = bool(n > 0 and abs(est - n) / n <= tol)
+    return pa.table(
+        {
+            "n_exact": pa.array([n], pa.int64()),
+            "within_bound": pa.array([ok], pa.bool_()),
+        }
+    )

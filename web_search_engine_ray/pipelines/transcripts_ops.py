@@ -53,6 +53,97 @@ def _read(corpus: str | list[str], columns: list[str]):
     return ray.data.read_parquet(corpus_files(corpus), columns=columns)
 
 
+def events_as_transcripts(sf_dir: str, n_parts: int = 16) -> str:
+    """Deterministic conversation VIEW of the driver's ``events`` table,
+    cached as transcript-schema parquet — this is what lets the conversation
+    operators carry REAL SQL twins in the driver gate (the driver's tables
+    have no native transcript relation, but this derivation is expressible
+    in both engines):
+
+        conv_id  = 'u' || user_id
+        turn_idx = rank of (ts, event_id) within user      (0-based)
+        role     = ['user','assistant','tool'][turn_idx % 3]
+        tool     = event_type if role == 'tool' else ''
+        text     = event_type || ' ' || props
+        ts       = ts
+
+    One hash exchange on user_id (all of a user's events land in one
+    partition, so the within-user rank is exact), then a per-partition
+    vectorized sort + window. Cached by events-file identity."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from web_search_engine_ray.pipelines.serving import _cache_key
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    path = os.path.join(sf_dir, "events.parquet")
+    out = os.path.join(
+        "/tmp", "wse_ray_cache", f"evconv_{_cache_key(path, f'evconv{n_parts}:v1')}"
+    )
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            % n_parts
+        ).astype(np.int64)
+
+    def build(t: pa.Table, pi: int) -> pa.Table:
+        part_path = os.path.join(out, f"evconv_{pi:05d}.parquet")
+        if t.num_rows == 0:
+            pq.write_table(schema.empty_table(), part_path + ".tmp")
+        else:
+            df = (
+                pl.from_arrow(t)
+                .sort(["user_id", "ts", "event_id"])
+                .with_columns(
+                    turn_idx=pl.int_range(pl.len()).over("user_id").cast(pl.Int32)
+                )
+                .with_columns(
+                    conv_id=pl.lit("u") + pl.col("user_id").cast(pl.Utf8),
+                    role=pl.when(pl.col("turn_idx") % 3 == 0)
+                    .then(pl.lit("user"))
+                    .when(pl.col("turn_idx") % 3 == 1)
+                    .then(pl.lit("assistant"))
+                    .otherwise(pl.lit("tool")),
+                    text=pl.col("event_type") + pl.lit(" ") + pl.col("props"),
+                )
+                .with_columns(
+                    tool=pl.when(pl.col("role") == "tool")
+                    .then(pl.col("event_type"))
+                    .otherwise(pl.lit(""))
+                )
+                .select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+            )
+            pq.write_table(df.to_arrow().cast(schema), part_path + ".tmp")
+        os.replace(part_path + ".tmp", part_path)
+        return pa.table({"part": pa.array([pi], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        path, columns=["event_id", "ts", "user_id", "event_type", "props"]
+    )
+    exchange_map(ds, route, n_parts, build, with_index=True).count()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def conversation_rollup_ds(corpus: str | list[str], n_parts: int = 32):
     """(conv_id, n_turns, n_user, n_assistant, n_tool, n_tool_calls,
     total_chars, first_epoch, last_epoch) per conversation."""
