@@ -225,3 +225,103 @@ def test_midscale_bpe_and_bloom(ray_session):
             hx = "NULL" if x is None else _h.md5(x.encode()).hexdigest()
             if hx in prior_hashes:
                 assert not novel.loc[i], i
+
+
+def test_midscale_recall_error_contracts(ray_session):
+    """Round-3/4 recall + error contracts at sf0.1: IVF/PQ recall floors vs
+    exact knn, quantile-summary rank error on events.value, Bloom FPR bound
+    on the incremental scan."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    sf = "/root/testdata/sf0.1"
+
+    from web_search_engine_ray.pipelines.similarity import (
+        ANN_RECALL_FLOORS,
+        ivf_knn,
+        knn_cosine,
+        pq_knn,
+    )
+
+    exact = knn_cosine(sf, 3, 10).to_pandas()
+    ep = set(zip(exact["query_id"], exact["vec_id"]))
+    for fn, floor in ((ivf_knn, ANN_RECALL_FLOORS["ivf"]), (pq_knn, ANN_RECALL_FLOORS["pq"])):
+        a = fn(sf, 3, 10).to_pandas()
+        hits = sum((q, v) in ep for q, v in zip(a["query_id"], a["vec_id"]))
+        assert hits / len(ep) >= floor, (fn.__name__, hits / len(ep))
+
+    # quantile summary rank error (same normalized tolerance as the unit test)
+    from web_search_engine_ray.pipelines.sketch import value_quantile_sketch_ds
+
+    t = value_quantile_sketch_ds(sf)
+    vals = pq_.read_table(sf + "/events.parquet", columns=["value"])["value"].to_numpy(
+        zero_copy_only=False
+    )
+    vals = np.sort(vals[~np.isnan(vals)])
+    for q, est in zip(t["q"].to_pylist(), t["value_est"].to_pylist()):
+        r = np.searchsorted(vals, est, side="right")
+        assert abs(r / vals.size - q) < 0.01, (q, est)
+
+    # Bloom FPR: among TRULY-novel increment docs, the "probably seen"
+    # fraction must stay tiny (theory ~(kn/m)^k ~ 3e-11 at n=2500, m=2^22,
+    # k=4; 1e-3 allows generous slack while still catching a broken filter)
+    from web_search_engine_ray.pipelines import dedup
+
+    prior_max = 2500
+    got = (
+        dedup.incremental_novel_ds(sf, prior_max_docid=prior_max)
+        .to_pandas()
+        .set_index("docid")["novel"]
+    )
+    tdocs = pq_.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    hx = [
+        "NULL" if x is None else hashlib.md5(x.encode()).hexdigest()
+        for x in tdocs["text"].to_pylist()
+    ]
+    ids = tdocs["doc_id"].to_pylist()
+    prior_hashes = {h for i, h in zip(ids, hx) if i < prior_max}
+    truly_novel = [i for i, h in zip(ids, hx) if i >= prior_max and h not in prior_hashes]
+    fp = sum(1 for i in truly_novel if not got.loc[i])
+    assert fp / max(1, len(truly_novel)) <= 1e-3, fp
+
+
+def test_largescale_episode_split_identity(ray_session):
+    """Gap-free ~0.46M-turn corpus: episode split is the IDENTITY (every
+    turn lands in episode 0 — the fixture's 7 s turn gaps are far under the
+    1800 s rule). Checked distributed: per-batch (rows, nonzero) partials,
+    never a driver materialization of the per-turn relation."""
+    import glob
+
+    import pyarrow as pa
+
+    from web_search_engine_ray.fixtures.transcripts import write_corpus_ray
+    from web_search_engine_ray.pipelines.transcripts_ops import (
+        conversation_episode_split_ds,
+    )
+
+    d = "/tmp/wse_slow_epi_corpus_c100000"
+    write_corpus_ray(d, n_convs=100_000, max_turns=8)
+    n_rows = sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(d + "/*.parquet")
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        nz = int(
+            (t["episode_idx"].combine_chunks().to_numpy(zero_copy_only=False) != 0).sum()
+        )
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "nonzero": pa.array([nz], pa.int64()),
+            }
+        )
+
+    parts = (
+        conversation_episode_split_ds(d)
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert int(parts["n"].sum()) == n_rows
+    assert int(parts["nonzero"].sum()) == 0
