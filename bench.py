@@ -487,7 +487,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         ab = None
         if "--ab" in sys.argv:
-            ab = sys.argv[sys.argv.index("--ab") + 1]
+            i = sys.argv.index("--ab") + 1
+            if i >= len(sys.argv) or sys.argv[i].startswith("-"):
+                sys.exit("usage: bench.py --scaling [--ab <prior-tree-dir>]")
+            ab = sys.argv[i]
+            if not os.path.isfile(os.path.join(ab, "bench.py")):
+                sys.exit(f"--ab tree {ab!r} has no bench.py")
         print(json.dumps(run_scaling(ab)))
     else:
         print(json.dumps(run_bench()))

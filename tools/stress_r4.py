@@ -24,7 +24,9 @@ from tools.dedup_stress import DOCS_DIR, SRC, _driver_rss_mb, ensure_documents
 
 
 def ensure_corpus() -> str:
-    if not os.path.isdir(SRC):
+    # gate on the marker, not the dir: an interrupted generation must not
+    # silently feed a truncated corpus into the stress numbers
+    if not os.path.exists(os.path.join(SRC, ".complete")):
         from web_search_engine_ray.fixtures.transcripts import write_corpus
 
         write_corpus(SRC, n_convs=444_000, max_turns=8, rows_per_file=8000)

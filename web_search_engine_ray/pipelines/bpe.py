@@ -221,7 +221,7 @@ class _BpeEncoder:
 
 
 def bpe_encode_stats_ds(
-    sf_dir: str, n_merges: int = 64, max_words: int | None = 100_000, concurrency: int = 4
+    sf_dir: str, n_merges: int = 64, max_words: int = 100_000, concurrency: int = 4
 ):
     """(docid, n_tokens, n_pieces): corpus re-encoded with a BPE vocabulary
     trained on itself. Two corpus passes (word counts, encode) + a

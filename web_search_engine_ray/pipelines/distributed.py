@@ -143,6 +143,21 @@ def _deletes_path(out_dir: str) -> str:
     return os.path.join(out_dir, "deletes.json")
 
 
+def _gc_unreferenced_range_dirs(out_dir: str, manifest: dict) -> None:
+    """Remove range generation dirs the manifest no longer references — a
+    crash between the manifest swap and the old-dir cleanup (in
+    compact_deletes or optimize_ranges) otherwise leaks full index copies
+    forever, since the rerun rebuilds nothing. Only ``range_*`` dirs are
+    candidates; everything else in out_dir is untouched."""
+    import glob
+    import shutil
+
+    live = {os.path.abspath(r["dir"]) for r in manifest.get("ranges", [])}
+    for d in glob.glob(os.path.join(out_dir, "range_*")):
+        if os.path.isdir(d) and os.path.abspath(d) not in live:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def load_deletes(out_dir: str) -> list[int]:
     """Pending (uncompacted) tombstoned docids, sorted."""
     p = _deletes_path(out_dir)
@@ -198,8 +213,6 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
     pending = load_deletes(out_dir)
     if not pending:
         return manifest
-    import shutil
-
     import numpy as np
 
     pend = np.asarray(pending, dtype=np.int64)
@@ -251,8 +264,9 @@ def compact_deletes(out_dir: str, **build_kw) -> dict:
     manifest["compact_gen"] = gen
     mf.write_manifest(path, manifest)  # the atomic commit point
     os.remove(_deletes_path(out_dir))
-    for _r, old_dir, _new in rebuilt:  # old gens only after the swap succeeded
-        shutil.rmtree(old_dir, ignore_errors=True)
+    # old gens only after the swap succeeded; the GC sweep also reclaims
+    # dirs orphaned by a PREVIOUS crash in the swap->cleanup window
+    _gc_unreferenced_range_dirs(out_dir, manifest)
     return manifest
 
 
@@ -268,8 +282,6 @@ def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
     rebuild would bake them in silently, making ``deletes.json`` stale).
     New ranges build into fresh ``range_NNN_gG`` dirs before the manifest
     swap, so a crash mid-optimize leaves the old index fully intact."""
-    import shutil
-
     from web_search_engine_ray.pipelines.build import build_index
 
     path = os.path.join(out_dir, "partitioned.json")
@@ -285,7 +297,6 @@ def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
     per = (len(ranges) + target_ranges - 1) // target_ranges
     gen = int(manifest.get("optimize_gen", 0)) + 1
     new_infos = []
-    old_dirs = [r["dir"] for r in ranges]
     for r in ranges:
         if "files" not in r:
             raise ValueError(
@@ -342,8 +353,9 @@ def optimize_ranges(out_dir: str, target_ranges: int, **build_kw) -> dict:
         manifest["total_tokens"] / manifest["n_docs"] if manifest["n_docs"] else 0.0
     )
     mf.write_manifest(path, manifest)
-    for d in old_dirs:  # old segments only after the manifest swap succeeded
-        shutil.rmtree(d, ignore_errors=True)
+    # old segments only after the manifest swap succeeded; the GC sweep
+    # also reclaims dirs orphaned by a previous crash in this window
+    _gc_unreferenced_range_dirs(out_dir, manifest)
     return manifest
 
 

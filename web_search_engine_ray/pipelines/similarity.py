@@ -415,12 +415,20 @@ def ann_recall_bound_table(
         )
         return hits / max(1, len(exact_pairs))
 
-    # lsh: every returned cos must equal the true cosine (recomputed here
-    # from the raw embeddings for the returned pairs only)
+    # lsh: every returned cos must equal the true cosine, recomputed from
+    # the RETURNED pairs' embeddings only — a vec_id row filter pushed into
+    # the read (the _query_matrix pattern), never the full embedding column
     lsh = lsh_bucketed_knn(sf_dir, n_queries, topk).to_pandas()
     lsh_ok = True
     if len(lsh):
-        emb = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+        import pyarrow.compute as pc_
+
+        needed = sorted({int(v) for v in lsh["vec_id"]})
+        emb = pq_.read_table(
+            _emb_path(sf_dir),
+            columns=["vec_id", "embedding"],
+            filters=pc_.field("vec_id").isin(needed),
+        )
         ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         V = _norm_rows(list_matrix(emb["embedding"].combine_chunks()))
         order = np.argsort(ids)

@@ -492,8 +492,10 @@ def value_quantile_bound_table(
         )
     g = parts.groupby("qi")[["le", "n"]].sum()
     n = int(g["n"].iloc[0])  # every qi row carries the same per-batch n sum
+    # n == 0 (all-null value column): report the bound as failed rather
+    # than dividing by zero — degenerate data should gate-mismatch, not error
     ok = [
-        bool(abs(int(g["le"].loc[i]) / n - float(qs_arr[i])) <= tol)
+        bool(n > 0 and abs(int(g["le"].loc[i]) / n - float(qs_arr[i])) <= tol)
         for i in range(thr.size)
     ]
     return pa.table(

@@ -187,7 +187,12 @@ def build_spell_shards(
     import polars as pl
     import pyarrow.parquet as pq
 
+    import shutil
+
     tmp_dir = os.path.join(spell_dir, "tmp")
+    # a crashed (or stale-index) build leaves partials here; merging them
+    # would serve suggestions from a dead vocabulary — start clean
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
     n_lex = int(searcher.build["num_shards"]) + len(
         searcher.build.get("heavy_terms", [])
