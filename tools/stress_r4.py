@@ -78,8 +78,11 @@ def main() -> None:
             lambda: transcripts_ops.conversation_episode_split_ds(corpus).count(),
         ),
         (
+            # 64 shards: the per-shard sort+write is the bottleneck, and 16
+            # partitions underfill 32 CPUs (measured 170.8 s at 16 shards vs
+            # 77.5 s at 64 on identical code; BASELINE.md round-4 table)
             "posindex_build_2M",
-            lambda: phrase.build_positional_index(docs, pos_dir, n_shards=16)["n_rows"],
+            lambda: phrase.build_positional_index(docs, pos_dir, n_shards=64)["n_rows"],
         ),
         ("index_build_2M (spell input)", build_idx),
         (

@@ -80,16 +80,23 @@ def _term_shard_column(terms: pa.ChunkedArray | pa.Array, n_shards: int) -> np.n
 
 def positional_postings_ds(sf_dir: str):
     """(term, docid, positions): one row per (term, doc), positions sorted
-    ascending, 1-based over the tokenized stream."""
+    ascending, 1-based over the tokenized stream. Positions are int32 —
+    half the shuffle/storage bytes of i64; a single document would need
+    >2^31 tokens to overflow (guarded)."""
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"])
         ids = batch["doc_id"].cast(pa.int64())
+        lens = toks.list.len().fill_null(0)
+        if len(lens) and int(lens.max()) >= (1 << 31):
+            raise ValueError("document token count exceeds int32 position space")
         df = (
             pl.DataFrame({"docid": pl.from_arrow(ids), "ws": toks})
             .explode("ws")
             .drop_nulls("ws")
-            .with_columns(p=pl.int_range(pl.len()).over("docid") + 1)
+            .with_columns(
+                p=(pl.int_range(pl.len()).over("docid") + 1).cast(pl.Int32)
+            )
         )
         g = (
             df.group_by(["ws", "docid"])
@@ -102,7 +109,7 @@ def positional_postings_ds(sf_dir: str):
                 [
                     ("term", pa.string()),
                     ("docid", pa.int64()),
-                    ("positions", pa.list_(pa.int64())),
+                    ("positions", pa.list_(pa.int32())),
                 ]
             )
         )
@@ -157,7 +164,7 @@ def _cached_positional_index(sf_dir: str, n_shards: int = N_SHARDS) -> str:
 
     path = os.path.join(sf_dir, "documents.parquet")
     out = os.path.join(
-        "/tmp", "wse_ray_cache", f"pos_{_cache_key(path, f'pos{n_shards}:v1')}"
+        "/tmp", "wse_ray_cache", f"pos_{_cache_key(path, f'pos{n_shards}:v2')}"
     )
     if not all(
         os.path.exists(os.path.join(out, f"shard_{i:05d}.parquet"))
