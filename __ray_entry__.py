@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
+        # faceted search: best-k hits per (query, source facet) + boolean
+        # match counts per facet — the search-UI sidebar pair
+        "bm25_facet_topk": lambda sf: serving.bm25_facet_topk_table(sf),
+        "facet_counts": lambda sf: serving.facet_counts_table(sf),
         "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
         "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(
             sf, k1=RERANK_K1, k2=RERANK_K2
@@ -808,6 +812,27 @@ WITH {tok_cte}, {tf_cte},
  q(query_id, term) AS (VALUES {qv})
 SELECT DISTINCT q.query_id::BIGINT AS query_id, tf.doc_id AS docid
 FROM q JOIN tf ON tf.term = q.term
+""",
+        # faceted ranking: the bm25_core scores joined to the source facet,
+        # best k per (query, facet) by (-score, docid)
+        "bm25_facet_topk": bm25_core
+        + f"""
+SELECT query_id::BIGINT AS query_id, source, docid, ROUND(score, 4) AS score
+FROM (SELECT sc.query_id, d.source, sc.docid, sc.score,
+             row_number() OVER (PARTITION BY sc.query_id, d.source
+                                ORDER BY sc.score DESC, sc.docid) AS rn
+      FROM scored sc JOIN documents d ON d.doc_id = sc.docid)
+WHERE rn <= {serving_mod.FACET_TOPK}
+""",
+        # facet sidebar counts: distinct boolean-OR matches per (query, source)
+        "facet_counts": f"""
+WITH {tok_cte}, {tf_cte},
+ q(query_id, term) AS (VALUES {qv}),
+ m AS (SELECT DISTINCT q.query_id, tf.doc_id
+       FROM q JOIN tf ON tf.term = q.term)
+SELECT m.query_id::BIGINT AS query_id, d.source, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.source
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS docid

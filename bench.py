@@ -359,6 +359,16 @@ def run_bench() -> dict:
     _rag.rag_topk(rag_dir, _FQ, topk=5)
     timings["rag_topk_sf"] = round(time.perf_counter() - t0, 3)
 
+    # faceted search: per-facet BM25 top-k + boolean facet counts over the
+    # sf documents index (index build cost excluded — cached above)
+    from web_search_engine_ray.pipelines import serving as _serving
+
+    _serving.documents_searcher(SF_DIR)  # warm the cached index
+    t0 = time.perf_counter()
+    _serving.bm25_facet_topk_table(SF_DIR)
+    _serving.facet_counts_table(SF_DIR)
+    timings["facet_search_sf"] = round(time.perf_counter() - t0, 3)
+
     # sentinel, last reading: the first/last pair brackets every number above
     sentinel_last = run_sentinel()
     noise_sentinel = {

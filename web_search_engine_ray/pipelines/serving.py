@@ -469,3 +469,198 @@ def boolean_table(sf_dir: str, queries: list[str] | None = None, mode: str = "AN
     return pa.table(
         {"query_id": pa.array(q_l, pa.int64()), "docid": pa.array(d_l, pa.int64())}
     )
+
+
+# -- faceted search ---------------------------------------------------------
+#
+# The search-UI sidebar pair the reference's Flask app lacks: "best k hits
+# per source" and "how many matches per source". Both treat a document
+# attribute column as the facet; neither reshuffles the corpus.
+
+FACET_TOPK = 5
+
+
+def _gather_doc_sources(sf_dir: str, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-only gather of the ``source`` facet attribute: one streamed
+    pass over documents(doc_id, source) keeping only the requested docids
+    (vectorized ``is_in``) — the same gather shape as hybrid_rerank's
+    candidate embeddings. At 10^12 docs the facet attribute lives in
+    docid-range-aligned shards next to doc_lengths and this becomes a
+    per-range row-group fetch; at sf scale the one-pass filter is right.
+    Returns (sorted candidate docids, source string per docid)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    if docids.size == 0:
+        return docids.astype(np.int64), np.array([], dtype=object)
+    need_arr = pa.array(np.asarray(docids, dtype=np.int64), pa.int64())
+
+    def gather(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["doc_id"].cast(pa.int64()), value_set=need_arr)
+        kept = batch.filter(mask)
+        return pa.table(
+            {"doc_id": kept["doc_id"].cast(pa.int64()), "source": kept["source"]}
+        )
+
+    got = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+        .map_batches(gather, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ids = got["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    return ids[order], got["source"].to_numpy()[order]
+
+
+def bm25_facet_topk_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = FACET_TOPK,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, source, docid, score) — the best ``topk`` BM25 hits per
+    (query, facet) where the facet is the document's ``source`` attribute.
+
+    Engine path: score once with the TAAT ranker (the oracle-matched float
+    association, same as ``bm25_taat_table``), gather ``source`` for the
+    candidate docids only, then a vectorized per-facet cut by
+    (-score, docid) — SQL ``row_number() OVER (PARTITION BY query, source
+    ORDER BY score DESC, docid)`` semantics, which the DuckDB twin replays.
+
+    Scale shape: each index range-shard emits its LOCAL top-k per facet
+    (bounded at k x n_facets rows per shard) and the driver k-way merges —
+    the facet attribute is a docid-range-aligned lookup like doc_lengths,
+    so faceting adds no shuffle to the query path."""
+    import pandas as pd
+
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_parts, d_parts, s_parts = [], [], []
+    for qid, q in enumerate(queries):
+        res = s.search(q, mode="OR", topk=None)
+        if not res:
+            continue
+        n = len(res)
+        d = np.fromiter((r[0] for r in res), np.int64, n)
+        sc = np.fromiter((r[1] for r in res), np.float64, n)
+        q_parts.append(np.full(n, qid, np.int64))
+        d_parts.append(d)
+        s_parts.append(sc)
+    if not q_parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "docid": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    qv = np.concatenate(q_parts)
+    dv = np.concatenate(d_parts)
+    sv = np.concatenate(s_parts)
+    gids, gsrc = _gather_doc_sources(sf_dir, np.unique(dv))
+    src = gsrc[np.searchsorted(gids, dv)]
+    df = pd.DataFrame({"query_id": qv, "source": src, "docid": dv, "score": sv})
+    # cut on the raw float64 score (ulp-aligned with the SQL sum), round
+    # only for output — the same discipline as bm25_topk_table
+    df = df.sort_values(
+        ["query_id", "source", "score", "docid"],
+        ascending=[True, True, False, True],
+        kind="stable",
+    )
+    out = df.groupby(["query_id", "source"], sort=False).head(topk)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "docid": pa.array(out["docid"].to_numpy(), pa.int64()),
+            "score": pa.array(np.round(out["score"].to_numpy(), round_to), pa.float64()),
+        }
+    )
+
+
+def facet_counts_table(sf_dir: str, queries: list[str] | None = None) -> pa.Table:
+    """(query_id, source, n_docs) — boolean-OR match counts per facet: the
+    "filter by source" sidebar counts next to search results.
+
+    Scale shape: the per-query MATCHED docid sets (sorted int64 arrays from
+    the posting lists) are broadcast once via ``ray.put``; one streamed pass
+    over documents(doc_id, source) computes per-batch per-(query, facet)
+    partial counts with searchsorted membership + bincount over dictionary
+    codes; the driver reduces the tiny (n_queries x n_facets) partials.
+    Document rows never leave the workers. At 10^12 docs a stopword query's
+    match set outgrows the broadcast budget — then the match relation flows
+    through a docid-keyed exchange semi-join instead (the ngram-jaccard
+    pattern); at gate scale broadcast is the right call."""
+    import ray
+    import ray.data
+
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    matched: dict[int, np.ndarray] = {}
+    for qid, q in enumerate(queries):
+        terms = s._known_terms(q)
+        if not terms:
+            continue
+        docs = np.unique(np.concatenate([s.postings(t)[0] for t in terms]))
+        matched[qid] = docs.astype(np.int64)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+    if not matched:
+        return empty
+    ref = ray.put(matched)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = batch["source"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = enc.dictionary.to_pylist()
+        q_l, s_l, n_l = [], [], []
+        for qid, arr in m.items():
+            pos = np.searchsorted(arr, ids)
+            hit = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == ids)
+            if not hit.any():
+                continue
+            cnt = np.bincount(codes[hit], minlength=len(names))
+            for ci in np.flatnonzero(cnt):
+                q_l.append(qid)
+                s_l.append(names[ci])
+                n_l.append(int(cnt[ci]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_l, pa.int64()),
+                "source": pa.array(s_l, pa.string()),
+                "n_docs": pa.array(n_l, pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return empty
+    agg = (
+        parts.groupby(["query_id", "source"], as_index=False)["n_docs"]
+        .sum()
+        .sort_values(["query_id", "source"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(agg["query_id"].to_numpy(), pa.int64()),
+            "source": pa.array(agg["source"].tolist(), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(), pa.int64()),
+        }
+    )
