@@ -47,7 +47,7 @@ def built_index(ray_session, phrase_dir, tmp_path_factory):
 def test_positional_postings(ray_session, phrase_dir):
     from web_search_engine_ray.pipelines.phrase import positional_postings_ds
 
-    t = positional_postings_ds(phrase_dir).to_pandas()
+    t = positional_postings_ds(phrase_dir, codec="plain").to_pandas()
     row = t[(t.term == "spark") & (t.docid == 0)].iloc[0]
     assert list(row.positions) == [1, 3]
     row = t[(t.term == "join") & (t.docid == 0)].iloc[0]
@@ -55,6 +55,88 @@ def test_positional_postings(ray_session, phrase_dir):
     # the huge docid keeps exact positions
     row = t[(t.term == "tail") & (t.docid == 2**40)].iloc[0]
     assert list(row.positions) == [3]
+
+
+def test_vb_positions_roundtrip(ray_session, phrase_dir):
+    """The default varbyte layout decodes to exactly the plain layout's
+    position lists, row for row."""
+    from web_search_engine_ray.pipelines.phrase import (
+        _decode_positions,
+        positional_postings_ds,
+    )
+
+    plain = positional_postings_ds(phrase_dir, codec="plain").to_pandas()
+    vb = positional_postings_ds(phrase_dir, codec="vb").take_all()
+    import pyarrow as _pa
+
+    vbt = _pa.Table.from_pylist(vb)
+    assert set(vbt.column_names) == {"term", "docid", "tf", "positions_vb"}
+    counts, flat = _decode_positions(vbt)
+    # rebuild per-row lists and compare against the plain layout keyed by
+    # (term, docid)
+    got = {}
+    off = 0
+    rows = vbt.to_pylist()
+    for i, r in enumerate(rows):
+        c = int(counts[i])
+        got[(r["term"], r["docid"])] = list(map(int, flat[off : off + c]))
+        assert c == r["tf"]
+        off += c
+    for _, r in plain.iterrows():
+        assert got[(r.term, r.docid)] == list(r.positions)
+
+
+def test_blocked_layout_multi_block_roundtrip():
+    """Block boundaries (docid gap resets to absolute at each block start)
+    decode exactly, including u64-range docids and repeated terms."""
+    from web_search_engine_ray.pipelines.phrase import (
+        _blocked_shard_table,
+        _decode_blocked_rows,
+        _encode_positions_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for term in ("aa", "bb"):
+        docids = np.unique(rng.integers(0, 2**40, size=23))
+        for d in docids:
+            k = int(rng.integers(1, 6))
+            pos = np.unique(rng.integers(1, 500, size=k))
+            rows.append((term, int(d), [int(p) for p in pos]))
+    plain = pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "docid": pa.array([r[1] for r in rows], pa.int64()),
+            "positions": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    inflight = _encode_positions_batch(plain)
+    blocked = _blocked_shard_table(inflight, block=5)  # forces many blocks
+    for term in ("aa", "bb"):
+        import pyarrow.compute as pc
+
+        sub = blocked.filter(pc.equal(blocked["term"], term))
+        assert sub.num_rows > 1  # multi-block per term
+        docids, tfs, flat = _decode_blocked_rows(sub)
+        want = sorted((r[1], r[2]) for r in rows if r[0] == term)
+        assert list(docids) == [w[0] for w in want]
+        off = 0
+        for i, (_, pos) in enumerate(want):
+            assert int(tfs[i]) == len(pos)
+            assert list(map(int, flat[off : off + len(pos)])) == pos
+            off += len(pos)
+
+
+def test_vb_index_results_equal_plain(ray_session, phrase_dir, tmp_path_factory):
+    """phrase/proximity answers are identical from both on-disk codecs."""
+    out_p = str(tmp_path_factory.mktemp("posidx_plain"))
+    out_v = str(tmp_path_factory.mktemp("posidx_vb"))
+    build_positional_index(phrase_dir, out_p, n_shards=4, codec="plain")
+    build_positional_index(phrase_dir, out_v, n_shards=4, codec="vb")
+    for terms in (["spark", "join"], ["spark", "join", "order"], ["spark", "zzz"]):
+        dp, cp = phrase_match_counts(out_p, terms, n_shards=4)
+        dv, cv = phrase_match_counts(out_v, terms, n_shards=4)
+        assert list(dp) == list(dv) and list(cp) == list(cv)
 
 
 def test_index_shards_and_pruned_read(built_index):

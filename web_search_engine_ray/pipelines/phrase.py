@@ -5,12 +5,18 @@ The reference engine stores only (docid, tf) postings
 This module adds the standard positional-index layer on top of the same
 build discipline:
 
-- :func:`positional_postings_ds` — (term, docid, positions list<int64>)
-  with 1-based token positions. NO shuffle: a document never spans batches,
-  so each per-batch (term, docid) group is already complete (the same
-  invariant the postings build relies on, ``pipelines/corpus.py``).
+- :func:`positional_postings_ds` — one row per (term, docid) with 1-based
+  token positions, stored delta-gap varbyte (``positions_vb`` binary + ``tf``;
+  the main index's posting-block wire codec, ~1 byte/position in flight and
+  on disk — codec="plain" keeps the legacy list<int32> layout, and readers
+  accept both). NO shuffle: a document never spans batches, so each
+  per-batch (term, docid) group is already complete (the same invariant the
+  postings build relies on, ``pipelines/corpus.py``).
 - :func:`build_positional_index` — hash-exchange on the term's md5-low-64
-  into ``n_shards`` parquet shard files sorted by (term, docid). A query
+  into ``n_shards`` parquet shard files. The default on-disk layout is
+  BLOCKED varbyte (:func:`_blocked_shard_table`): one row per term per
+  <=POS_BLOCK postings carrying (docids_vb, tfs_vb, positions_vb) blobs —
+  the main index's blocked-postings discipline in parquet form. A query
   for terms T touches ONLY the shards owning terms in T, and within a
   shard pyarrow's dictionary/statistics row-group pruning + an ``isin``
   row filter keep the read term-sized, not shard-sized.
@@ -41,11 +47,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from web_search_engine_ray.functions.codecs import vb_decode, vb_encode, vb_sizes
 from web_search_engine_ray.functions.tokenize import token_lists
 from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
 N_SHARDS = 8
 _POS_BITS = np.uint64(32)  # composite key = doc_rank << 32 | pos
+POS_CODEC = "vb"  # default on-disk layout ("vb" blocked varbyte | "plain")
+POS_BLOCK = 4096  # postings per blocked row (vb layout)
 
 
 def _term_shard(term: str, n_shards: int) -> int:
@@ -78,11 +87,64 @@ def _term_shard_column(terms: pa.ChunkedArray | pa.Array, n_shards: int) -> np.n
     return shard_of[idx]
 
 
-def positional_postings_ds(sf_dir: str):
-    """(term, docid, positions): one row per (term, doc), positions sorted
-    ascending, 1-based over the tokenized stream. Positions are int32 —
-    half the shuffle/storage bytes of i64; a single document would need
-    >2^31 tokens to overflow (guarded)."""
+def _encode_positions_batch(g: pa.Table) -> pa.Table:
+    """(term, docid, positions list<int32>) -> (term, docid, tf int32,
+    positions_vb binary): per-row delta-gap varbyte of the ascending
+    position list — the same wire codec as the main index's posting blocks
+    (``functions/codecs.py``), encoded ONCE for the whole batch's flat
+    position stream and sliced into per-row byte strings by offsets."""
+    pos_col = g["positions"].combine_chunks()
+    counts = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(counts)
+    if flat.size:
+        starts = np.cumsum(counts) - counts
+        gaps = flat.copy()
+        gaps[1:] -= flat[:-1]
+        gaps[starts] = flat[starts]  # first position of each row stays absolute
+        data = vb_encode(gaps)
+        sizes_csum = np.concatenate([[0], np.cumsum(vb_sizes(gaps))])
+        row_ends = sizes_csum[np.cumsum(counts)]
+        offsets = np.zeros(n + 1, np.int32)
+        offsets[1:] = row_ends
+        vb_arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
+    else:
+        vb_arr = pa.array([b""] * n, pa.binary())
+    return pa.table(
+        {
+            "term": g["term"],
+            "docid": g["docid"],
+            "tf": pa.array(counts.astype(np.int32), pa.int32()),
+            "positions_vb": vb_arr,
+        }
+    )
+
+
+def _decode_positions(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """-> (positions per row, flat absolute u64 positions) for the in-flight
+    per-row layout (tf + positions_vb) or the plain list<int32> layout."""
+    if "positions" in t.column_names:  # plain layout
+        pos_col = t["positions"].combine_chunks()
+        counts = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        return counts, flat
+    counts = t["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    gaps = vb_decode(_binary_blob(t["positions_vb"]))
+    return counts, _segmented_abs(gaps, counts)
+
+
+def positional_postings_ds(sf_dir: str, codec: str = POS_CODEC):
+    """One row per (term, doc), positions sorted ascending, 1-based over the
+    tokenized stream. ``codec="vb"`` (default) emits (term, docid, tf,
+    positions_vb) with delta-gap varbyte position bytes — ~1 byte per
+    position in flight and on disk instead of list<int32>'s 4; ``"plain"``
+    keeps the list<int32> layout (still readable everywhere). A single
+    document would need >2^31 tokens to overflow the position space
+    (guarded)."""
+    if codec not in ("vb", "plain"):
+        raise ValueError(f"unknown positional codec {codec!r}")
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"])
@@ -104,7 +166,7 @@ def positional_postings_ds(sf_dir: str):
             .rename({"ws": "term"})
             .sort(["term", "docid"])
         )
-        return g.to_arrow().cast(
+        out = g.to_arrow().cast(
             pa.schema(
                 [
                     ("term", pa.string()),
@@ -113,15 +175,138 @@ def positional_postings_ds(sf_dir: str):
                 ]
             )
         )
+        return _encode_positions_batch(out) if codec == "vb" else out
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _binary_blob(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Concatenated value bytes of a binary column, in row order, as u8.
+    Arrow binary offsets are monotonic, so for a (materialized) array the
+    rows tile one contiguous buffer slice."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.uint8)
+    odt = np.int64 if arr.type == pa.large_binary() else np.int32
+    offs = np.frombuffer(arr.buffers()[1], odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    return np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+
+
+def _blob_row_lengths(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, np.int64)
+    odt = np.int64 if arr.type == pa.large_binary() else np.int32
+    offs = np.frombuffer(arr.buffers()[1], odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    return (offs[1:] - offs[:-1]).astype(np.int64)
+
+
+def _slice_binary(data: np.ndarray, bounds: np.ndarray) -> pa.Array:
+    """Binary array whose row i is data[bounds[i]:bounds[i+1]] (large_binary
+    past the int32 offset range — a shard partition holding >2 GiB of
+    position bytes)."""
+    if bounds[-1] < (1 << 31):
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(bounds) - 1,
+            [
+                None,
+                pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                pa.py_buffer(data.tobytes()),
+            ],
+        )
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(bounds) - 1,
+        [
+            None,
+            pa.py_buffer(bounds.astype(np.int64).tobytes()),
+            pa.py_buffer(data.tobytes()),
+        ],
+    )
+
+
+def _blocked_shard_table(t: pa.Table, block: int = POS_BLOCK) -> pa.Table:
+    """Per-row (term, docid, tf, positions_vb) -> the blocked layout
+    (term, blk, n, docids_vb, tfs_vb, positions_vb): one row per term per
+    <=``block`` postings — the main index's blocked-postings discipline in
+    parquet form (SURVEY.md §7.5). Kills the 4-byte-per-value binary length
+    prefix that made per-posting rows bigger on disk than list<int32>, and
+    bounds any stopword's largest parquet cell at ``block`` postings.
+
+    Fully vectorized: docid gaps reset to absolute at block starts, ONE
+    vb_encode over each of the three value streams, per-block byte ranges
+    from cumsum(vb_sizes) at block boundaries."""
+    tt = pl.from_arrow(t).sort(["term", "docid"]).to_arrow().cast(t.schema)
+    n_rows = tt.num_rows
+    if n_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "blk": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int32()),
+                "docids_vb": pa.array([], pa.binary()),
+                "tfs_vb": pa.array([], pa.binary()),
+                "positions_vb": pa.array([], pa.binary()),
+            }
+        )
+    terms = tt["term"].combine_chunks()
+    docids = tt["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = tt["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+    enc = terms.dictionary_encode()
+    tidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # block starts: term change points plus every `block` rows within a term
+    change = np.empty(n_rows, np.bool_)
+    change[0] = True
+    change[1:] = tidx[1:] != tidx[:-1]
+    ts = np.flatnonzero(change)  # term start rows
+    term_of_row = np.cumsum(change) - 1
+    row_in_term = np.arange(n_rows, dtype=np.int64) - ts[term_of_row]
+    s = np.flatnonzero(row_in_term % block == 0)  # block start rows
+    bounds = np.append(s, n_rows)
+    n_per_block = np.diff(bounds)
+    blk_idx = (row_in_term[s] // block).astype(np.int32)
+    # docid gaps, absolute at each block start
+    gaps = docids.copy()
+    gaps[1:] -= docids[:-1]
+    gaps[s] = docids[s]
+    d_bytes = np.frombuffer(vb_encode(gaps), np.uint8)
+    d_csum = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(vb_sizes(gaps), out=d_csum[1:])
+    t_bytes = np.frombuffer(vb_encode(tfs), np.uint8)
+    t_csum = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(vb_sizes(tfs), out=t_csum[1:])
+    p_lens = _blob_row_lengths(tt["positions_vb"])
+    p_bytes = _binary_blob(tt["positions_vb"])
+    p_csum = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(p_lens, out=p_csum[1:])
+    return pa.table(
+        {
+            "term": terms.take(pa.array(s, pa.int64())),
+            "blk": pa.array(blk_idx, pa.int32()),
+            "n": pa.array(n_per_block.astype(np.int32), pa.int32()),
+            "docids_vb": _slice_binary(d_bytes, d_csum[bounds]),
+            "tfs_vb": _slice_binary(t_bytes, t_csum[bounds]),
+            "positions_vb": _slice_binary(p_bytes, p_csum[bounds]),
+        }
+    )
+
+
 def build_positional_index(
-    sf_dir: str, out_dir: str, n_shards: int = N_SHARDS
+    sf_dir: str, out_dir: str, n_shards: int = N_SHARDS, codec: str = POS_CODEC
 ) -> dict:
-    """Write the positional index: ``out_dir/shard_{i:05d}.parquet``, each
-    sorted by (term, docid). Atomic per-shard writes (tmp + rename)."""
+    """Write the positional index: ``out_dir/shard_{i:05d}.parquet``.
+    ``codec="vb"`` (default) stores the blocked varbyte layout (one row per
+    term per <=POS_BLOCK postings — see :func:`_blocked_shard_table`);
+    ``"plain"`` keeps one (term, docid, positions list<int32>) row per
+    posting. Atomic per-shard writes (tmp + rename); ``n_rows`` in the
+    returned stats counts POSTINGS (term, doc pairs) for both codecs."""
     from web_search_engine_ray.stages.exchange import exchange_map
 
     os.makedirs(out_dir, exist_ok=True)
@@ -130,12 +315,12 @@ def build_positional_index(
         return _term_shard_column(t["term"], n_shards)
 
     def write_shard(t: pa.Table, pi: int) -> pa.Table:
-        tt = (
-            pl.from_arrow(t)
-            .sort(["term", "docid"])
-            .to_arrow()
-            .cast(t.schema)
-        )
+        if codec == "vb":
+            tt = _blocked_shard_table(t)
+            n_postings = t.num_rows
+        else:
+            tt = pl.from_arrow(t).sort(["term", "docid"]).to_arrow().cast(t.schema)
+            n_postings = tt.num_rows
         path = os.path.join(out_dir, f"shard_{pi:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(tt, tmp)
@@ -143,11 +328,11 @@ def build_positional_index(
         return pa.table(
             {
                 "shard": pa.array([pi], pa.int64()),
-                "n_rows": pa.array([tt.num_rows], pa.int64()),
+                "n_rows": pa.array([n_postings], pa.int64()),
             }
         )
 
-    ds = positional_postings_ds(sf_dir)
+    ds = positional_postings_ds(sf_dir, codec=codec)
     stats = exchange_map(ds, route, n_shards, write_shard, with_index=True)
     rows = stats.to_pandas()
     return {
@@ -164,7 +349,7 @@ def _cached_positional_index(sf_dir: str, n_shards: int = N_SHARDS) -> str:
 
     path = os.path.join(sf_dir, "documents.parquet")
     out = os.path.join(
-        "/tmp", "wse_ray_cache", f"pos_{_cache_key(path, f'pos{n_shards}:v2')}"
+        "/tmp", "wse_ray_cache", f"pos_{_cache_key(path, f'pos{n_shards}:v4:{POS_CODEC}')}"
     )
     if not all(
         os.path.exists(os.path.join(out, f"shard_{i:05d}.parquet"))
@@ -174,50 +359,86 @@ def _cached_positional_index(sf_dir: str, n_shards: int = N_SHARDS) -> str:
     return out
 
 
+def _segmented_abs(gaps: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute values from per-segment delta streams where the FIRST value
+    of each segment is stored absolute: one global cumsum + a per-segment
+    base subtraction (counts may not contain zeros)."""
+    if gaps.size == 0:
+        return gaps
+    c = np.cumsum(gaps)
+    starts = np.cumsum(counts) - counts
+    base = c[starts] - gaps[starts]
+    return c - np.repeat(base, counts)
+
+
+def _decode_plain_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    docids = t["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_col = t["positions"].combine_chunks()
+    tfs = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return docids, tfs, flat
+
+
+def _decode_blocked_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blocked vb rows (one term, blk-sorted) -> (docids, tfs, flat abs
+    positions). Three vb_decodes over the concatenated block blobs."""
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64)
+    t = t.sort_by("blk")
+    n = t["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    d_gaps = vb_decode(_binary_blob(t["docids_vb"]))
+    docids = _segmented_abs(d_gaps, n).astype(np.int64)
+    tfs = vb_decode(_binary_blob(t["tfs_vb"])).astype(np.int64)
+    p_gaps = vb_decode(_binary_blob(t["positions_vb"]))
+    flat = _segmented_abs(p_gaps, tfs)
+    return docids, tfs, flat
+
+
+TermPositions = tuple[np.ndarray, np.ndarray, np.ndarray]  # docids, tfs, flat pos
+
+
 def read_term_positions(
     index_dir: str, terms: list[str], n_shards: int = N_SHARDS
-) -> dict[str, pa.Table]:
-    """term -> (docid, positions) table, reading only the shards that own
-    the requested terms, with a term row filter pushed into the read."""
+) -> dict[str, TermPositions]:
+    """term -> (docids, tfs, flat absolute positions), reading only the
+    shards that own the requested terms, with a term row filter pushed into
+    the read. Accepts both on-disk layouts (blocked vb and plain)."""
     by_shard: dict[int, list[str]] = {}
     for w in dict.fromkeys(terms):  # preserve order, drop dups
         by_shard.setdefault(_term_shard(w, n_shards), []).append(w)
-    out: dict[str, pa.Table] = {}
+    out: dict[str, TermPositions] = {}
     for sh, ws in by_shard.items():
         t = pq.read_table(
             os.path.join(index_dir, f"shard_{sh:05d}.parquet"),
             filters=pc.field("term").isin(ws),
         )
+        blocked = "docids_vb" in t.column_names
         for w in ws:
-            out[w] = t.filter(pc.equal(t["term"], w)).select(["docid", "positions"])
+            rows = t.filter(pc.equal(t["term"], w))
+            out[w] = (
+                _decode_blocked_rows(rows) if blocked else _decode_plain_rows(rows)
+            )
     return out
 
 
-def _doc_universe(tables: list[pa.Table]) -> np.ndarray:
+def _doc_universe(tps: list[TermPositions]) -> np.ndarray:
     """Sorted distinct docids across the queried terms' postings — the
     dense rank domain for composite keys. Raw docids can exceed 2^32 at
     10^12-doc scale, so composites use the RANK (result-set-scale, always
     < 2^32 for any answerable query), not the docid itself."""
-    parts = [
-        t["docid"].combine_chunks().to_numpy(zero_copy_only=False)
-        for t in tables
-        if t.num_rows
-    ]
+    parts = [tp[0] for tp in tps if tp[0].size]
     if not parts:
         return np.empty(0, np.int64)
     return np.unique(np.concatenate(parts))
 
 
-def _composite(t: pa.Table, universe: np.ndarray) -> np.ndarray:
+def _composite(tp: TermPositions, universe: np.ndarray) -> np.ndarray:
     """Sorted u64 composite keys rank(docid) << 32 | pos for one term."""
-    if t.num_rows == 0:
+    docids, tfs, flat = tp
+    if docids.size == 0:
         return np.empty(0, np.uint64)
-    docids = t["docid"].combine_chunks().to_numpy(zero_copy_only=False)
     ranks = np.searchsorted(universe, docids).astype(np.uint64)
-    pos_col = t["positions"].combine_chunks()
-    flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    counts = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False)
-    rep = np.repeat(ranks, counts)
+    rep = np.repeat(ranks, tfs)
     keys = (rep << _POS_BITS) | flat
     keys.sort()
     return keys
