@@ -264,6 +264,12 @@ def _spell_probe_values() -> str:
     return ", ".join(f"('{p}')" for p in PROBES)
 
 
+def _autocomplete_prefix_values() -> str:
+    from web_search_engine_ray.pipelines.serving import AUTOCOMPLETE_PREFIXES
+
+    return ", ".join(f"('{p}')" for p in AUTOCOMPLETE_PREFIXES)
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -343,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match counts per facet — the search-UI sidebar pair
         "bm25_facet_topk": lambda sf: serving.bm25_facet_topk_table(sf),
         "facet_counts": lambda sf: serving.facet_counts_table(sf),
+        # type-ahead: top-k lexicon completions per prefix by (df desc, term)
+        "autocomplete": lambda sf: serving.autocomplete_table(sf),
         "wand_daat_equivalence": lambda sf: serving.wand_daat_equivalence_table(sf),
         "hybrid_rerank": lambda sf: serving.hybrid_rerank_table(
             sf, k1=RERANK_K1, k2=RERANK_K2
@@ -833,6 +841,19 @@ WITH {tok_cte}, {tf_cte},
 SELECT m.query_id::BIGINT AS query_id, d.source, count(*)::BIGINT AS n_docs
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY m.query_id, d.source
+""",
+        # type-ahead completions: prefix LIKE scan over the df relation,
+        # best k per prefix by (df desc, term) — the engine answers the same
+        # cut from its sorted lexicon shard term lists
+        "autocomplete": f"""
+WITH {tok_cte}, {tf_cte}, {df_cte},
+ p(prefix) AS (VALUES {_autocomplete_prefix_values()})
+SELECT prefix, suggestion, df
+FROM (SELECT p.prefix, df.term AS suggestion, df.df::BIGINT AS df,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY df.df DESC, df.term) AS rn
+      FROM p JOIN df ON df.term LIKE p.prefix || '%')
+WHERE rn <= {serving_mod.AUTOCOMPLETE_K}
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS docid

@@ -240,6 +240,43 @@ class Searcher:
             r.close()
         self._readers.clear()
 
+    def complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Top-k lexicon completions for a prefix by (df desc, term) — the
+        type-ahead serving surface. Each shard's sorted term list is sliced
+        with two bisects (no vocab iteration); the per-shard candidate set
+        is cut to k BEFORE the merge, so the driver-side merge sees at most
+        k x num_shards rows regardless of vocabulary size. Terms hash-route
+        to shards, so a prefix can live anywhere — every shard answers, in
+        parallel across query actors at scale (each actor owns its shards;
+        the reference's single lexicon dict cannot answer prefixes at all
+        without a full scan)."""
+        import bisect
+
+        if not prefix:
+            return []
+        # ascii-safe exclusive upper bound for the prefix range
+        hi_key = prefix + "\x7f"
+        cands: list[tuple[int, str]] = []  # (-df, term)
+        # heavy terms live in dedicated salted shards PAST num_shards — a
+        # prefix can complete to one, so scan those lexicons too
+        for sid in range(self.num_shards + len(self.heavy)):
+            lex = self._lexicon(sid)
+            if lex is None:
+                continue
+            lo = bisect.bisect_left(lex.terms, prefix)
+            hi = bisect.bisect_left(lex.terms, hi_key, lo=lo)
+            if hi <= lo:
+                continue
+            dfs = lex.df[lo:hi]
+            if hi - lo > k:
+                keep = np.argpartition(-dfs, k - 1)[:k]
+            else:
+                keep = np.arange(hi - lo)
+            for i in keep:
+                cands.append((-int(dfs[i]), lex.terms[lo + int(i)]))
+        cands.sort()
+        return [(t, -nd) for nd, t in cands[:k]]
+
     # -- scoring helpers ------------------------------------------------
     def _idf(self, df: int) -> float:
         return math.log((self.N - df + 0.5) / (df + 0.5) + 1.0)

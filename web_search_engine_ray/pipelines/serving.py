@@ -471,6 +471,39 @@ def boolean_table(sf_dir: str, queries: list[str] | None = None, mode: str = "AN
     )
 
 
+# -- autocomplete -----------------------------------------------------------
+
+# Fixed prefix set for the gate: hot prefixes, a single-char (wide) one, and
+# a no-match probe.
+AUTOCOMPLETE_PREFIXES = ["sp", "da", "c", "w", "qu", "nosuch"]
+AUTOCOMPLETE_K = 10
+
+
+def autocomplete_table(
+    sf_dir: str, prefixes: list[str] | None = None, k: int = AUTOCOMPLETE_K
+) -> pa.Table:
+    """(prefix, suggestion, df) — top-k type-ahead completions per prefix by
+    (df desc, term), straight from the index's own lexicon shards
+    (``Searcher.complete``: two bisects per sorted shard term list, per-shard
+    k-cut before the merge). SQL twin: ``LIKE prefix || '%'`` over the df
+    relation under the same (df desc, term) row_number cut."""
+    s = documents_searcher(sf_dir)
+    prefixes = prefixes if prefixes is not None else AUTOCOMPLETE_PREFIXES
+    p_l, t_l, d_l = [], [], []
+    for p in prefixes:
+        for term, df in s.complete(p, k=k):
+            p_l.append(p)
+            t_l.append(term)
+            d_l.append(df)
+    return pa.table(
+        {
+            "prefix": pa.array(p_l, pa.string()),
+            "suggestion": pa.array(t_l, pa.string()),
+            "df": pa.array(d_l, pa.int64()),
+        }
+    )
+
+
 # -- faceted search ---------------------------------------------------------
 #
 # The search-UI sidebar pair the reference's Flask app lacks: "best k hits

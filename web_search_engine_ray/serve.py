@@ -136,6 +136,27 @@ def create_app(
             )
         return jsonify(resp)
 
+    @app.route("/complete", methods=["POST"])
+    def complete():
+        """Type-ahead: top-k lexicon completions for a prefix by
+        (df desc, term) — ``Searcher.complete`` over the index's own sorted
+        lexicon shard term lists (a surface the reference has no index
+        structure for: its lexicon is one hash dict)."""
+        data = request.get_json(silent=True) or {}
+        prefix = (data.get("prefix") or "").strip().lower()
+        k = int(data.get("k") or 10)
+        if not prefix:
+            return jsonify({"error": "Empty prefix"}), 400
+        t0 = time.perf_counter()
+        comps = searcher.complete(prefix, k=k)
+        return jsonify(
+            {
+                "prefix": prefix,
+                "completions": [{"term": t, "df": d} for t, d in comps],
+                "searchTime": (time.perf_counter() - t0) * 1000,
+            }
+        )
+
     @app.route("/health")
     def health():
         return jsonify(
