@@ -197,6 +197,51 @@ HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
 """
 
 
+def _min_window_sql() -> str:
+    """Minimal-covering-window twin: per fixed query, cross join the
+    per-term position lists within each document and take
+    min(greatest(..) - least(..) + 1) — exact (exponential in the query's
+    distinct-term count, fine at gate scale; the engine side is the linear
+    searchsorted sweep). Duplicate query terms collapse on both sides."""
+    import pyarrow as _pa
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+    legs = []
+    for qid, q in enumerate(FIXED_QUERIES):
+        terms = list(
+            dict.fromkeys(token_lists(_pa.array([q], _pa.string())).to_list()[0] or [])
+        )
+        if not terms:
+            continue
+        aliases = [f"p{i}" for i in range(len(terms))]
+        joins = "".join(
+            f"\n JOIN tokpos {a} ON {a}.doc_id = p0.doc_id AND {a}.tok = '{t}'"
+            for a, t in zip(aliases[1:], terms[1:])
+        )
+        cols = ", ".join(f"{a}.p" for a in aliases)
+        span = (
+            f"min(greatest({cols}) - least({cols}) + 1)"
+            if len(terms) > 1
+            else "min(1)"
+        )
+        legs.append(
+            f"SELECT {qid} AS query_id, p0.doc_id AS docid,"
+            f" {span}::BIGINT AS window_len"
+            f"\nFROM tokpos p0{joins}"
+            f"\nWHERE p0.tok = '{terms[0]}'"
+            f"\nGROUP BY p0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+            FROM t)
+{union}
+"""
+
+
 def _dsir_sql() -> str:
     """DSIR twin: identical md5-low-64 bucket ids for unigram+bigram
     features; add-1 smoothed target/raw log-ratio; per-doc mean over
@@ -368,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- positional index: phrase + proximity search ----
         "phrase_search": lambda sf: phrase.phrase_search_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
+        # minimal covering window per (query, matching doc) — the
+        # best-passage / MinDist proximity primitive
+        "min_window": lambda sf: phrase.min_window_table(sf),
         # ---- conversation-level ops over the native transcript shape ----
         # rows-only: the driver tables have no (conv_id, turn_idx, role,
         # text, tool, ts) relation, so these run over the deterministic
@@ -1157,6 +1205,7 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "dsir_weights": _dsir_sql(),
         "phrase_search": _phrase_sql(),
         "proximity_search": _proximity_sql(),
+        "min_window": _min_window_sql(),
         # duplicated k-gram spans: identical md5-low-64 k-gram identity on
         # both sides (a collision cannot diverge); spans via the classic
         # pos - row_number() run-grouping

@@ -547,3 +547,83 @@ def proximity_search_table(
             "min_gap": pa.array(np.concatenate(g_l) if g_l else [], pa.int64()),
         }
     )
+
+
+# -- minimal covering window --------------------------------------------------
+
+_POS_MASK = (np.uint64(1) << _POS_BITS) - np.uint64(1)
+
+
+def min_window_lengths(
+    index_dir: str, terms: list[str], n_shards: int = N_SHARDS
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, window_len): per document containing ALL the (distinct)
+    terms, the length in tokens of the SHORTEST span covering at least one
+    occurrence of every term — the classic best-passage / snippet-window
+    primitive (and the "MinDist" proximity feature of Tao & Zhai 2007).
+
+    Vectorized over all documents at once: the minimal window ending at
+    token position e is [min_t latest_t(e), e] where latest_t(e) is term
+    t's last occurrence <= e in the same document, and the global minimum
+    is reached when e is some term's occurrence — so ONE searchsorted per
+    term over the union of composite keys (rank(doc) << 32 | pos) yields
+    every candidate window; a per-doc ``np.minimum.at`` reduce finishes.
+    No per-document Python loop."""
+    terms = list(dict.fromkeys(terms))
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not terms:
+        return empty
+    tp = read_term_positions(index_dir, terms, n_shards)
+    universe = _doc_universe([tp[w] for w in terms])
+    comps = [_composite(tp[w], universe) for w in terms]
+    if any(c.size == 0 for c in comps):
+        return empty  # AND semantics: a term with no postings kills all docs
+    e = np.unique(np.concatenate(comps))
+    edoc = e >> _POS_BITS
+    epos = (e & _POS_MASK).astype(np.int64)
+    lo = np.full(e.size, np.iinfo(np.int64).max, np.int64)
+    valid = np.ones(e.size, np.bool_)
+    for c in comps:
+        idx = np.searchsorted(c, e, side="right") - 1
+        ok = idx >= 0
+        ok[ok] = (c[idx[ok]] >> _POS_BITS) == edoc[ok]
+        valid &= ok
+        lpos = (c[np.maximum(idx, 0)] & _POS_MASK).astype(np.int64)
+        lo[ok] = np.minimum(lo[ok], lpos[ok])
+    if not valid.any():
+        return empty
+    wl = (epos - lo + 1)[valid]
+    ranks = edoc[valid].astype(np.int64)
+    uniq, inv = np.unique(ranks, return_inverse=True)
+    best = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(best, inv, wl)
+    return universe[uniq], best
+
+
+def min_window_table(
+    sf_dir: str, queries: list[str] | None = None, n_shards: int = N_SHARDS
+) -> pa.Table:
+    """(query_id, docid, window_len): minimal covering window per (fixed
+    query, matching document) over the cached positional index. Queries
+    tokenize with the engine's document tokenizer; duplicate query terms
+    collapse (a window covering 'data' covers 'data data'). SQL twin:
+    per-query cross join of the per-term position lists under
+    min(greatest(..) - least(..) + 1) — see ``__ray_entry__._min_window_sql``."""
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+    queries = queries if queries is not None else FIXED_QUERIES
+    idx = _cached_positional_index(sf_dir, n_shards)
+    q_l, d_l, w_l = [], [], []
+    for qid, q in enumerate(queries):
+        terms = token_lists(pa.array([q], pa.string())).to_list()[0] or []
+        docs, wl = min_window_lengths(idx, list(terms), n_shards)
+        q_l.append(np.full(docs.size, qid, np.int64))
+        d_l.append(docs)
+        w_l.append(wl)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "window_len": pa.array(np.concatenate(w_l) if w_l else [], pa.int64()),
+        }
+    )
