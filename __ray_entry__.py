@@ -197,12 +197,9 @@ HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
 """
 
 
-def _min_window_sql() -> str:
-    """Minimal-covering-window twin: per fixed query, cross join the
-    per-term position lists within each document and take
-    min(greatest(..) - least(..) + 1) — exact (exponential in the query's
-    distinct-term count, fine at gate scale; the engine side is the linear
-    searchsorted sweep). Duplicate query terms collapse on both sides."""
+def _min_window_legs() -> str:
+    """UNION ALL legs (query_id, docid, window_len) of the minimal-window
+    cross-join twin; callers provide a ``tokpos(doc_id, tok, p)`` CTE."""
     import pyarrow as _pa
 
     from web_search_engine_ray.functions.tokenize import token_lists
@@ -233,12 +230,20 @@ def _min_window_sql() -> str:
             f"\nWHERE p0.tok = '{terms[0]}'"
             f"\nGROUP BY p0.doc_id"
         )
-    union = "\nUNION ALL\n".join(legs)
+    return "\nUNION ALL\n".join(legs)
+
+
+def _min_window_sql() -> str:
+    """Minimal-covering-window twin: per fixed query, cross join the
+    per-term position lists within each document and take
+    min(greatest(..) - least(..) + 1) — exact (exponential in the query's
+    distinct-term count, fine at gate scale; the engine side is the linear
+    searchsorted sweep). Duplicate query terms collapse on both sides."""
     return f"""
 WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
  tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
             FROM t)
-{union}
+{_min_window_legs()}
 """
 
 
@@ -416,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
         "min_window": lambda sf: phrase.min_window_table(sf),
+        # BM25 + ln(1+exp(-MinDist)) proximity rescoring (Tao & Zhai 2007)
+        "bm25_proximity": lambda sf: phrase.bm25_proximity_table(sf),
         # ---- conversation-level ops over the native transcript shape ----
         # rows-only: the driver tables have no (conv_id, turn_idx, role,
         # text, tool, ts) relation, so these run over the deterministic
@@ -1206,6 +1213,26 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "phrase_search": _phrase_sql(),
         "proximity_search": _proximity_sql(),
         "min_window": _min_window_sql(),
+        # proximity-boosted BM25: the bm25 scored CTE LEFT JOINed to the
+        # min-window legs under the engine's exact boost expression
+        # ln(1 + coalesce(exp(-delta), 0)); rank raw, ROUND(4) both sides
+        "bm25_proximity": bm25_core
+        + f""",
+ tw AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+            FROM tw),
+ win AS ({_min_window_legs()}),
+ resc AS (
+   SELECT s.query_id, s.docid,
+          s.score + ln(1.0 + coalesce(exp(-w.window_len::DOUBLE), 0.0)) AS score
+   FROM scored s
+   LEFT JOIN win w ON w.query_id = s.query_id AND w.docid = s.docid)
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM resc)
+WHERE rn <= {TOPK}
+""",
         # duplicated k-gram spans: identical md5-low-64 k-gram identity on
         # both sides (a collision cannot diverge); spans via the classic
         # pos - row_number() run-grouping

@@ -136,3 +136,65 @@ def test_gate_entry_matches_oracle(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+# -- proximity-boosted BM25 ---------------------------------------------------
+
+
+def test_bm25_proximity_flips_tie_and_boosts(ray_session, tmp_path_factory):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.phrase import bm25_proximity_table
+    from web_search_engine_ray.pipelines.serving import documents_searcher
+
+    # doc0/doc1: identical tf and dl (equal BM25, tie broken by docid) but
+    # doc1's terms are adjacent (window 2) vs doc0's window 3 -> the
+    # proximity boost must flip the order; doc2 misses 'join' -> no boost
+    d = tmp_path_factory.mktemp("prox_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["spark pad join", "spark join pad", "spark pad pad"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    t = bm25_proximity_table(str(d), queries=["spark join"], topk=10)
+    rows = list(
+        zip(t["docid"].to_pylist(), t["score"].to_pylist(), strict=True)
+    )
+    assert [r[0] for r in rows] == [1, 0, 2]
+    s = documents_searcher(str(d))
+    base = dict(s.search("spark join", mode="OR", topk=None))
+    assert rows[0][1] == round(base[1] + math.log(1.0 + math.exp(-2.0)), 4)
+    assert rows[1][1] == round(base[0] + math.log(1.0 + math.exp(-3.0)), 4)
+    assert rows[2][1] == round(base[2], 4)  # missing term: exp(-inf) -> 0
+
+
+def test_bm25_proximity_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.phrase import bm25_proximity_table
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = bm25_proximity_table(sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["bm25_proximity"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

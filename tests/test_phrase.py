@@ -232,3 +232,58 @@ def test_flask_phrase_mode(ray_session, phrase_dir, built_index, tmp_path_factor
     bare = create_app(idx).test_client()
     r = bare.post("/search", json={"query": "x", "mode": "PHRASE"})
     assert r.status_code == 400
+
+
+def test_flask_proximity_boost(ray_session, tmp_path_factory):
+    """proximity_boost on /search: dense-docid corpus (the identity
+    contract of proximity_boosted_hits — doc_id == build ordinal, as in
+    every driver table), boost == ln(1+exp(-min_window)) exactly."""
+    import math
+
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.pipelines.query import Searcher
+    from web_search_engine_ray.serve import create_app
+
+    d = tmp_path_factory.mktemp("prox_corpus")
+    texts = [
+        "spark join spark join order",   # window 2
+        "join spark nothing here",       # window 2 (order-free)
+        "alpha spark beta gamma join",   # window 4
+        "spark only no second term",     # missing 'join': no boost
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    idx = str(tmp_path_factory.mktemp("prox_bm25"))
+    build_index(str(d / "documents.parquet"), idx, partition_rows=10, num_shards=2)
+    posidx = str(tmp_path_factory.mktemp("prox_posidx"))
+    build_positional_index(str(d), posidx, n_shards=2)
+
+    app = create_app(idx, pos_index_dir=posidx)
+    client = app.test_client()
+    r = client.post(
+        "/search",
+        json={"query": "spark join", "mode": "OR", "topk": 5, "proximity_boost": True},
+    )
+    assert r.status_code == 200
+    got = {h["docid"]: h["score"] for h in r.get_json()["results"]}
+    base = dict(Searcher(idx).search("spark join", mode="OR", topk=None))
+    boosts = {0: 2, 1: 2, 2: 4}  # doc 3 misses 'join' -> raw bm25
+    want = {
+        d_: b + (math.log(1.0 + math.exp(-boosts[d_])) if d_ in boosts else 0.0)
+        for d_, b in base.items()
+    }
+    assert got.keys() == want.keys()
+    for d_ in want:
+        assert got[d_] == pytest.approx(want[d_], abs=1e-12)
+
+    # boosting without a positional index -> 400
+    bare = create_app(idx).test_client()
+    r = bare.post("/search", json={"query": "x", "proximity_boost": True})
+    assert r.status_code == 400

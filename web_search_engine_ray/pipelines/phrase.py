@@ -627,3 +627,97 @@ def min_window_table(
             "window_len": pa.array(np.concatenate(w_l) if w_l else [], pa.int64()),
         }
     )
+
+
+# -- proximity-boosted BM25 ---------------------------------------------------
+
+
+def bm25_proximity_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    round_to: int = 4,
+    n_shards: int = N_SHARDS,
+) -> pa.Table:
+    """(query_id, docid, score): BM25-OR rescored with the MinDist proximity
+    feature (Tao & Zhai, SIGIR 2007): score' = bm25 + ln(1 + exp(-delta))
+    where delta is the minimal covering window (:func:`min_window_lengths`)
+    for documents containing ALL distinct query terms, and exp(-inf) -> 0
+    (no boost) otherwise — so a document where the terms appear as a tight
+    phrase outranks an equal-BM25 document where they are pages apart.
+
+    Exactness under bounded work at scale: the boost is bounded by ln 2, so
+    only candidates with bm25 >= theta_k - ln 2 (theta_k = the k-th best raw
+    BM25 score) can enter the rescored top-k; a serving path would rescore
+    just that candidate slice. At gate scale the TAAT ranker already yields
+    every matching doc, so the full rescore is the same work. SQL twin:
+    ``__ray_entry__`` joins the bm25 ``scored`` CTE to the min-window legs
+    under the identical ln(1 + coalesce(exp(-w), 0)) expression, rank raw,
+    ROUND({round_to}) both sides."""
+    from web_search_engine_ray.pipelines.serving import (
+        FIXED_QUERIES,
+        documents_searcher,
+    )
+
+    s = documents_searcher(sf_dir)
+    idx = _cached_positional_index(sf_dir, n_shards)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        hits = proximity_boosted_hits(s, idx, q, mode="OR", topk=topk,
+                                      n_shards=n_shards)
+        if not hits:
+            continue
+        q_l.append(np.full(len(hits), qid, np.int64))
+        d_l.append(np.array([d for d, _ in hits], np.int64))
+        s_l.append(np.round([sc for _, sc in hits], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
+
+
+def proximity_boosted_hits(
+    searcher,
+    pos_index_dir: str,
+    query: str,
+    mode: str = "OR",
+    topk: int = 10,
+    n_shards: int = N_SHARDS,
+):
+    """[(docid, raw boosted score)] — the shared rescore core of
+    :func:`bm25_proximity_table` and the HTTP API's ``proximity_boost``
+    option. Uses the TAAT ranker throughout so the base score and the
+    boosted score share one float association.
+
+    Identity contract: the boost joins the Searcher's docids (dense build
+    ordinals, reference semantics) against the positional index's stored
+    ``doc_id`` — the two coincide exactly when the corpus's ``doc_id``
+    column IS the dense row ordinal, which holds for every driver table
+    and every corpus this engine's own jobs emit. A corpus with arbitrary
+    raw ids needs a docid remap of one index first — without it the join
+    is meaningless (ids that miss lose their boost; ids that collide with
+    another row's ordinal attach that row's window).
+
+    Serving note at scale: the
+    boost is bounded by ln 2, so an exact bounded variant rescores only the
+    AND set intersected with {bm25 >= theta_k - ln 2}; here the TAAT pass
+    already has every matching doc's score."""
+    base = searcher.search(query, mode=mode, topk=None)
+    if not base:
+        return []
+    docs = np.array([d for d, _ in base], np.int64)
+    comb = np.array([sc for _, sc in base], np.float64)
+    terms = token_lists(pa.array([query], pa.string())).to_list()[0] or []
+    wdocs, wl = min_window_lengths(pos_index_dir, list(terms), n_shards)
+    if wdocs.size:
+        wdocs = wdocs.astype(np.int64)
+        pos = np.minimum(np.searchsorted(wdocs, docs), wdocs.size - 1)
+        ok = wdocs[pos] == docs
+        # same expression shape as the SQL twin (ln(1+x), not log1p)
+        comb[ok] += np.log(1.0 + np.exp(-wl[pos[ok]].astype(np.float64)))
+    order = np.lexsort((docs, -comb))[:topk]
+    return [(int(docs[i]), float(comb[i])) for i in order]

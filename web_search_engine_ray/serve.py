@@ -80,7 +80,8 @@ def create_app(
             return jsonify({"error": "Empty query"}), 400
         if mode not in ("AND", "OR", "PHRASE"):
             return jsonify({"error": "Invalid mode. Must be AND, OR or PHRASE"}), 400
-        if mode == "PHRASE" and pos_shards is None:
+        prox_boost = bool(data.get("proximity_boost"))
+        if (mode == "PHRASE" or prox_boost) and pos_shards is None:
             return jsonify({"error": "No positional index loaded"}), 400
         t0 = time.perf_counter()
         if mode == "PHRASE":
@@ -95,6 +96,17 @@ def create_app(
             )
             order = sorted(range(docs.size), key=lambda i: (-counts[i], docs[i]))
             results = [(int(docs[i]), int(counts[i])) for i in order[:topk]]
+        elif prox_boost:
+            # BM25 + ln(1+exp(-MinDist)) rescoring (Tao & Zhai 2007) over
+            # the positional index — tight phrases outrank scattered terms
+            from web_search_engine_ray.pipelines.phrase import (
+                proximity_boosted_hits,
+            )
+
+            results = proximity_boosted_hits(
+                searcher, pos_index_dir, query, mode=mode, topk=topk,
+                n_shards=pos_shards,
+            )
         else:
             results = searcher.bm25_topk(query, topk=topk, mode=mode)
         search_ms = (time.perf_counter() - t0) * 1000
