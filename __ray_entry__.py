@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_or": lambda sf: serving.bm25_topk_table(sf, mode="OR"),
         "bm25_topk_and": lambda sf: serving.bm25_topk_table(sf, mode="AND"),
         "bm25_taat": lambda sf: serving.bm25_taat_table(sf),
+        # Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+        # second classic ranking family, scored from the same index state
+        "ql_topk": lambda sf: serving.ql_topk_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
@@ -835,6 +838,36 @@ WHERE rn <= {TOPK}
         # after ROUND(4)) must reproduce the same answer as the DAAT path
         "bm25_taat": bm25_core
         + f"""
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # Dirichlet query likelihood: per query-token occurrence (duplicate
+        # terms count with multiplicity via the duplicate VALUES rows),
+        # candidates = OR set, absent terms pay the background probability;
+        # identical per-(term,doc) expression ln((tf + mu*cf/T)/(dl + mu))
+        "ql_topk": f"""
+WITH {tok_cte},
+ {tf_cte},
+ {dl_cte},
+ cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+ stats AS (SELECT (SELECT sum(dl)::DOUBLE FROM dl) AS t),
+ q(query_id, term) AS (VALUES {qv}),
+ qk AS (SELECT q.query_id, q.term, cf.cf FROM q JOIN cf ON cf.term = q.term),
+ cand AS (SELECT DISTINCT qk.query_id, tf.doc_id
+          FROM qk JOIN tf ON tf.term = qk.term),
+ scored AS (
+   SELECT c.query_id, c.doc_id AS docid,
+          sum( ln( (coalesce(tf.tf, 0)::DOUBLE + {serving_mod.QL_MU} * qk.cf / s.t)
+                   / (dl.dl::DOUBLE + {serving_mod.QL_MU}) ) ) AS score
+   FROM cand c
+   JOIN qk ON qk.query_id = c.query_id
+   LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qk.term
+   JOIN dl ON dl.doc_id = c.doc_id
+   CROSS JOIN stats s
+   GROUP BY c.query_id, c.doc_id)
 SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn

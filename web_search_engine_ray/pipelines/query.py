@@ -466,6 +466,53 @@ class Searcher:
         out = [(int(allowed[i]), float(sk[i])) for i in order]
         return out[:topk] if topk else out
 
+    # -- ranked: query-likelihood (Dirichlet-smoothed LM) ----------------
+    def ql_topk(self, query: str, topk: int | None = 10, mu: float = 2000.0):
+        """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+        SIGIR 2001) — the second classic ranking family next to BM25:
+
+            score(q, d) = sum_t ln( (tf(t,d) + mu * cf(t)/T) / (dl(d) + mu) )
+
+        over the query's token occurrences (duplicates count per occurrence,
+        the same multiplicity rule as :meth:`search`), where cf(t) is the
+        collection frequency and T the corpus token total. Candidates are
+        the OR set (docs matching >= 1 known term); a candidate missing a
+        term pays that term's background probability, so tf=0 contributes
+        ln(mu*cf/T / (dl+mu)) — unknown terms (cf=0) are dropped on both
+        sides rather than sending every score to -inf. cf comes free from
+        the already-decoded postings (f.sum()); no extra index artifact.
+
+        Per-(term, doc) float expression is kept EXACTLY as the SQL twin's
+        ln((tf + mu*cf/T)/(dl + mu)) so the driver hash-compare sees the
+        same float64 stream. Note: under doc-range partitioned serving this
+        scores with shard-local cf/T (``set_global_stats`` overrides N/avgdl
+        /df only — BM25's inputs); QL across ranges would need the cf sums
+        broadcast the same way."""
+        q = query_terms(query)
+        T = float(self.doclens.total_tokens)
+        infos = []
+        seen: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        for t in q:
+            if t not in seen:
+                d, f = self.postings(t)
+                if d.size:
+                    seen[t] = (d, f.astype(np.float64), float(f.sum()))
+            if t in seen:
+                infos.append(seen[t])
+        if not infos or T <= 0:
+            return []
+        cand = np.unique(np.concatenate([d for d, _, _ in infos]))
+        dl = self.doclens.get_many(cand).astype(np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        den = dl + mu
+        for d, f, cf in infos:
+            tfv = np.zeros(cand.size, dtype=np.float64)
+            tfv[np.searchsorted(cand, d)] = f
+            scores += np.log((tfv + mu * cf / T) / den)
+        order = np.lexsort((cand, -scores))
+        out = [(int(cand[i]), float(scores[i])) for i in order]
+        return out[:topk] if topk else out
+
     # -- ranked: exact DAAT cursor loop ---------------------------------
     def search_topk_daat(self, query: str, topk: int = 10, mode: str = "AND"):
         """Transliteration of the reference DAAT+BM25 loop

@@ -96,6 +96,36 @@ def bm25_topk_table(
     )
 
 
+QL_MU = 2000.0  # Dirichlet prior, mirrored in the SQL twin
+
+
+def ql_topk_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    mu: float = QL_MU,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, docid, score) — top-k Dirichlet query-likelihood per fixed
+    query (:meth:`Searcher.ql_topk`); score rounded so the Ray float64 sum
+    and the SQL float64 sum hash identically."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        for docid, score in s.ql_topk(q, topk=topk, mu=mu):
+            q_l.append(qid)
+            d_l.append(int(docid))
+            s_l.append(float(np.round(score, round_to)))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "docid": pa.array(d_l, pa.int64()),
+            "score": pa.array(s_l, pa.float64()),
+        }
+    )
+
+
 RM3_FB_DOCS, RM3_FB_TERMS = 5, 3  # gate constants, mirrored in the SQL twin
 
 

@@ -83,6 +83,13 @@ def create_app(
         prox_boost = bool(data.get("proximity_boost"))
         if (mode == "PHRASE" or prox_boost) and pos_shards is None:
             return jsonify({"error": "No positional index loaded"}), 400
+        ranker = (data.get("ranker") or "bm25").lower()
+        if ranker not in ("bm25", "ql"):
+            return jsonify({"error": "Invalid ranker. Must be bm25 or ql"}), 400
+        if ranker == "ql" and (mode == "PHRASE" or prox_boost):
+            return jsonify(
+                {"error": "ranker=ql applies to plain AND/OR ranking only"}
+            ), 400
         t0 = time.perf_counter()
         if mode == "PHRASE":
             import pyarrow as pa
@@ -107,6 +114,11 @@ def create_app(
                 searcher, pos_index_dir, query, mode=mode, topk=topk,
                 n_shards=pos_shards,
             )
+        elif ranker == "ql":
+            # Dirichlet query likelihood (Zhai & Lafferty 2001) over the OR
+            # candidate set — absent terms pay the background probability,
+            # so AND/OR candidate modes don't apply here
+            results = searcher.ql_topk(query, topk=topk)
         else:
             results = searcher.bm25_topk(query, topk=topk, mode=mode)
         search_ms = (time.perf_counter() - t0) * 1000
