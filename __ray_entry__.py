@@ -501,6 +501,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- relational (TPC-H-shaped) pipelines ----
         "tpch_q1": lambda sf: relational.pricing_summary_ds(sf),
         "tpch_q3": lambda sf: relational.shipping_priority_ds(sf),
+        # Q5 shape: 6-table join — dims driver-side, region suppliers
+        # broadcast, two kind-tagged hash exchanges (custkey, orderkey)
+        "tpch_q5": lambda sf: relational.local_supplier_volume_ds(sf),
+        # Q6 shape: filtered scan -> integer-cent partials -> tiny reduce
+        "tpch_q6": lambda sf: relational.revenue_change_ds(sf),
         # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
         "curated_docs": curate.curated_docs_ds,
@@ -1215,6 +1220,32 @@ GROUP BY 1, 3, 4
 ORDER BY sum(round(l.l_extendedprice*100)::BIGINT
              * (100 - round(l.l_discount*100)::BIGINT)) DESC, order_epoch, orderkey
 LIMIT 10
+""",
+        # Q5: identical integer-cent revenue math; the engine's local-
+        # supplier rule (s_nationkey == c_nationkey inside the region) is
+        # the literal WHERE clause
+        "tpch_q5": """
+SELECT n.n_name AS nation,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT)) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+        "tpch_q6": """
+SELECT coalesce(sum(round(l_extendedprice*100)::BIGINT
+                    * round(l_discount*100)::BIGINT), 0) / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """,
         # exact discrete quantiles: explicit rank rule max(1, ceil(q*N))
         "dl_quantiles": f"""

@@ -30,6 +30,12 @@ import pyarrow.compute as pc
 Q1_CUTOFF = "1999-09-01"
 Q3_DATE = "1998-03-15"
 Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI, Q6_QTY_MAX = 0.05, 0.07, 24.0
 
 
 def _path(sf_dir: str, table: str) -> str:
@@ -290,3 +296,270 @@ def shipping_priority_ds(
         )
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def local_supplier_volume_ds(
+    sf_dir: str,
+    region: str = Q5_REGION,
+    lo: str = Q5_DATE_LO,
+    hi: str = Q5_DATE_HI,
+):
+    """(nation, revenue): revenue from lineitems where the supplier and the
+    ordering customer share a nation inside ``region``, over one order-date
+    year — the TPC-H Q5 shape, the engine's deepest join chain (6 tables).
+
+    Distributed plan (two hash exchanges + two broadcasts, no sort shuffle):
+
+    - nation x region are DIM tables (25/5 rows by TPC-H construction):
+      resolved driver-side into the region's nationkey set + name map.
+    - supplier is filtered to the region's nations (1/5 of a table that is
+      itself ~1/7500 of lineitem) and broadcast as sorted (suppkey ->
+      nationkey) arrays via ``ray.put`` — the classic small-side broadcast.
+      At extreme scale this slice outgrows broadcast; the fallback is a
+      third hash exchange of lineitem on suppkey, same machinery as below.
+    - exchange #1 on custkey: region-filtered customer rows ride with
+      date-filtered order rows (kind-tagged union), joined per partition
+      into (orderkey, cust_nation).
+    - exchange #2 on orderkey: stage-1 output rides with lineitem rows
+      (supplier nation attached in the scan via the broadcast, non-region
+      suppliers dropped there), joined per partition, kept where
+      cust_nation == supp_nation, partially aggregated per nation.
+    - final tiny exchange on nation merges the <= 25-row partials.
+
+    Money is exact integer cents (``rint(x*100)``), summed int64, divided
+    back once — identical to the SQL twin's arithmetic.
+    """
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    d_lo, d_hi = _ts(lo), _ts(hi)
+    np_ = cluster_parts(32)
+
+    # -- dims, driver-side (tiny by construction) -----------------------
+    nation = pl.read_parquet(_path(sf_dir, "nation"))
+    reg = pl.read_parquet(_path(sf_dir, "region"))
+    rkeys = reg.filter(pl.col("r_name") == region)["r_regionkey"]
+    nat_in_region = nation.filter(pl.col("n_regionkey").is_in(rkeys))
+    region_nats = np.sort(nat_in_region["n_nationkey"].to_numpy().astype(np.int64))
+    nat_names = {
+        int(k): v
+        for k, v in zip(
+            nat_in_region["n_nationkey"].to_list(), nat_in_region["n_name"].to_list()
+        )
+    }
+
+    # -- broadcast: region suppliers, sorted by suppkey ------------------
+    sup = ray.data.read_parquet(
+        _path(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(pa.array(region_nats, pa.int32())),
+    )
+    sup_parts = [t for t in ray.get(sup.to_arrow_refs()) if t.num_rows]
+    if sup_parts:
+        sup_t = pa.concat_tables(sup_parts)
+        sk = sup_t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = sup_t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(sk)
+        sk, sn = sk[o], sn[o]
+    else:
+        sk = np.empty(0, np.int64)
+        sn = np.empty(0, np.int64)
+    sup_ref = ray.put((sk, sn))
+
+    # -- exchange #1: customer x orders on custkey -----------------------
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                "key": t["c_custkey"].cast(pa.int64()),
+                "nat": t["c_nationkey"].cast(pa.int64()),
+                "okey": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                "key": t["o_custkey"].cast(pa.int64()),
+                "nat": pa.array(np.zeros(t.num_rows, np.int64)),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        _path(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(pa.array(region_nats, pa.int32())),
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        _path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(d_lo))
+        & (pc.field("o_orderdate") < pa.scalar(d_hi)),
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def route_key(t: pa.Table) -> np.ndarray:
+        return (
+            t["key"].combine_chunks().to_numpy(zero_copy_only=False) % np_
+        ).astype(np.int64)
+
+    def join_cust(t: pa.Table) -> pa.Table:
+        tt = pl.from_arrow(t)
+        c = tt.filter(pl.col("kind") == 0).select("key", "nat")
+        o = tt.filter(pl.col("kind") == 1).select("key", "okey")
+        j = o.join(c, on="key", how="inner")
+        return pa.table(
+            {
+                "orderkey": pa.array(j["okey"].to_numpy(), pa.int64()),
+                "cust_nat": pa.array(j["nat"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ord_nat = exchange_map(
+        cust.union(orders), route_key, np_, join_cust, auto_shrink=True
+    )
+
+    # -- exchange #2: (orderkey, cust_nat) x lineitem on orderkey ---------
+    def on_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                "key": t["orderkey"],
+                "nat": t["cust_nat"],
+                "rev_c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "snat": pa.array(np.full(t.num_rows, -1, np.int64)),
+            }
+        )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        sk_, sn_ = ray.get(sup_ref)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if sk_.size:
+            pos = np.minimum(np.searchsorted(sk_, keys), sk_.size - 1)
+            ok = sk_[pos] == keys  # region suppliers only — the broadcast
+        else:  # holds nothing else, so a miss means "not in region"
+            pos = np.zeros(keys.size, np.int64)
+            ok = np.zeros(keys.size, bool)
+        tt = t.filter(pa.array(ok))
+        price_c = np.rint(
+            tt["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            tt["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        n = tt.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(n, np.int8)),
+                "key": tt["l_orderkey"].cast(pa.int64()),
+                "nat": pa.array(np.zeros(n, np.int64)),
+                "rev_c": pa.array(price_c * (100 - disc_c), pa.int64()),
+                "snat": pa.array(sn_[pos[ok]], pa.int64()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join_line(t: pa.Table) -> pa.Table:
+        tt = pl.from_arrow(t)
+        o = tt.filter(pl.col("kind") == 0).select("key", "nat")
+        l = tt.filter(pl.col("kind") == 1).select("key", "rev_c", "snat")
+        j = l.join(o, on="key", how="inner").filter(pl.col("nat") == pl.col("snat"))
+        g = j.group_by("nat").agg(pl.col("rev_c").sum())
+        return pa.table(
+            {
+                "nat": pa.array(g["nat"].to_numpy(), pa.int64()),
+                "rev_c": pa.array(g["rev_c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = exchange_map(
+        ord_nat.map_batches(on_rows, batch_format="pyarrow").union(lines),
+        route_key,
+        np_,
+        join_line,
+        auto_shrink=True,
+    )
+
+    # -- final tiny exchange: merge <= 25-row partials per nation ---------
+    def route_nat(t: pa.Table) -> np.ndarray:
+        return (
+            t["nat"].combine_chunks().to_numpy(zero_copy_only=False) % 4
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = pl.from_arrow(t).group_by("nat").agg(pl.col("rev_c").sum())
+        nats = g["nat"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "nation": pa.array(
+                    [nat_names[int(n)] for n in nats], pa.string()
+                ),
+                "revenue": pa.array(
+                    g["rev_c"].to_numpy().astype(np.float64) / 10000.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return exchange_map(partials, route_nat, 4, merge).sort(
+        "revenue", descending=True
+    )
+
+
+def revenue_change_ds(
+    sf_dir: str,
+    lo: str = Q6_DATE_LO,
+    hi: str = Q6_DATE_HI,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    qty_max: float = Q6_QTY_MAX,
+) -> pa.Table:
+    """One row (revenue, n_rows): sum(l_extendedprice * l_discount) over a
+    ship-date year, a discount band and a quantity cap — the TPC-H Q6
+    forecasting-revenue-change shape. Pure filtered-scan -> per-batch
+    integer-cent partial -> tiny driver reduce (one row per input block
+    crosses the wire; the row-group filter prunes at the read). Float
+    literal comparisons are safe on both sides: engine and twin compare the
+    SAME stored float64s against identically-parsed literals."""
+    import ray
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "rev_c": pa.array([int((price_c * disc_c).sum())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _path(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(_ts(lo)))
+        & (pc.field("l_shipdate") < pa.scalar(_ts(hi)))
+        & (pc.field("l_discount") >= disc_lo)
+        & (pc.field("l_discount") <= disc_hi)
+        & (pc.field("l_quantity") < qty_max),
+    ).map_batches(partial, batch_format="pyarrow")
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    rev = sum(int(t["rev_c"][i].as_py()) for t in parts for i in range(t.num_rows))
+    n = sum(int(t["n"][i].as_py()) for t in parts for i in range(t.num_rows))
+    return pa.table(
+        {
+            "revenue": pa.array([rev / 10000.0], pa.float64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )
