@@ -197,6 +197,27 @@ HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
 """
 
 
+def _grep_sql(kind: str) -> str:
+    """Pattern-search twin: the literal full-scan predicate — engine
+    (pyarrow RE2 kernels behind a trigram-index prune) and DuckDB
+    (``contains`` / RE2 ``regexp_matches``) must agree exactly."""
+    from web_search_engine_ray.pipelines.grep import FIXED_LITERALS, FIXED_REGEXES
+
+    if kind == "substring":
+        legs = [
+            f"SELECT {qid} AS query_id, doc_id AS docid FROM documents"
+            f" WHERE contains(lower(text), '{lit.lower()}')"
+            for qid, lit in enumerate(FIXED_LITERALS)
+        ]
+    else:
+        legs = [
+            f"SELECT {qid} AS query_id, doc_id AS docid FROM documents"
+            f" WHERE regexp_matches(lower(text), '{pat}')"
+            for qid, pat in enumerate(FIXED_REGEXES)
+        ]
+    return "\nUNION ALL\n".join(legs)
+
+
 def _min_window_legs() -> str:
     """UNION ALL legs (query_id, docid, window_len) of the minimal-window
     cross-join twin; callers provide a ``tokpos(doc_id, tok, p)`` CTE."""
@@ -356,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         graph,
+        grep,
         legacy,
         mix,
         pack,
@@ -420,6 +442,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": lambda sf: dsir.dsir_weights_ds(sf),
         # ---- positional index: phrase + proximity search ----
         "phrase_search": lambda sf: phrase.phrase_search_table(sf),
+        # trigram-pruned pattern search (Cox 2012 Code Search technique);
+        # verify is pc RE2 kernels == DuckDB RE2, so the twin is the
+        # literal full-scan predicate
+        "substring_search": lambda sf: grep.substring_search_table(sf),
+        "regex_search": lambda sf: grep.regex_search_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1275,6 +1302,8 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
 """,
         "dsir_weights": _dsir_sql(),
         "phrase_search": _phrase_sql(),
+        "substring_search": _grep_sql("substring"),
+        "regex_search": _grep_sql("regex"),
         "proximity_search": _proximity_sql(),
         "min_window": _min_window_sql(),
         # proximity-boosted BM25: the bm25 scored CTE LEFT JOINed to the

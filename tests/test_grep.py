@@ -1,0 +1,128 @@
+"""Trigram-pruned pattern search (Cox 2012 Code Search technique):
+literal-run extraction, prune-vs-scan equality, the missing-trigram exact
+zero, the stop-trigram fallback, and the gate twins."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from web_search_engine_ray.pipelines.grep import (
+    _pattern_trigrams,
+    _regex_literal_runs,
+)
+
+
+def test_literal_runs():
+    assert _regex_literal_runs("spark [a-z]+ join") == ["spark ", " join"]
+    assert _regex_literal_runs("customer [a-z]{3} order") == ["customer ", " order"]
+    assert _regex_literal_runs("data data data") == ["data data data"]
+    # alternation: no globally obligatory run -> conservative scan
+    assert _regex_literal_runs("(merge|vector) sort") == []
+    # quantifier makes the preceding char optional
+    assert _regex_literal_runs("abcd*efg") == ["abc", "efg"]
+    # escapes and dot break runs conservatively
+    assert _regex_literal_runs(r"foo\d+barx") == ["foo", "barx"]
+    assert _regex_literal_runs("a.c") == []
+
+
+def test_pattern_trigrams():
+    codes = _pattern_trigrams("AbCd")
+    # lowercased: 'abc', 'bcd'
+    want = {ord("a") * 65536 + ord("b") * 256 + ord("c"),
+            ord("b") * 65536 + ord("c") * 256 + ord("d")}
+    assert set(codes.tolist()) == want
+    assert _pattern_trigrams("ab").size == 0
+
+
+@pytest.fixture(scope="module")
+def grep_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("grep_docs")
+    texts = [
+        "Spark JOIN order",          # matches 'spark join' (case-folded)
+        "spark window join",         # regex 'spark [a-z]+ join' only
+        "nothing here",
+        "spark joinery works",       # contains 'spark join' as substring
+        "the spar kjoin trick",      # trigram FP shape: has 'spa','par','ark'? no 'spark join'
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_substring_and_regex_planted(ray_session, grep_corpus):
+    from web_search_engine_ray.pipelines import grep
+
+    got = grep.substring_search(grep_corpus, "Spark Join")
+    assert got["docid"].to_pylist() == [0, 3]
+    got = grep.regex_search(grep_corpus, "spark [a-z]+ join")
+    assert got["docid"].to_pylist() == [1]
+    # alternation (no obligatory run): falls back to the verify scan, exact
+    got = grep.regex_search(grep_corpus, "(window|order)")
+    assert got["docid"].to_pylist() == [0, 1]
+    # a literal whose trigrams exist nowhere: exact zero without a scan
+    got = grep.substring_search(grep_corpus, "zzzqqq")
+    assert got.num_rows == 0
+
+
+def test_candidates_prune_and_stop(ray_session, grep_corpus):
+    from web_search_engine_ray.pipelines import grep
+
+    idx = grep._cached_trigram_index(grep_corpus)
+    # 'spark join' candidates: a superset of true matches, pruned below N
+    cand = grep._candidates(idx, _pattern_trigrams("spark join"), grep.N_SHARDS)
+    assert cand is not None and {0, 3} <= set(cand.tolist()) and len(cand) < 5
+    # missing trigram -> exact empty (not None)
+    cand = grep._candidates(idx, _pattern_trigrams("zzzqqq"), grep.N_SHARDS)
+    assert cand is not None and cand.size == 0
+    # all-stop trigrams: ' he'/'her'/'ere' style — force with a tiny corpus
+    # where the probe trigram is in >50% of docs
+    cand = grep._candidates(idx, _pattern_trigrams("spark"), grep.N_SHARDS)
+    # 'spark' appears in 4/5 docs (> STOP_DF_FRAC): every trigram is stop
+    assert cand is None
+
+
+def test_gate_entries_match_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for q in ["substring_search", "regex_search"]:
+        got = entrymod.queries()[q](sf).to_pandas()
+        want = con.sql(entrymod.oracle_sql()[q]).df()
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)].copy()
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_trigram_extraction_matches_python(ray_session, grep_corpus):
+    """The vectorized buffer-walk extraction == a per-doc Python recount."""
+    from web_search_engine_ray.pipelines.grep import _lower_utf8_trigrams
+
+    texts = ["Hello World", "", "ab", "abc", "ABCD éx"]
+    arr = pa.array(texts, pa.string())
+    docids = np.arange(len(texts), dtype=np.int64)
+    codes, dids = _lower_utf8_trigrams(docids, arr)
+    got = set(zip(dids.tolist(), codes.tolist()))
+    want = set()
+    for i, s in enumerate(texts):
+        b = s.lower().encode("utf-8")
+        for j in range(len(b) - 2):
+            want.add((i, b[j] * 65536 + b[j + 1] * 256 + b[j + 2]))
+    assert got == want
