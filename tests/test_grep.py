@@ -43,7 +43,11 @@ def grep_corpus(tmp_path_factory):
         "spark window join",         # regex 'spark [a-z]+ join' only
         "nothing here",
         "spark joinery works",       # contains 'spark join' as substring
-        "the spar kjoin trick",      # trigram FP shape: has 'spa','par','ark'? no 'spark join'
+        "the spar kjoin trick",      # trigram FP shape: no 'spark join'
+    ] + [
+        # fillers keep the probe trigrams under the stop-df fraction
+        f"assorted filler text number {w}"
+        for w in ["one", "two", "three", "four", "five"]
     ]
     pq.write_table(
         pa.table(
@@ -82,11 +86,34 @@ def test_candidates_prune_and_stop(ray_session, grep_corpus):
     # missing trigram -> exact empty (not None)
     cand = grep._candidates(idx, _pattern_trigrams("zzzqqq"), grep.N_SHARDS)
     assert cand is not None and cand.size == 0
-    # all-stop trigrams: ' he'/'her'/'ere' style — force with a tiny corpus
-    # where the probe trigram is in >50% of docs
+    # below the stop fraction (4/10): prunes to exactly the docs holding
+    # every trigram of 'spark' (doc4's 'spar k' lacks 'ark')
     cand = grep._candidates(idx, _pattern_trigrams("spark"), grep.N_SHARDS)
-    # 'spark' appears in 4/5 docs (> STOP_DF_FRAC): every trigram is stop
-    assert cand is None
+    assert set(cand.tolist()) == {0, 1, 3}
+
+
+def test_all_stop_trigrams_fall_back(ray_session, tmp_path_factory):
+    """A probe whose every trigram exceeds STOP_DF_FRAC: the index refuses
+    to prune (None) and the batch operator answers via the verify scan."""
+    from web_search_engine_ray.pipelines import grep
+
+    d = tmp_path_factory.mktemp("stop_docs")
+    texts = ["spark a", "spark b", "spark c", "spark d", "other"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    idx = grep._cached_trigram_index(str(d))
+    # 'spark' in 4/5 docs (> 0.5): every trigram is stop -> None
+    assert grep._candidates(idx, _pattern_trigrams("spark"), grep.N_SHARDS) is None
+    # the batch operator still answers exactly (distributed verify scan)
+    got = grep.substring_search(str(d), "spark")
+    assert got["docid"].to_pylist() == [0, 1, 2, 3]
 
 
 def test_gate_entries_match_oracle(ray_session):
@@ -126,3 +153,35 @@ def test_trigram_extraction_matches_python(ray_session, grep_corpus):
         for j in range(len(b) - 2):
             want.add((i, b[j] * 65536 + b[j + 1] * 256 + b[j + 2]))
     assert got == want
+
+
+def test_flask_grep_endpoint(ray_session, grep_corpus, tmp_path_factory):
+    from web_search_engine_ray.pipelines import grep
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.serve import create_app
+
+    idx = str(tmp_path_factory.mktemp("grep_bm25"))
+    build_index(
+        grep_corpus + "/documents.parquet", idx, partition_rows=10, num_shards=2
+    )
+    tri = grep._cached_trigram_index(grep_corpus)
+    client = create_app(
+        idx, corpus_dir=grep_corpus + "/documents.parquet", grep_index_dir=tri
+    ).test_client()
+    r = client.post("/grep", json={"pattern": "Spark Join"})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["docids"] == [0, 3] and body["totalResults"] == 2
+    r = client.post("/grep", json={"pattern": "spark [a-z]+ join", "regex": True})
+    assert r.status_code == 200 and r.get_json()["docids"] == [1]
+    # unprunable pattern -> 400 (serving never full-scans)
+    r = client.post("/grep", json={"pattern": "(a|b)", "regex": True})
+    assert r.status_code == 400
+    r = client.post("/grep", json={"pattern": "ab"})
+    assert r.status_code == 400
+    # bad regex -> 400
+    r = client.post("/grep", json={"pattern": "foo(bar", "regex": True})
+    assert r.status_code == 400
+    # no grep index loaded -> 400
+    bare = create_app(idx).test_client()
+    assert bare.post("/grep", json={"pattern": "spark join"}).status_code == 400

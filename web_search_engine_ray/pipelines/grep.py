@@ -383,3 +383,65 @@ def regex_search_table(
             "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
         }
     )
+
+
+# -- Ray-free serving path -------------------------------------------------
+
+
+def match_docids_local(
+    corpus_path: str,
+    index_dir: str,
+    pattern: str,
+    is_regex: bool = False,
+    n_shards: int = N_SHARDS,
+) -> np.ndarray:
+    """Serving-side pattern match WITHOUT Ray (pure parquet reads + RE2
+    kernels, same state model as the Searcher): trigram candidates, then a
+    ``doc_id``-filtered read of only the corpus row groups holding them
+    (docids are dense build ordinals, so parquet min/max stats skip the
+    rest). Raises ``ValueError`` when the pattern has no selective trigram
+    — an unpruned full scan belongs to the distributed operators
+    (:func:`substring_search` / :func:`regex_search`), not a request
+    handler."""
+    from web_search_engine_ray.sources.transcripts import corpus_files
+
+    if is_regex:
+        re.compile(pattern)  # surface bad patterns as ValueError-adjacent now
+        runs = _regex_literal_runs(pattern)
+        cand: np.ndarray | None = None
+        for r in runs:
+            c = _candidates(index_dir, _pattern_trigrams(r), n_shards)
+            if c is None:
+                continue
+            cand = c if cand is None else np.intersect1d(
+                cand, c, assume_unique=True
+            )
+    else:
+        cand = _candidates(index_dir, _pattern_trigrams(pattern), n_shards)
+    if cand is None:
+        raise ValueError(
+            "pattern has no selective trigram (too short, alternation-only, "
+            "or all stop-trigrams); use the batch regex_search operator"
+        )
+    if cand.size == 0:
+        return np.empty(0, np.int64)
+    want = pa.array(np.sort(cand), pa.int64())
+    hits = []
+    for path in corpus_files(corpus_path):
+        t = pq.read_table(
+            path,
+            columns=["doc_id", "text"],
+            filters=pc.field("doc_id").isin(want),
+        )
+        if not t.num_rows:
+            continue
+        lower = pc.utf8_lower(t["text"].combine_chunks())
+        m = (
+            pc.match_substring_regex(lower, pattern)
+            if is_regex
+            else pc.match_substring(lower, pattern.lower())
+        )
+        ids = t.filter(m)["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size:
+            hits.append(ids.astype(np.int64))
+    return np.sort(np.concatenate(hits)) if hits else np.empty(0, np.int64)

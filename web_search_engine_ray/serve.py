@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import time
 
 from flask import Flask, jsonify, request
@@ -30,6 +31,7 @@ def create_app(
     index_dir: str,
     corpus_dir: str | None = None,
     pos_index_dir: str | None = None,
+    grep_index_dir: str | None = None,
 ) -> Flask:
     """``corpus_dir`` (optional) enables text + snippet in responses — a
     capability the reference stubs (its snippet helper is dead code because
@@ -181,6 +183,38 @@ def create_app(
             }
         )
 
+    @app.route("/grep", methods=["POST"])
+    def grep():
+        """Trigram-pruned pattern match over the corpus (Ray-free serving
+        path): ``{pattern, regex?: bool, limit?: int}`` -> matching docids.
+        Unprunable patterns (too short / alternation-only / all stop-
+        trigrams) get a 400 pointing at the batch operator — a request
+        handler must never full-scan the corpus."""
+        from web_search_engine_ray.pipelines.grep import match_docids_local
+
+        if grep_index_dir is None or corpus_dir is None:
+            return jsonify({"error": "No grep index loaded"}), 400
+        data = request.get_json(silent=True) or {}
+        pattern = (data.get("pattern") or "").strip()
+        if not pattern:
+            return jsonify({"error": "Empty pattern"}), 400
+        limit = int(data.get("limit") or 100)
+        t0 = time.perf_counter()
+        try:
+            ids = match_docids_local(
+                corpus_dir, grep_index_dir, pattern, bool(data.get("regex"))
+            )
+        except (ValueError, re.error) as e:
+            return jsonify({"error": str(e)}), 400
+        return jsonify(
+            {
+                "pattern": pattern,
+                "docids": [int(d) for d in ids[:limit]],
+                "totalResults": int(ids.size),
+                "searchTime": (time.perf_counter() - t0) * 1000,
+            }
+        )
+
     @app.route("/health")
     def health():
         return jsonify(
@@ -201,10 +235,13 @@ def main() -> None:
     ap.add_argument(
         "--pos-index", default=None, help="positional index dir (enables PHRASE mode)"
     )
+    ap.add_argument(
+        "--grep-index", default=None, help="trigram index dir (enables POST /grep)"
+    )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5001)
     args = ap.parse_args()
-    create_app(args.index, args.corpus, args.pos_index).run(
+    create_app(args.index, args.corpus, args.pos_index, args.grep_index).run(
         host=args.host, port=args.port
     )
 
