@@ -43,13 +43,15 @@ def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
-    from web_search_engine_ray.pipelines import phrase, rag, transcripts_ops
+    from web_search_engine_ray.pipelines import grep, phrase, rag, transcripts_ops
     from web_search_engine_ray.pipelines.build import build_index
     from web_search_engine_ray.pipelines.query import Searcher
     from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
     from web_search_engine_ray.pipelines.spell import SpellIndex
 
     rag_dir = "/tmp/wse_stress_rag"
+    tri_dir = "/tmp/wse_stress_triidx"
+    shutil.rmtree(tri_dir, ignore_errors=True)
     pos_dir = "/tmp/wse_stress_posidx"
     idx_dir = "/tmp/wse_stress_idx"
     shutil.rmtree(rag_dir, ignore_errors=True)
@@ -93,7 +95,25 @@ def main() -> None:
             "spell_suggest_after_build",
             lambda: SpellIndex.from_searcher(searcher_box["s"]).suggest("dta"),
         ),
+        (
+            "trigram_index_build_2M",
+            lambda: grep.build_trigram_index(docs, tri_dir, n_shards=64)[
+                "n_trigrams"
+            ],
+        ),
+        (
+            "trigram_grep_queries_2M",  # 5 substrings + 4 regexes, pruned
+            lambda: grep.substring_search_table(
+                docs, n_shards=64, index_dir=tri_dir
+            ).num_rows
+            + grep.regex_search_table(
+                docs, n_shards=64, index_dir=tri_dir
+            ).num_rows,
+        ),
     ]
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only:
+        ops = [(n, f) for n, f in ops if only in n]
     for name, fn in ops:
         t0 = time.time()
         n = fn()

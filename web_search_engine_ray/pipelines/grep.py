@@ -309,11 +309,12 @@ def _verify_scan(sf_dir: str, cand: np.ndarray | None, matcher) -> pa.Table:
 
 
 def substring_search(
-    sf_dir: str, literal: str, n_shards: int = N_SHARDS
+    sf_dir: str, literal: str, n_shards: int = N_SHARDS,
+    index_dir: str | None = None,
 ) -> pa.Table:
     """(docid): documents whose lowercased text contains ``literal``
     (lowercased) — trigram-pruned, exactly verified."""
-    idx = _cached_trigram_index(sf_dir, n_shards)
+    idx = index_dir or _cached_trigram_index(sf_dir, n_shards)
     cand = _candidates(idx, _pattern_trigrams(literal), n_shards)
     needle = literal.lower()
     return _verify_scan(
@@ -321,11 +322,14 @@ def substring_search(
     )
 
 
-def regex_search(sf_dir: str, pattern: str, n_shards: int = N_SHARDS) -> pa.Table:
+def regex_search(
+    sf_dir: str, pattern: str, n_shards: int = N_SHARDS,
+    index_dir: str | None = None,
+) -> pa.Table:
     """(docid): documents whose lowercased text matches the RE2 ``pattern``.
     Obligatory literal runs (>= 3 chars) prune via the trigram index; their
     absence degrades to the distributed verify scan (correct, unpruned)."""
-    idx = _cached_trigram_index(sf_dir, n_shards)
+    idx = index_dir or _cached_trigram_index(sf_dir, n_shards)
     runs = _regex_literal_runs(pattern)
     cand: np.ndarray | None = None
     for r in runs:
@@ -350,12 +354,13 @@ FIXED_REGEXES = [
 
 
 def substring_search_table(
-    sf_dir: str, literals: list[str] | None = None, n_shards: int = N_SHARDS
+    sf_dir: str, literals: list[str] | None = None, n_shards: int = N_SHARDS,
+    index_dir: str | None = None,
 ) -> pa.Table:
     literals = literals if literals is not None else FIXED_LITERALS
     q_l, d_l = [], []
     for qid, lit in enumerate(literals):
-        t = substring_search(sf_dir, lit, n_shards)
+        t = substring_search(sf_dir, lit, n_shards, index_dir=index_dir)
         ids = t["docid"].to_numpy(zero_copy_only=False)
         q_l.append(np.full(ids.size, qid, np.int64))
         d_l.append(ids)
@@ -368,12 +373,13 @@ def substring_search_table(
 
 
 def regex_search_table(
-    sf_dir: str, patterns: list[str] | None = None, n_shards: int = N_SHARDS
+    sf_dir: str, patterns: list[str] | None = None, n_shards: int = N_SHARDS,
+    index_dir: str | None = None,
 ) -> pa.Table:
     patterns = patterns if patterns is not None else FIXED_REGEXES
     q_l, d_l = [], []
     for qid, pat in enumerate(patterns):
-        t = regex_search(sf_dir, pat, n_shards)
+        t = regex_search(sf_dir, pat, n_shards, index_dir=index_dir)
         ids = t["docid"].to_numpy(zero_copy_only=False)
         q_l.append(np.full(ids.size, qid, np.int64))
         d_l.append(ids)
