@@ -197,6 +197,45 @@ HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
 """
 
 
+def _pagerank_sql(n_iter: int = 20, d: float = 0.85, round_to: int = 8) -> str:
+    """Event-type PageRank twin: lead()-window transition edges, then
+    ``n_iter`` UNROLLED iteration CTEs (the kmeans Lloyd-replay trick) under
+    the engine's exact update expression (1-d)/n + d*(contrib + dang/n)."""
+    legs = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        legs.append(f"""
+ r{i} AS MATERIALIZED (
+   SELECT nd.node,
+          (1.0 - {d}) / (SELECT n FROM nn)
+          + {d} * (coalesce(c.contrib, 0.0)
+                   + (SELECT coalesce(sum(p.r), 0.0) FROM {prev} p
+                      WHERE p.node NOT IN (SELECT src FROM edges)) /
+                     (SELECT n FROM nn)) AS r
+   FROM nodes nd
+   LEFT JOIN (SELECT e.dst AS node, sum(e.w / o.ow * p.r) AS contrib
+              FROM edges e
+              JOIN outw o ON o.src = e.src
+              JOIN {prev} p ON p.node = e.src
+              GROUP BY e.dst) c ON c.node = nd.node)""")
+        prev = f"r{i}"
+    chain = ",".join(legs)
+    return f"""
+WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+ nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+ pairs AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM events),
+ edges AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w
+           FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+ outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+ r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),{chain}
+SELECT node AS event_type, ROUND(r, {round_to}) AS pagerank
+FROM {prev}
+"""
+
+
 def _grep_sql(kind: str) -> str:
     """Pattern-search twin: the literal full-scan predicate — engine
     (pyarrow RE2 kernels behind a trigram-index prune) and DuckDB
@@ -447,6 +486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # literal full-scan predicate
         "substring_search": lambda sf: grep.substring_search_table(sf),
         "regex_search": lambda sf: grep.regex_search_table(sf),
+        # PageRank over the event-type transition graph (Brin & Page 1998):
+        # edge derivation is one user_id exchange; iterations run against
+        # the distributed edge relation with a broadcast rank vector
+        "pagerank": lambda sf: graph.event_type_pagerank_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1304,6 +1347,7 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "phrase_search": _phrase_sql(),
         "substring_search": _grep_sql("substring"),
         "regex_search": _grep_sql("regex"),
+        "pagerank": _pagerank_sql(),
         "proximity_search": _proximity_sql(),
         "min_window": _min_window_sql(),
         # proximity-boosted BM25: the bm25 scored CTE LEFT JOINed to the
