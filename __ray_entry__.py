@@ -490,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edge derivation is one user_id exchange; iterations run against
         # the distributed edge relation with a broadcast rank vector
         "pagerank": lambda sf: graph.event_type_pagerank_table(sf),
+        # "more like this": top-k similar docs per source doc by TF-IDF
+        # cosine — doc-to-doc similarity the reference lacks entirely
+        "more_like_this": lambda sf: serving.more_like_this_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1348,6 +1351,33 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "substring_search": _grep_sql("substring"),
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
+        # identical per-(term,pair) float expression (tf_s*idf)*(tf_d*idf),
+        # identical dot/(norm_s*norm_d); sources = the first 10 docids
+        "more_like_this": f"""
+WITH {tok_cte},
+ {tf_cte},
+ {df_cte},
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+ w AS (SELECT tf.doc_id, tf.term,
+              tf.tf::DOUBLE * ln((SELECT n FROM stats) / df.df::DOUBLE) AS w
+       FROM tf JOIN df ON df.term = tf.term),
+ nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+ src(query_id, sdoc) AS (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(serving_mod.MLT_SOURCE_DOCS))}),
+ dots AS (SELECT s.query_id, s.sdoc, b.doc_id AS docid, sum(a.w * b.w) AS dot
+          FROM src s
+          JOIN w a ON a.doc_id = s.sdoc
+          JOIN w b ON b.term = a.term AND b.doc_id <> s.sdoc
+          GROUP BY 1, 2, 3),
+ scored AS (SELECT d.query_id, d.docid, d.dot / (ns.nrm * nb.nrm) AS score
+            FROM dots d
+            JOIN nrm ns ON ns.doc_id = d.sdoc
+            JOIN nrm nb ON nb.doc_id = d.docid)
+SELECT query_id, docid, ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {serving_mod.MLT_TOPK}
+""",
         "proximity_search": _proximity_sql(),
         "min_window": _min_window_sql(),
         # proximity-boosted BM25: the bm25 scored CTE LEFT JOINed to the

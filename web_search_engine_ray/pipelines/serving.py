@@ -727,3 +727,139 @@ def facet_counts_table(sf_dir: str, queries: list[str] | None = None) -> pa.Tabl
             "n_docs": pa.array(agg["n_docs"].to_numpy(), pa.int64()),
         }
     )
+
+
+# -- "more like this": TF-IDF cosine document similarity ----------------------
+
+MLT_SOURCE_DOCS = list(range(10))
+MLT_TOPK = 10
+
+
+def _tfidf_norms(sf_dir: str) -> np.ndarray:
+    """Per-doc TF-IDF L2 norms (tfidf = tf * ln(N/df), the ``tfidf_topk``
+    formula): one corpus pass with the vocabulary-scale idf relation
+    broadcast (the tfidf_topk_ds discipline); documents never span batches,
+    so per-doc sums need no exchange. Returns a dense docid-indexed array —
+    at extreme scale this becomes one more range-sharded docid artifact,
+    exactly like doclens."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from web_search_engine_ray.pipelines.corpus import (
+        _docs_path,
+        _to_postings,
+        term_stats_ds,
+    )
+
+    stats = pa.concat_tables(ray.get(term_stats_ds(sf_dir).to_arrow_refs()))
+    n_docs = pq.ParquetFile(_docs_path(sf_dir)).metadata.num_rows
+    import polars as pl
+
+    idf = pl.from_arrow(stats).select(
+        "term",
+        (float(n_docs) / pl.col("df").cast(pl.Float64)).log().alias("idf"),
+    )
+    ref = ray.put(idf.to_arrow())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = _to_postings(batch)
+        d = (
+            pl.from_arrow(p)
+            .join(pl.from_arrow(ray.get(ref)), on="term", how="inner")
+            .with_columns(
+                (pl.col("tf").cast(pl.Float64) * pl.col("idf")).alias("w")
+            )
+            .group_by("docid")
+            .agg((pl.col("w") * pl.col("w")).sum().alias("ss"))
+        )
+        return d.to_arrow().cast(
+            pa.schema([("docid", pa.int64()), ("ss", pa.float64())])
+        )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow")
+    norms = np.zeros(n_docs, np.float64)
+    for t in ray.get(ds.to_arrow_refs()):
+        if t.num_rows:
+            norms[t["docid"].to_numpy(zero_copy_only=False)] = np.sqrt(
+                t["ss"].to_numpy(zero_copy_only=False)
+            )
+    return norms
+
+
+def more_like_this_table(
+    sf_dir: str,
+    source_docids: list[int] | None = None,
+    topk: int = MLT_TOPK,
+    round_to: int = 6,
+) -> pa.Table:
+    """(query_id, docid, score): top-k most similar documents per source
+    document by TF-IDF cosine (the search engine's "more like this" /
+    related-documents feature — the reference has no doc-to-doc similarity
+    at all). Source doc term vectors come from a 10-row filtered corpus
+    read; candidate postings and dfs come from the same index state BM25
+    serves from; per-doc norms from :func:`_tfidf_norms`. Per-(term, pair)
+    float expression (tf_s*idf) * (tf_d*idf) and the final
+    dot/(norm_s*norm_d) match the SQL twin exactly; ROUND({round_to}) both
+    sides."""
+    import math
+
+    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.corpus import _docs_path
+
+    src_ids = source_docids if source_docids is not None else MLT_SOURCE_DOCS
+    s = documents_searcher(sf_dir)
+    norms = _tfidf_norms(sf_dir)
+    n = float(s.N)
+    src_t = pq_.read_table(
+        _docs_path(sf_dir),
+        columns=["doc_id", "text"],
+        filters=pc.field("doc_id").isin(pa.array(src_ids, pa.int64())),
+    )
+    texts = {
+        int(d): t
+        for d, t in zip(src_t["doc_id"].to_pylist(), src_t["text"].to_pylist())
+    }
+    q_l, d_l, s_l = [], [], []
+    for qid, sdoc in enumerate(src_ids):
+        toks = token_lists(pa.array([texts.get(sdoc, "")], pa.string())).to_list()[0] or []
+        if not toks:
+            continue
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        dot: dict[int, float] = {}
+        cand_all: list[np.ndarray] = []
+        per_term = []
+        for t_, c in zip(terms.tolist(), counts.tolist()):
+            d_arr, f_arr = s.postings(t_)
+            if not d_arr.size:
+                continue
+            idf = math.log(n / float(s.df(t_)))
+            per_term.append((d_arr.astype(np.int64), f_arr, float(c) * idf, idf))
+            cand_all.append(d_arr.astype(np.int64))
+        if not per_term:
+            continue
+        cand = np.unique(np.concatenate(cand_all))
+        dots = np.zeros(cand.size, np.float64)
+        for d_arr, f_arr, ws, idf in per_term:
+            wb = f_arr.astype(np.float64) * idf
+            dots[np.searchsorted(cand, d_arr)] += ws * wb
+        keep = cand != sdoc
+        cand, dots = cand[keep], dots[keep]
+        scores = dots / (norms[sdoc] * norms[cand])
+        order = np.lexsort((cand, -scores))[:topk]
+        q_l.append(np.full(order.size, qid, np.int64))
+        d_l.append(cand[order])
+        s_l.append(np.round(scores[order], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
