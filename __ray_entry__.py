@@ -493,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # "more like this": top-k similar docs per source doc by TF-IDF
         # cosine — doc-to-doc similarity the reference lacks entirely
         "more_like_this": lambda sf: serving.more_like_this_table(sf),
+        # chi-square distinctive terms per source (doc-level 2x2 tables)
+        "distinctive_terms": lambda sf: analysis.distinctive_terms_ds(sf, k=10),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1351,6 +1353,37 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "substring_search": _grep_sql("substring"),
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
+        # identical integer contingency cells; both sides evaluate
+        # (N * sq) / denom in double with the same CASE denom guard, and
+        # rank by the ROUNDED chi2 (engine rounds before its sort)
+        "distinctive_terms": f"""
+WITH tokd AS (SELECT DISTINCT doc_id, source, term
+              FROM (SELECT doc_id, source, unnest({TOK}) AS term
+                    FROM documents)),
+ acounts AS (SELECT source, term, count(*)::DOUBLE AS a
+             FROM tokd GROUP BY 1, 2),
+ dft AS (SELECT term, count(*)::DOUBLE AS df FROM tokd GROUP BY 1),
+ ns AS (SELECT source, count(*)::DOUBLE AS n_s FROM documents GROUP BY 1),
+ nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ cells AS (SELECT ac.source, ac.term, ac.a,
+                  dft.df - ac.a AS b,
+                  ns.n_s - ac.a AS c,
+                  (SELECT n FROM nn) - ns.n_s - (dft.df - ac.a) AS d
+           FROM acounts ac
+           JOIN dft ON dft.term = ac.term
+           JOIN ns ON ns.source = ac.source),
+ chi AS (SELECT source, term,
+                ROUND(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) > 0
+                      THEN ((SELECT n FROM nn) * ((a*d - b*c) * (a*d - b*c)))
+                           / ((a+b)*(c+d)*(a+c)*(b+d))
+                      ELSE 0.0 END, 6) AS chi2
+         FROM cells)
+SELECT source, term, chi2, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY chi2 DESC, term) AS rank
+  FROM chi)
+WHERE rank <= 10
+""",
         # identical per-(term,pair) float expression (tf_s*idf)*(tf_d*idf),
         # identical dot/(norm_s*norm_d); sources = the first 10 docids
         "more_like_this": f"""

@@ -369,6 +369,29 @@ def run_bench() -> dict:
     _serving.facet_counts_table(SF_DIR)
     timings["facet_search_sf"] = round(time.perf_counter() - t0, 3)
 
+    # round-4 additions: 6-table exchange join, trigram grep (cold index
+    # build + the 9 fixed patterns), event-graph PageRank, MLT cosine
+    from web_search_engine_ray.pipelines import graph as _graph
+    from web_search_engine_ray.pipelines import grep as _grep
+    from web_search_engine_ray.pipelines import relational as _rel
+
+    t0 = time.perf_counter()
+    _rel.local_supplier_volume_ds(SF_DIR).count()
+    timings["tpch_q5_sf"] = round(time.perf_counter() - t0, 3)
+    tri_dir = "/tmp/wse_bench_triidx"
+    _sh.rmtree(tri_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    _grep.build_trigram_index(SF_DIR, tri_dir)
+    _grep.substring_search_table(SF_DIR, index_dir=tri_dir)
+    _grep.regex_search_table(SF_DIR, index_dir=tri_dir)
+    timings["trigram_grep_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _graph.event_type_pagerank_table(SF_DIR)
+    timings["pagerank_sf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _serving.more_like_this_table(SF_DIR)
+    timings["more_like_this_sf"] = round(time.perf_counter() - t0, 3)
+
     # sentinel, last reading: the first/last pair brackets every number above
     sentinel_last = run_sentinel()
     noise_sentinel = {

@@ -101,3 +101,61 @@ def test_collocations_planted(ray_session, tmp_path):
     assert ny.c_ab == 12 and ny.pmi > 0
     # pmi ranking is descending and the cut is deterministic
     assert list(got.pmi) == sorted(got.pmi, reverse=True)
+
+
+# -- chi-square distinctive terms per source ----------------------------------
+
+
+def test_distinctive_terms_planted(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.analysis import distinctive_terms_ds
+
+    d = tmp_path_factory.mktemp("chi_docs")
+    # 'alpha' only in source A docs, 'beta' only in B, 'common' everywhere
+    rows = [
+        ("A", "alpha common x"),
+        ("A", "alpha common y"),
+        ("B", "beta common x"),
+        ("B", "beta common y"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = distinctive_terms_ds(str(d), k=2).to_pandas()
+    top = got[got["rank"] == 1].set_index("source")
+    # the perfectly-separating term wins each source with chi2 = N = 4
+    assert top.loc["A", "term"] == "alpha" and top.loc["A", "chi2"] == 4.0
+    assert top.loc["B", "term"] == "beta" and top.loc["B", "chi2"] == 4.0
+    # 'common' is in every doc -> degenerate column (c+d == 0) -> chi2 0,
+    # never outranking a separating term
+    assert not ((got["term"] == "common") & (got["chi2"] > 0)).any()
+
+
+def test_distinctive_terms_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = entrymod.queries()["distinctive_terms"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["distinctive_terms"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

@@ -572,3 +572,112 @@ def collocations_ds(sf_dir: str, min_count: int = 5, k: int = 50):
 
     ex2 = exchange_map(ex1, route2, np_, attach_cb_and_score, auto_shrink=True)
     return ex2.sort(["pmi", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+def distinctive_terms_ds(sf_dir: str, k: int = 10):
+    """(source, term, chi2, rank): top-k DISTINCTIVE terms per document
+    source by the chi-square statistic over the (term-in-doc x doc-in-source)
+    2x2 contingency table — "what does this source talk about that the
+    others don't" (vs :func:`~.corpus.top_terms_per_source_ds`'s raw
+    frequency, which surfaces the same stopwords for every source):
+
+        chi2 = (N * (a*d - b*c)^2) / ((a+b)(c+d)(a+c)(b+d))
+        a = docs of source containing term        b = other docs containing it
+        c = source docs without it                d = other docs without it
+
+    Shape: per-batch distinct-(doc, term) explode -> (source, term) partial
+    doc counts -> ONE hash exchange on source (all of a source's rows
+    co-locate) with the vocabulary-scale term-df relation BROADCAST and the
+    tiny per-source doc counts computed driver-side; chi2 and the top-k cut
+    are vectorized inside the partition, so the driver sees k x n_sources
+    rows. All contingency cells are exact integers; both sides evaluate the
+    float expression as (N * sq) / denom in double, ROUND(6). Degenerate
+    columns (a+b == N or a+b == 0) cannot arise (a term present in every
+    doc has d=c=0 -> denom (c+d)=0): guarded to chi2=0 on both sides via
+    the twin's identical CASE."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.corpus import _docs_path, term_stats_ds
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+    # vocabulary-scale df relation: computed distributed, broadcast once
+    stats = pa.concat_tables(ray.get(term_stats_ds(sf_dir).to_arrow_refs()))
+    df_ref = ray.put(stats.select(["term", "df"]))
+    # per-source doc counts + N: dimension-sized, one tiny scan
+    import pyarrow.parquet as pq_
+
+    src_t = pq_.read_table(_docs_path(sf_dir), columns=["source"])
+    src_counts = (
+        pl.from_arrow(src_t).group_by("source").len(name="n_s").sort("source")
+    )
+    n_docs = src_t.num_rows
+    ns_ref = ray.put(src_counts.to_arrow())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch["text"])
+        d = (
+            pl.DataFrame(
+                {
+                    "source": pl.from_arrow(batch["source"].combine_chunks()),
+                    "term": toks,
+                }
+            )
+            .with_row_index("doc")
+            .explode("term")
+            .drop_nulls("term")
+            .unique(["doc", "source", "term"])
+            .group_by(["source", "term"])
+            .len(name="a_p")
+        )
+        return d.select("source", "term", "a_p").to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["source"]).hash(seed=11).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t)
+            .group_by(["source", "term"])
+            .agg(pl.col("a_p").sum().alias("a"))
+            .join(pl.from_arrow(ray.get(df_ref)), on="term", how="inner")
+            .join(pl.from_arrow(ray.get(ns_ref)), on="source", how="inner")
+        )
+        a = d["a"].to_numpy().astype(np.float64)
+        dfv = d["df"].to_numpy().astype(np.float64)
+        ns = d["n_s"].to_numpy().astype(np.float64)
+        n = float(n_docs)
+        b = dfv - a
+        c = ns - a
+        dd = n - ns - b
+        sq = (a * dd - b * c) * (a * dd - b * c)
+        denom = (a + b) * (c + dd) * (a + c) * (b + dd)
+        chi2 = np.where(denom > 0, (n * sq) / np.where(denom > 0, denom, 1.0), 0.0)
+        out = (
+            d.with_columns(pl.Series("chi2", np.round(chi2, 6)))
+            .sort(["source", "chi2", "term"], descending=[False, True, False])
+            .group_by("source", maintain_order=True)
+            .head(k)
+            .with_columns(
+                pl.col("chi2").cum_count().over("source").cast(pl.Int64).alias("rank")
+            )
+        )
+        return out.select("source", "term", "chi2", "rank").to_arrow().cast(
+            pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("term", pa.string()),
+                    ("chi2", pa.float64()),
+                    ("rank", pa.int64()),
+                ]
+            )
+        )
+
+    ds = ray.data.read_parquet(
+        _docs_path(sf_dir), columns=["source", "text"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return exchange_map(ds, route, np_, merge, auto_shrink=True)
