@@ -236,6 +236,53 @@ FROM {prev}
 """
 
 
+def _hits_sql(n_iter: int = 20, round_to: int = 8) -> str:
+    """HITS twin over the same lead()-window transition edges as
+    ``_pagerank_sql``: n_iter unrolled (gather, L1-normalize) CTE pairs per
+    side, MATERIALIZED (inlined CTEs re-referenced each iteration would
+    blow up the plan exponentially)."""
+    legs = []
+    hub_prev = "h0"
+    for i in range(1, n_iter + 1):
+        legs.append(f"""
+ a{i}g AS MATERIALIZED (
+   SELECT nd.node, coalesce(s.v, 0.0) AS v
+   FROM nodes nd
+   LEFT JOIN (SELECT e.dst AS node, sum(e.w * h.v) AS v
+              FROM edges e JOIN {hub_prev} h ON h.node = e.src
+              GROUP BY e.dst) s ON s.node = nd.node),
+ a{i} AS MATERIALIZED (
+   SELECT node, CASE WHEN (SELECT sum(v) FROM a{i}g) > 0
+                THEN v / (SELECT sum(v) FROM a{i}g) ELSE v END AS v
+   FROM a{i}g),
+ h{i}g AS MATERIALIZED (
+   SELECT nd.node, coalesce(s.v, 0.0) AS v
+   FROM nodes nd
+   LEFT JOIN (SELECT e.src AS node, sum(e.w * a.v) AS v
+              FROM edges e JOIN a{i} a ON a.node = e.dst
+              GROUP BY e.src) s ON s.node = nd.node),
+ h{i} AS MATERIALIZED (
+   SELECT node, CASE WHEN (SELECT sum(v) FROM h{i}g) > 0
+                THEN v / (SELECT sum(v) FROM h{i}g) ELSE v END AS v
+   FROM h{i}g)""")
+        hub_prev = f"h{i}"
+    chain = ",".join(legs)
+    return f"""
+WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+ nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+ pairs AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM events),
+ edges AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w
+           FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+ h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS v FROM nodes),{chain}
+SELECT h.node AS event_type, ROUND(h.v, {round_to}) AS hub,
+       ROUND(a.v, {round_to}) AS auth
+FROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node
+"""
+
+
 def _grep_sql(kind: str) -> str:
     """Pattern-search twin: the literal full-scan predicate — engine
     (pyarrow RE2 kernels behind a trigram-index prune) and DuckDB
@@ -495,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": lambda sf: serving.more_like_this_table(sf),
         # chi-square distinctive terms per source (doc-level 2x2 tables)
         "distinctive_terms": lambda sf: analysis.distinctive_terms_ds(sf, k=10),
+        # HITS hubs/authorities over the same transition graph (Kleinberg)
+        "hits": lambda sf: graph.event_type_hits_table(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1353,6 +1402,7 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "substring_search": _grep_sql("substring"),
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         # identical integer contingency cells; both sides evaluate
         # (N * sq) / denom in double with the same CASE denom guard, and
         # rank by the ROUNDED chi2 (engine rounds before its sort)

@@ -235,3 +235,69 @@ def test_pagerank_gate_matches_oracle(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_hits_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_search_engine_ray.pipelines.graph import hits_ds
+
+    # star: node 0 points at 1,2,3 -> 0 is the only hub, 1-3 the authorities
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([e[2] for e in edges], pa.float64()),
+            }
+        )
+    )
+    hub, auth = hits_ds(ds, 4, n_iter=10)
+    assert hub[0] == pytest.approx(1.0)
+    assert np.allclose(hub[1:], 0.0)
+    assert np.allclose(auth[1:], 1.0 / 3)
+    assert auth[0] == pytest.approx(0.0)
+    # numpy replay on an asymmetric weighted graph
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (0, 2, 1.0)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.float64()),
+        }
+    )
+    hub, auth = hits_ds(ray.data.from_arrow(t), 3, n_iter=20)
+    w = np.zeros((3, 3))
+    for s_, d_, ww in edges:
+        w[s_, d_] = ww
+    h = np.full(3, 1.0 / 3)
+    for _ in range(20):
+        a = w.T @ h
+        a = a / a.sum()
+        h = w @ a
+        h = h / h.sum()
+    assert np.allclose(hub, h, atol=1e-12) and np.allclose(auth, a, atol=1e-12)
+
+
+def test_hits_gate_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["hits"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["hits"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

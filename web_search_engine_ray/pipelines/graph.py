@@ -266,19 +266,13 @@ def pagerank_ds(edges, n_nodes: int, n_iter: int = 20, d: float = 0.85) -> np.nd
     return r
 
 
-def event_type_pagerank_table(
-    sf_dir: str, n_iter: int = 20, d: float = 0.85, round_to: int = 8
-) -> pa.Table:
-    """(event_type, pagerank): PageRank over the event-type transition graph
-    — an edge per consecutive event pair of one user ordered by (ts,
-    event_id), weighted by transition count. The corpus-scale stage is the
-    edge derivation (one hash exchange on user_id + a vectorized
-    whole-partition lexsort/shift, the ``sessionize_ds`` discipline); the
-    node set here is dimension-sized, but :func:`pagerank_ds` runs the
-    iterations against the distributed edge relation regardless (pinned at
-    100k synthetic nodes in ``tests/test_graph.py``). SQL twin: ``lead()``
-    window edges + ``n_iter`` unrolled iteration CTEs under the identical
-    ``(1-d)/n + d*(contrib + dang/n)`` expression, ROUND({round_to})."""
+def _event_type_edges(sf_dir: str):
+    """(sorted node list, weighted edges Dataset) of the event-type
+    transition graph: an edge per consecutive event pair of one user
+    ordered by (ts, event_id). The corpus-scale stage is this derivation —
+    one hash exchange on user_id + a vectorized whole-partition
+    lexsort/shift (the ``sessionize_ds`` discipline). Shared by the
+    PageRank and HITS tables so both twin against identical edges."""
     import ray
     import ray.data
 
@@ -300,10 +294,7 @@ def event_type_pagerank_table(
     nodes = sorted(types)
     n = len(nodes)
     if n == 0:
-        return pa.table(
-            {"event_type": pa.array([], pa.string()),
-             "pagerank": pa.array([], pa.float64())}
-        )
+        return [], None
     nodes_arr = np.array(nodes)
 
     P = cluster_parts(32)
@@ -331,10 +322,106 @@ def event_type_pagerank_table(
     edges = exchange_map(
         ds, lambda t: _np(t["user_id"]) % P, P, edges_part, auto_shrink=True
     )
+    return nodes, edges
+
+
+def event_type_pagerank_table(
+    sf_dir: str, n_iter: int = 20, d: float = 0.85, round_to: int = 8
+) -> pa.Table:
+    """(event_type, pagerank): PageRank over the event-type transition graph
+    (:func:`_event_type_edges`); the node set here is dimension-sized, but
+    :func:`pagerank_ds` runs the iterations against the distributed edge
+    relation regardless (pinned at 100k synthetic nodes in
+    ``tests/test_graph.py``). SQL twin: ``lead()`` window edges + ``n_iter``
+    unrolled iteration CTEs under the identical
+    ``(1-d)/n + d*(contrib + dang/n)`` expression, ROUND({round_to})."""
+    nodes, edges = _event_type_edges(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "pagerank": pa.array([], pa.float64())}
+        )
     r = pagerank_ds(edges, n, n_iter=n_iter, d=d)
     return pa.table(
         {
             "event_type": pa.array(nodes, pa.string()),
             "pagerank": pa.array(np.round(r, round_to), pa.float64()),
+        }
+    )
+
+
+def hits_ds(
+    edges, n_nodes: int, n_iter: int = 20
+) -> tuple[np.ndarray, np.ndarray]:
+    """HITS hubs & authorities (Kleinberg 1999) over a distributed weighted
+    edge relation — same broadcast-vector / sparse-partials shape as
+    :func:`pagerank_ds`: per iteration, authority(v) = sum of w * hub(u)
+    over in-edges then L1-normalize, hub(u) = sum of w * auth(v) over
+    out-edges then L1-normalize. Returns (hub, auth) float64 arrays."""
+    import ray
+
+    edges = edges.materialize()
+    hub = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+    auth = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+
+    def gather(vec_ref, key_in: str, key_out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            v = ray.get(vec_ref)
+            src = t[key_in].to_numpy(zero_copy_only=False)
+            dst = t[key_out].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            u = np.unique(dst)
+            s = np.zeros(u.size, np.float64)
+            np.add.at(s, np.searchsorted(u, dst), w * v[src])
+            return pa.table({"node": pa.array(u, pa.int64()), "v": pa.array(s)})
+
+        out = np.zeros(n_nodes, np.float64)
+        for t in ray.get(
+            edges.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ):
+            if t.num_rows:
+                np.add.at(
+                    out,
+                    t["node"].to_numpy(zero_copy_only=False),
+                    t["v"].to_numpy(zero_copy_only=False),
+                )
+        return out
+
+    for _ in range(n_iter):
+        auth = gather(ray.put(hub), "src", "dst")
+        s = float(auth.sum())
+        if s > 0:
+            auth = auth / s
+        hub = gather(ray.put(auth), "dst", "src")
+        s = float(hub.sum())
+        if s > 0:
+            hub = hub / s
+    return hub, auth
+
+
+def event_type_hits_table(
+    sf_dir: str, n_iter: int = 20, round_to: int = 8
+) -> pa.Table:
+    """(event_type, hub, auth): HITS over the same event-type transition
+    graph as :func:`event_type_pagerank_table` (shared edge derivation).
+    SQL twin: lead() edges + n_iter unrolled (auth_i, hub_i) MATERIALIZED
+    CTE pairs under identical sum/normalize expressions, ROUND(8)."""
+    nodes, edges = _event_type_edges(sf_dir)
+    n = len(nodes)
+    if n == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "hub": pa.array([], pa.float64()),
+                "auth": pa.array([], pa.float64()),
+            }
+        )
+    hub, auth = hits_ds(edges, n, n_iter=n_iter)
+    return pa.table(
+        {
+            "event_type": pa.array(nodes, pa.string()),
+            "hub": pa.array(np.round(hub, round_to), pa.float64()),
+            "auth": pa.array(np.round(auth, round_to), pa.float64()),
         }
     )
