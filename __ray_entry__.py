@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": lambda sf: analysis.distinctive_terms_ds(sf, k=10),
         # HITS hubs/authorities over the same transition graph (Kleinberg)
         "hits": lambda sf: graph.event_type_hits_table(sf),
+        # vectorized JSON field extraction + aggregate over events.props
+        "json_props_agg": lambda sf: events.json_props_agg_ds(sf),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1403,6 +1405,17 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        # field parse: json_extract <-> polars json_path_match; rows whose
+        # props lack $.k drop on both sides
+        "json_props_agg": """
+WITH k AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+       ROUND(sum(k)::DOUBLE / count(*)::DOUBLE, 6) AS avg_k
+FROM k WHERE k IS NOT NULL GROUP BY 1
+""",
         # identical integer contingency cells; both sides evaluate
         # (N * sq) / denom in double with the same CASE denom guard, and
         # rank by the ROUNDED chi2 (engine rounds before its sort)

@@ -154,3 +154,58 @@ def test_asof_self_join(ray_session, skew_dir):
             got[c].to_numpy().astype(np.int64),
             want[c].to_numpy().astype(np.int64),
         ), c
+
+
+def test_json_props_agg(ray_session, tmp_path_factory):
+    """Vectorized JSON field extraction: malformed/missing fields drop on
+    both sides; aggregates hand-checkable."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import json_props_agg_ds
+
+    d = tmp_path_factory.mktemp("json_events")
+    ts = datetime(2024, 1, 1)
+    props = ['{"k": 5}', '{"k": 7}', '{"other": 1}', "not json", '{"k": 2}']
+    types = ["a", "a", "a", "a", "b"]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array([ts] * 5, pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([0.0] * 5),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = json_props_agg_ds(str(d)).to_pandas().set_index("event_type")
+    assert got.loc["a", "n"] == 2 and got.loc["a", "sum_k"] == 12
+    assert got.loc["a", "min_k"] == 5 and got.loc["a", "max_k"] == 7
+    assert got.loc["a", "avg_k"] == 6.0
+    assert got.loc["b", "n"] == 1 and got.loc["b", "avg_k"] == 2.0
+
+
+def test_json_props_agg_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["json_props_agg"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["json_props_agg"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

@@ -382,3 +382,82 @@ def session_range_join_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
     return exchange_map(
         ds, lambda t: _np(t["user_id"]) % N, N, join_part, auto_shrink=True
     )
+
+
+def json_props_agg_ds(sf_dir: str):
+    """(event_type, n, sum_k, min_k, max_k, avg_k): aggregate a field parsed
+    out of the JSON ``props`` column — the everyday semi-structured ETL step
+    (each event carries a JSON payload; pipelines need typed fields out of
+    it). Parsing is vectorized (polars' Rust JSON path kernel inside
+    ``map_batches`` — no per-row ``json.loads``); per-batch mergeable
+    partials ride ONE tiny hash exchange on event_type. Rows whose props
+    lack the field drop on both sides (the twin's ``IS NOT NULL``);
+    ``avg_k`` divides once on identical integers, ROUND(6)."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t.select(["event_type", "props"]))
+            .with_columns(
+                pl.col("props")
+                .str.json_path_match("$.k")
+                .cast(pl.Int64, strict=False)
+                .alias("k")
+            )
+            .drop_nulls("k")
+            .group_by("event_type")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                sum_k=pl.col("k").sum(),
+                min_k=pl.col("k").min(),
+                max_k=pl.col("k").max(),
+            )
+        )
+        return d.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["event_type"]).hash(seed=3).to_numpy() % np.uint64(N)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("event_type")
+            .agg(
+                pl.col("n").sum(),
+                pl.col("sum_k").sum(),
+                pl.col("min_k").min(),
+                pl.col("max_k").max(),
+            )
+            .with_columns(
+                (pl.col("sum_k").cast(pl.Float64) / pl.col("n").cast(pl.Float64))
+                .round(6)
+                .alias("avg_k")
+            )
+        )
+        return g.select(
+            "event_type", "n", "sum_k", "min_k", "max_k", "avg_k"
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("sum_k", pa.int64()),
+                    ("min_k", pa.int64()),
+                    ("max_k", pa.int64()),
+                    ("avg_k", pa.float64()),
+                ]
+            )
+        )
+
+    ds = _read_events(sf_dir, ["event_type", "props"])
+    return exchange_map(
+        ds.map_batches(partial, batch_format="pyarrow"), route, N, merge,
+        auto_shrink=True,
+    )
