@@ -546,6 +546,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": lambda sf: graph.event_type_hits_table(sf),
         # vectorized JSON field extraction + aggregate over events.props
         "json_props_agg": lambda sf: events.json_props_agg_ds(sf),
+        # grouped top-k at HIGH key cardinality (one partition ranks all
+        # its users in a single lexsort pass)
+        "events_topn_per_user": lambda sf: events.topn_per_user_ds(sf, n=3),
+        # windowed running aggregate (segmented cumsum per partition)
+        "events_running_sum": lambda sf: events.running_sum_ds(sf),
+        # fixed-width histogram: bincount partials, driver-tiny merge
+        "events_value_histogram": lambda sf: events.value_histogram_ds(
+            sf, lo=0.0, hi=500.0, bins=20
+        ),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
@@ -1407,6 +1416,33 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "hits": _hits_sql(),
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        "events_topn_per_user": """
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events) WHERE rnk <= 3
+""",
+        # running SUM OVER: DuckDB may tree-aggregate internally, the
+        # engine cumsums left-to-right — ROUND(6) absorbs the last-ulp
+        # association difference
+        "events_running_sum": """
+SELECT event_id, user_id,
+       ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+""",
+        # identical clamp expression; empty buckets materialize via the
+        # range() spine on both sides
+        "events_value_histogram": """
+WITH b AS (SELECT least(greatest(floor((value - 0.0) / 25.0), 0), 19)::BIGINT
+                  AS bucket FROM events)
+SELECT r.bucket, coalesce(c.n, 0)::BIGINT AS n
+FROM (SELECT unnest(range(20))::BIGINT AS bucket) r
+LEFT JOIN (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY 1) c
+       ON c.bucket = r.bucket
+ORDER BY r.bucket
+""",
         "json_props_agg": """
 WITH k AS (SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -209,3 +209,74 @@ def test_json_props_agg_matches_oracle(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_topn_running_histogram_planted(ray_session, tmp_path_factory):
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import (
+        running_sum_ds,
+        topn_per_user_ds,
+        value_histogram_ds,
+    )
+
+    d = tmp_path_factory.mktemp("tiny_events")
+    t0 = datetime(2024, 1, 1)
+    # user 1: values 5, 3, 9 in ts order; user 2: one event
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 20], pa.int64()),
+                "ts": pa.array(
+                    [t0, t0 + timedelta(seconds=1), t0 + timedelta(seconds=2), t0],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["x"] * 4, pa.string()),
+                "value": pa.array([5.0, 3.0, 9.0, 700.0]),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    top = topn_per_user_ds(str(d), n=2).to_pandas().sort_values(
+        ["user_id", "rnk"]
+    )
+    assert list(top.event_id) == [12, 10, 20]  # 9.0, 5.0 for u1; u2's single
+    assert list(top.rnk) == [1, 2, 1]
+    run = (
+        running_sum_ds(str(d))
+        .to_pandas()
+        .set_index("event_id")["running_value"]
+    )
+    assert list(run.loc[[10, 11, 12]]) == [5.0, 8.0, 17.0]
+    assert run.loc[20] == 700.0
+    hist = value_histogram_ds(str(d), lo=0.0, hi=10.0, bins=2).to_pandas()
+    # 5.0 -> bucket 1 (floor(5/5)=1), 3.0 -> 0, 9.0 -> 1, 700 clamps to 1
+    assert list(hist.n) == [1, 3]
+
+
+def test_new_event_ops_match_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    for q in ["events_topn_per_user", "events_running_sum", "events_value_histogram"]:
+        got = entrymod.queries()[q](sf)
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want = con.sql(entrymod.oracle_sql()[q]).df()
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)].copy()
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

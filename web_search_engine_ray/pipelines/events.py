@@ -461,3 +461,120 @@ def json_props_agg_ds(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), route, N, merge,
         auto_shrink=True,
     )
+
+
+def topn_per_user_ds(sf_dir: str, n: int = 3):
+    """(user_id, event_id, value, rnk): each user's top-n events by
+    (value desc, event_id) — grouped top-k at HIGH key cardinality (users
+    are numerous; contrast ``top_terms_per_source_ds``'s handful of
+    sources): one hash exchange on user_id, then the whole partition ranks
+    in one vectorized lexsort pass — never a per-user loop or a global
+    sort."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+
+    def part(t: pa.Table) -> pa.Table:
+        user = _np(t["user_id"])
+        eid = _np(t["event_id"])
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, user))
+        user, eid, val = user[order], eid[order], val[order]
+        new = np.ones(user.size, dtype=bool)
+        if user.size:
+            new[1:] = user[1:] != user[:-1]
+        seg_start = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rnk = np.arange(user.size, dtype=np.int64) - seg_start[seg] + 1
+        keep = rnk <= n
+        return pa.table(
+            {
+                "user_id": pa.array(user[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "value": pa.array(val[keep], pa.float64()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "value"])
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % P, P, part, auto_shrink=True)
+
+
+def running_sum_ds(sf_dir: str, round_to: int = 6):
+    """(event_id, user_id, running_value): cumulative sum of ``value`` per
+    user in (ts, event_id) order — the windowed running aggregate. One hash
+    exchange on user_id, then one lexsort + segmented cumsum over the whole
+    partition (cumsum of the sorted stream minus each segment's base —
+    the ``_segmented_abs`` trick). Output is corpus-scale and stays a
+    Dataset. Float note: a cumsum accumulates left-to-right exactly like
+    SQL's running SUM OVER, same association; ROUND({round_to})."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+
+    def part(t: pa.Table) -> pa.Table:
+        user = _np(t["user_id"])
+        ep = _epoch_us(t)
+        eid = _np(t["event_id"])
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ep, user))
+        user, eid, val = user[order], eid[order], val[order]
+        c = np.cumsum(val)
+        new = np.ones(user.size, dtype=bool)
+        if user.size:
+            new[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new)
+        base = c[starts] - val[starts]
+        run = c - np.repeat(base, np.diff(np.append(starts, user.size)))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(user, pa.int64()),
+                "running_value": pa.array(np.round(run, round_to), pa.float64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % P, P, part, auto_shrink=True)
+
+
+def value_histogram_ds(sf_dir: str, lo: float = 0.0, hi: float = 100.0, bins: int = 20):
+    """(bucket, n): fixed-width histogram of ``value`` — per-batch bincount
+    partials, driver-tiny merge. Bucket rule matches the SQL twin's
+    ``least(greatest(floor((v - lo)/w), 0), bins-1)`` clamp exactly (every
+    value lands in a bucket; out-of-range clamps to the edge buckets)."""
+    import ray
+    import ray.data
+
+    w = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=bins)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(bins, dtype=np.int64)),
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["value"]).map_batches(partial, batch_format="pyarrow")
+    total = np.zeros(bins, np.int64)
+    import ray as _ray
+
+    for t in _ray.get(ds.to_arrow_refs()):
+        if t.num_rows:
+            total[t["bucket"].to_numpy(zero_copy_only=False)] += t[
+                "n_p"
+            ].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(bins, dtype=np.int64)),
+            "n": pa.array(total),
+        }
+    )
