@@ -544,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": lambda sf: analysis.distinctive_terms_ds(sf, k=10),
         # HITS hubs/authorities over the same transition graph (Kleinberg)
         "hits": lambda sf: graph.event_type_hits_table(sf),
+        # nearest-centroid classification self-eval over embeddings.label
+        "centroid_classify": lambda sf: clustering.centroid_classify_table(sf),
         # vectorized JSON field extraction + aggregate over events.props
         "json_props_agg": lambda sf: events.json_props_agg_ds(sf),
         # grouped top-k at HIGH key cardinality (one partition ranks all
@@ -1414,6 +1416,29 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        # centroid and squared distance ROUNDED before the argmin on both
+        # sides (the kmeans Lloyd-replay trick); ties to the smallest label
+        "centroid_classify": """
+WITH e AS (SELECT vec_id, label::BIGINT AS label,
+                  generate_subscripts(embedding, 1) AS d,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+ cent AS (SELECT label AS clabel, d, ROUND(sum(x) / count(*), 6) AS c
+          FROM e GROUP BY 1, 2),
+ dist AS (SELECT e.vec_id, e.label, cent.clabel,
+                 ROUND(sum((e.x - cent.c) * (e.x - cent.c)), 6) AS d2
+          FROM e JOIN cent ON cent.d = e.d
+          GROUP BY 1, 2, 3),
+ pred AS (SELECT vec_id, label, clabel AS pred FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, clabel) AS rn
+            FROM dist) WHERE rn = 1)
+SELECT label, count(*)::BIGINT AS n,
+       sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       ROUND(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS accuracy
+FROM pred GROUP BY 1
+""",
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
         "events_topn_per_user": """

@@ -162,3 +162,59 @@ def test_pca_bad_components_raise(ray_session):
         pca_model(SF, n_components=0)
     with pytest.raises(ValueError, match="n_components"):
         pca_model(SF, n_components=10_000)
+
+
+def test_centroid_classify_planted(ray_session, tmp_path_factory):
+    """Two well-separated label clusters -> accuracy 1.0; a vector planted
+    nearer the other centroid is the only miss."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.clustering import centroid_classify_table
+
+    d = tmp_path_factory.mktemp("cc_emb")
+    vecs = [
+        [0.0, 0.0], [0.2, 0.0], [0.0, 0.2],   # label 0, centroid ~ (0.07, 0.07)
+        [5.0, 5.0], [5.2, 5.0],               # label 1, centroid (5.1, 5.0)
+        [5.0, 5.2],                           # label 0 but deep in cluster 1
+    ]
+    labels = [0, 0, 0, 1, 1, 0]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = centroid_classify_table(str(d)).to_pandas().set_index("label")
+    assert got.loc[0, "n"] == 4 and got.loc[1, "n"] == 2
+    assert got.loc[1, "n_correct"] == 2 and got.loc[1, "accuracy"] == 1.0
+    # the planted outlier is label 0's single miss
+    assert got.loc[0, "n_correct"] == 3 and got.loc[0, "accuracy"] == 0.75
+
+
+def test_centroid_classify_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    got = entrymod.queries()["centroid_classify"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["centroid_classify"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

@@ -355,3 +355,107 @@ def kmeans_inertia(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS) ->
         d = b["dist"].to_numpy(zero_copy_only=False)
         tot += float(np.dot(d, d))
     return tot
+
+
+def centroid_classify_table(sf_dir: str, round_to: int = 6) -> pa.Table:
+    """(label, n, n_correct, accuracy): nearest-centroid classification
+    self-eval over the embeddings table — fit one centroid per ground-truth
+    ``label`` (per-batch vector-sum partials, the kmeans discipline), then
+    assign every vector to its nearest centroid and score per-label
+    accuracy. The centroid and the squared distance are both ROUNDED to
+    {round_to} decimals BEFORE the argmin on each side (the kmeans
+    Lloyd-replay trick) so the two sides' float associations cannot flip a
+    near-tie; assignment ties break to the smallest label on both sides."""
+    import ray
+
+    from web_search_engine_ray.functions.arrays import list_matrix
+    from web_search_engine_ray.pipelines.similarity import _emb_path
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        _emb_path(sf_dir), columns=["vec_id", "label", "embedding"]
+    ).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(lab)
+        sums = np.zeros((u.size, X.shape[1]), np.float64)
+        np.add.at(sums, np.searchsorted(u, lab), X)
+        counts = np.bincount(np.searchsorted(u, lab), minlength=u.size)
+        return pa.table(
+            {
+                "label": pa.array(u, pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(sum_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    labels = sorted(
+        {int(v) for p in parts if p.num_rows for v in p["label"].to_pylist()}
+    )
+    if not labels:
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "n_correct": pa.array([], pa.int64()),
+                "accuracy": pa.array([], pa.float64()),
+            }
+        )
+    lab_arr = np.array(labels, np.int64)
+    dim = len(parts[0]["vsum"][0])
+    sums = np.zeros((lab_arr.size, dim), np.float64)
+    counts = np.zeros(lab_arr.size, np.int64)
+    for p in parts:
+        if p.num_rows:
+            idx = np.searchsorted(lab_arr, p["label"].to_numpy())
+            sums[idx] += list_matrix(p["vsum"], dtype=np.float64)
+            counts[idx] += p["n"].to_numpy()
+    C = np.round(sums / counts[:, None], round_to)
+    cref = ray.put(C)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = list_matrix(batch["embedding"], dtype=np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = np.round(_sq_dists(X, cents), round_to)
+        pred_idx = np.argmin(d2, axis=1)  # first (lowest label) wins ties
+        true_idx = np.searchsorted(lab_arr, lab)
+        u = np.unique(true_idx)
+        n = np.zeros(u.size, np.int64)
+        ok = np.zeros(u.size, np.int64)
+        np.add.at(n, np.searchsorted(u, true_idx), 1)
+        np.add.at(
+            ok, np.searchsorted(u, true_idx), (pred_idx == true_idx).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "li": pa.array(u, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+
+    n_tot = np.zeros(lab_arr.size, np.int64)
+    ok_tot = np.zeros(lab_arr.size, np.int64)
+    for p in ray.get(
+        ds.map_batches(assign_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if p.num_rows:
+            n_tot[p["li"].to_numpy()] += p["n"].to_numpy()
+            ok_tot[p["li"].to_numpy()] += p["ok"].to_numpy()
+    return pa.table(
+        {
+            "label": pa.array(lab_arr, pa.int64()),
+            "n": pa.array(n_tot, pa.int64()),
+            "n_correct": pa.array(ok_tot, pa.int64()),
+            "accuracy": pa.array(
+                np.round(ok_tot / np.maximum(n_tot, 1), round_to), pa.float64()
+            ),
+        }
+    )
