@@ -551,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped top-k at HIGH key cardinality (one partition ranks all
         # its users in a single lexsort pass)
         "events_topn_per_user": lambda sf: events.topn_per_user_ds(sf, n=3),
+        # exact per-type quantiles (rank rule), the exact member next to
+        # the KLL sketch entry
+        "events_value_quantiles": lambda sf: events.value_quantiles_per_type_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1441,6 +1444,19 @@ FROM pred GROUP BY 1
 """,
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        "events_value_quantiles": """
+WITH o AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn
+           FROM events),
+ n AS (SELECT event_type, count(*)::BIGINT AS c FROM events GROUP BY 1),
+ qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+SELECT n.event_type, qs.q,
+       (SELECT o.value FROM o
+        WHERE o.event_type = n.event_type
+          AND o.rn = greatest(1, ceil(qs.q * n.c::DOUBLE))) AS value
+FROM n CROSS JOIN qs
+""",
         "events_topn_per_user": """
 SELECT user_id, event_id, value, rnk FROM (
   SELECT user_id, event_id, value,

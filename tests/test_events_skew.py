@@ -280,3 +280,54 @@ def test_new_event_ops_match_oracle(ray_session):
             return df.sort_values(list(df.columns)).reset_index(drop=True)
 
         pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_value_quantiles_per_type(ray_session, tmp_path_factory):
+    """Rank rule hand-check: 5 values -> p50 = rank ceil(2.5)=3."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import value_quantiles_per_type_ds
+
+    d = tmp_path_factory.mktemp("q_events")
+    ts = datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array([ts] * 5, pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["a"] * 5, pa.string()),
+                "value": pa.array([10.0, 30.0, 20.0, 50.0, 40.0]),
+                "props": pa.array(["{}"] * 5, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = value_quantiles_per_type_ds(str(d)).to_pandas().set_index("q")
+    assert got.loc[0.5, "value"] == 30.0   # rank ceil(2.5) = 3
+    assert got.loc[0.9, "value"] == 50.0   # rank ceil(4.5) = 5
+    assert got.loc[0.99, "value"] == 50.0  # rank ceil(4.95) = 5
+
+
+def test_value_quantiles_match_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["events_value_quantiles"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["events_value_quantiles"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

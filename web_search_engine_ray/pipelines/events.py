@@ -578,3 +578,79 @@ def value_histogram_ds(sf_dir: str, lo: float = 0.0, hi: float = 100.0, bins: in
             "n": pa.array(total),
         }
     )
+
+
+def value_quantiles_per_type_ds(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """(event_type, q, value): EXACT per-type quantiles of ``value`` under
+    the explicit rank rule value-at-rank ``max(1, ceil(q * N_type))``
+    (1-based, sorted multiset) — the exact member of the quantile family
+    (the KLL sketch entry covers the approximate path for continuous
+    domains where per-(type, value) counts stop being histogram-scale).
+    Shape: per-batch (type, value) count partials -> one event_type
+    exchange -> in-partition sort + cumulative counts + searchsorted rank
+    pick. ``q * N`` is evaluated in DOUBLE on both sides (the twin casts),
+    so the ceil boundary cannot diverge."""
+    import math
+
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t.select(["event_type", "value"]))
+            .group_by(["event_type", "value"])
+            .len(name="c")
+        )
+        return d.to_arrow().cast(
+            pa.schema(
+                [("event_type", pa.string()), ("value", pa.float64()), ("c", pa.uint32())]
+            )
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["event_type"]).hash(seed=5).to_numpy() % np.uint64(N)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        d = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "value"])
+            .agg(pl.col("c").cast(pl.Int64).sum())
+            .sort(["event_type", "value"])
+        )
+        et = d["event_type"].to_numpy()
+        val = d["value"].to_numpy()
+        cnt = d["c"].to_numpy().astype(np.int64)
+        out_t, out_q, out_v = [], [], []
+        if et.size:
+            new = np.ones(et.size, dtype=bool)
+            new[1:] = et[1:] != et[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], et.size)
+            for s, e in zip(starts, ends):
+                cum = np.cumsum(cnt[s:e])
+                n_tot = int(cum[-1])
+                for q in qs:
+                    rank = max(1, math.ceil(q * float(n_tot)))
+                    i = int(np.searchsorted(cum, rank, side="left"))
+                    out_t.append(str(et[s]))
+                    out_q.append(float(q))
+                    out_v.append(float(val[s + i]))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+    return exchange_map(
+        ds.map_batches(partial, batch_format="pyarrow"), route, N, merge,
+        auto_shrink=True,
+    )
