@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
         # second classic ranking family, scored from the same index state
         "ql_topk": lambda sf: serving.ql_topk_table(sf),
+        # statically pruned (tiered) index serving: top-m postings per term
+        "bm25_pruned": lambda sf: serving.bm25_pruned_topk_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
@@ -993,6 +995,37 @@ WHERE rn <= {TOPK}
         # terms count with multiplicity via the duplicate VALUES rows),
         # candidates = OR set, absent terms pay the background probability;
         # identical per-(term,doc) expression ln((tf + mu*cf/T)/(dl + mu))
+        # identical prune rule (row_number over (term) by tf desc, doc_id)
+        # scored with the FULL df/N/avgdl — the tiered-index contract
+        "bm25_pruned": f"""
+WITH {tok_cte},
+ {tf_cte},
+ {dl_cte},
+ {df_cte},
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(dl::DOUBLE) FROM dl) AS avgdl),
+ tfp AS (SELECT doc_id, term, tf FROM (
+           SELECT tf.*, row_number() OVER (PARTITION BY term
+                                           ORDER BY tf DESC, doc_id) AS rn
+           FROM tf) WHERE rn <= {serving_mod.PRUNE_M}),
+ q(query_id, term) AS (VALUES {qv}),
+ scored AS (
+   SELECT q.query_id, tfp.doc_id AS docid,
+          sum( ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+               * (tfp.tf::DOUBLE * 2.2)
+               / (tfp.tf::DOUBLE + 1.2*(0.25 + 0.75*dl.dl::DOUBLE/s.avgdl)) ) AS score
+   FROM q
+   JOIN df ON df.term = q.term
+   JOIN tfp ON tfp.term = q.term
+   JOIN dl ON dl.doc_id = tfp.doc_id
+   CROSS JOIN stats s
+   GROUP BY q.query_id, tfp.doc_id)
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
         "ql_topk": f"""
 WITH {tok_cte},
  {tf_cte},

@@ -58,3 +58,58 @@ def test_wand_tie_set_matches_heap(tie_index):
                 s.search_topk_daat(q, topk=topk, mode="OR"), key=lambda x: (-x[1], x[0])
             )
             assert wand == slow, (q, topk)
+
+
+# -- statically pruned (tiered) serving ---------------------------------------
+
+
+def test_bm25_pruned_recall_and_contract(ray_session):
+    """Pruned serving: (a) matches its own SQL twin (gate test), (b) a
+    LARGE m degenerates to the exact unpruned answer, (c) recall@10 vs the
+    full index stays high on the fixed queries at gate scale."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.serving import (
+        bm25_pruned_topk_table,
+        bm25_topk_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = entrymod.queries()["bm25_pruned"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["bm25_pruned"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+    # m >= corpus size: identical to the exact unpruned ranking
+    full = bm25_topk_table(sf).to_pandas()
+    big_m = bm25_pruned_topk_table(sf, m=10**9).to_pandas()
+    pd.testing.assert_frame_equal(canon(big_m), canon(full))
+
+    # recall@10 of the tier vs the exact answers. The synthetic corpus has
+    # near-uniform tf (1-3) with dl-dominated BM25, the WORST case for
+    # tf-ordered pruning (real corpora have heavy-tailed tf where the rule
+    # shines) — so the bar here is monotonicity + a loose floor, while the
+    # hash-green twin above pins the exact contract.
+    def recall(tier_df):
+        hit, tot = 0, 0
+        for qid in full.query_id.unique():
+            exact = set(full[full.query_id == qid].docid)
+            tier = set(tier_df[tier_df.query_id == qid].docid)
+            hit += len(exact & tier)
+            tot += len(exact)
+        return hit / tot
+
+    r25 = recall(got)
+    r100 = recall(bm25_pruned_topk_table(sf, m=100).to_pandas())
+    assert r25 >= 0.3, f"tier recall {r25}"
+    assert r100 >= r25 and r100 >= 0.6, f"m=100 recall {r100}"

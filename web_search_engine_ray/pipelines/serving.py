@@ -863,3 +863,67 @@ def more_like_this_table(
             "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
         }
     )
+
+
+# -- static index pruning (tiered serving) ------------------------------------
+
+PRUNE_M = 25  # postings kept per term, mirrored in the SQL twin
+
+
+def bm25_pruned_topk_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    m: int = PRUNE_M,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, docid, score): BM25-OR top-k served from a STATICALLY
+    PRUNED index — per term only the top-``m`` postings by (tf desc, docid)
+    survive, scored with the FULL corpus statistics (N, avgdl, df), the
+    classic tiered/impact-pruned serving layout (Carmel et al., SIGIR 2001:
+    prune the long tail of each posting list; the first tier answers most
+    queries, bounded by m instead of df). Deterministic prune rule ==
+    deterministic twin: the oracle rebuilds the identical pruned tf
+    relation with a row_number cut and runs the same scored CTE over it.
+    Scale note: pruning happens at build time in a real deployment (one
+    row_number cut inside the term-partitioned merge — the build already
+    groups by term); here the serving path applies the identical cut on
+    the decoded lists so the gate exercises the exact contract."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    from web_search_engine_ray.functions.tokenize import query_terms
+
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        infos = []
+        seen: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in query_terms(q):
+            if t not in seen:
+                d, f = s.postings(t)
+                if d.size:
+                    keep = np.lexsort((d, -f.astype(np.int64)))[:m]
+                    keep.sort()  # restore docid order within the pruned list
+                    seen[t] = (d[keep], f[keep])
+            if t in seen:
+                infos.append((t, *seen[t]))
+        if not infos:
+            continue
+        cand = np.unique(np.concatenate([d for _, d, _ in infos]))
+        dl_all = s.doclens.get_many(cand)
+        scores = np.zeros(cand.size, np.float64)
+        for t, d, f in infos:
+            pos = np.searchsorted(cand, d)
+            contrib = s._contrib_taat(f, s.df(t), dl_all[pos])
+            contrib[dl_all[pos] == 0] = 0.0
+            scores[pos] += contrib
+        order = np.lexsort((cand, -scores))[:topk]
+        q_l.append(np.full(order.size, qid, np.int64))
+        d_l.append(cand[order])
+        s_l.append(np.round(scores[order], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
