@@ -556,6 +556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-type quantiles (rank rule), the exact member next to
         # the KLL sketch entry
         "events_value_quantiles": lambda sf: events.value_quantiles_per_type_ds(sf),
+        # exact distinct-user counts per (day, type): distinct-combiner +
+        # one exchange (the exact member next to the HLL sketch entry)
+        "events_daily_users": lambda sf: events.daily_active_users_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1477,6 +1480,12 @@ FROM pred GROUP BY 1
 """,
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        "events_daily_users": """
+SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+""",
         "events_value_quantiles": """
 WITH o AS (SELECT event_type, value,
                   row_number() OVER (PARTITION BY event_type

@@ -331,3 +331,68 @@ def test_value_quantiles_match_oracle(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_daily_active_users(ray_session, tmp_path_factory):
+    """Distinct-combiner correctness: a user active many times in one day
+    counts once; day boundary at UTC midnight (epoch_us // 86.4e9)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import daily_active_users_ds
+
+    d = tmp_path_factory.mktemp("dau_events")
+    rows = [
+        (datetime(2024, 1, 1, 10), 1, "a"),
+        (datetime(2024, 1, 1, 11), 1, "a"),  # same user, same day: once
+        (datetime(2024, 1, 1, 12), 2, "a"),
+        (datetime(2024, 1, 2, 0, 0, 1), 1, "a"),  # next day
+        (datetime(2024, 1, 1, 10), 1, "b"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = (
+        daily_active_users_ds(str(d))
+        .to_pandas()
+        .set_index(["day", "event_type"])
+        .sort_index()
+    )
+    d0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    assert got.loc[(d0, "a"), "n_users"] == 2
+    assert got.loc[(d0, "a"), "n_events"] == 3
+    assert got.loc[(d0 + 1, "a"), "n_users"] == 1
+    assert got.loc[(d0, "b"), "n_users"] == 1
+
+
+def test_daily_active_users_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["events_daily_users"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["events_daily_users"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

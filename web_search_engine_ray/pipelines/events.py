@@ -654,3 +654,80 @@ def value_quantiles_per_type_ds(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 
         ds.map_batches(partial, batch_format="pyarrow"), route, N, merge,
         auto_shrink=True,
     )
+
+
+def daily_active_users_ds(sf_dir: str):
+    """(day, event_type, n_users, n_events): EXACT distinct-user counts per
+    (UTC day, event_type) — the two-level distinct aggregation (the HLL
+    sketch entry covers the approximate path): per-batch local distinct
+    (day, type, user) triples CUT FIRST (the distinct-combiner — a user
+    active 1000x in one batch ships once), then one hash exchange on
+    (day, type) where the partition-wide distinct is one composite-key
+    np.unique. ``day`` is epoch_us // 86_400_000_000 (int), matching the
+    twin's integer division exactly."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (_epoch_us(t) // US_DAY).astype(np.int64)
+        d = (
+            pl.DataFrame(
+                {
+                    "day": day,
+                    "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+                    "user_id": _np(t["user_id"]),
+                }
+            )
+            .group_by(["day", "event_type", "user_id"])
+            .len(name="n_ev")
+        )
+        return d.to_arrow().cast(
+            pa.schema(
+                [
+                    ("day", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("user_id", pa.int64()),
+                    ("n_ev", pa.uint32()),
+                ]
+            )
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t)
+            .select(k=pl.col("day").cast(pl.Utf8) + "|" + pl.col("event_type"))["k"]
+            .hash(seed=13)
+            .to_numpy()
+            % np.uint64(P)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["day", "event_type"])
+            .agg(
+                n_users=pl.col("user_id").n_unique().cast(pl.Int64),
+                n_events=pl.col("n_ev").cast(pl.Int64).sum(),
+            )
+        )
+        return g.to_arrow().cast(
+            pa.schema(
+                [
+                    ("day", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("n_users", pa.int64()),
+                    ("n_events", pa.int64()),
+                ]
+            )
+        )
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "user_id"])
+    return exchange_map(
+        ds.map_batches(partial, batch_format="pyarrow"), route, P, merge,
+        auto_shrink=True,
+    )
