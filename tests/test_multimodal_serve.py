@@ -99,11 +99,24 @@ def test_flask_frontend_roundtrip(served_index):
     page = r.get_data(as_text=True)
     assert "<html" in page.lower() and "/search" in page
 
-    # the exact request the page's JS issues
-    r = client.post("/search", json={"query": "the data", "mode": "AND", "topk": 10})
+    # the page now carries ranker / proximity / PHRASE controls
+    assert 'id="ranker"' in page and 'id="prox"' in page and "PHRASE" in page
+
+    # the exact request the page's JS issues (ranker + proximity fields)
+    r = client.post(
+        "/search",
+        json={"query": "the data", "mode": "AND", "topk": 10,
+              "ranker": "bm25", "proximity_boost": False},
+    )
     assert r.status_code == 200
     body = r.get_json()
     assert body["totalResults"] >= 0 and "searchTime" in body
+    r = client.post(
+        "/search",
+        json={"query": "the data", "mode": "OR", "topk": 10,
+              "ranker": "ql", "proximity_boost": False},
+    )
+    assert r.status_code == 200
 
 
 def test_docstore_and_snippets(served_index, small_corpus_dir):
