@@ -301,3 +301,31 @@ def test_hits_gate_matches_oracle(ray_session):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_distributed_path_forced(ray_session, monkeypatch):
+    """Small planted graphs FORCED through the distributed iteration path
+    (threshold -> 0): identical answers to the local fast path for both
+    PageRank and HITS."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_search_engine_ray.pipelines import graph as g
+
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.float64()),
+        }
+    )
+    local_r = g.pagerank_ds(ray.data.from_arrow(t), 4)
+    local_h, local_a = g.hits_ds(ray.data.from_arrow(t), 4)
+    monkeypatch.setattr(g, "SMALL_EDGE_ROWS", 0)
+    dist_r = g.pagerank_ds(ray.data.from_arrow(t), 4)
+    dist_h, dist_a = g.hits_ds(ray.data.from_arrow(t), 4)
+    assert np.allclose(local_r, dist_r, atol=1e-12)
+    assert np.allclose(local_h, dist_h, atol=1e-12)
+    assert np.allclose(local_a, dist_a, atol=1e-12)

@@ -178,6 +178,68 @@ def dedup_clusters_ds(sf_dir: str, tau: float = 0.8):
     return connected_components(ngram_jaccard_dups(sf_dir, tau=tau))
 
 
+# Edge relations at or below this row count iterate driver-side: 20
+# iterations of sub-second Dataset executions cost more than the whole
+# local solve, and the numpy update is the SAME expression (last-ulp
+# association differences sit far under the twins' ROUND(8)). The
+# distributed path stays the default above it and is pinned at
+# 100k nodes / 400k edges in tests.
+SMALL_EDGE_ROWS = 65_536
+
+
+def _collect_small_edges(edges):
+    """(src, dst, w) numpy arrays if the materialized edge relation is
+    small enough to iterate driver-side, else None."""
+    import ray
+
+    if edges.count() > SMALL_EDGE_ROWS:
+        return None
+    parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+        )
+    t = pa.concat_tables(parts)
+    return (
+        t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["w"].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+
+
+def _pagerank_local(src, dst, w, n_nodes, n_iter=20, d=0.85):
+    outw = np.zeros(n_nodes, np.float64)
+    np.add.at(outw, src, w)
+    p = w / np.where(outw[src] > 0, outw[src], 1.0)
+    r = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+    dangling = outw == 0.0
+    for _ in range(n_iter):
+        contrib = np.zeros(n_nodes, np.float64)
+        np.add.at(contrib, dst, p * r[src])
+        dang = float(r[dangling].sum())
+        r = (1.0 - d) / n_nodes + d * (contrib + dang / n_nodes)
+    return r
+
+
+def _hits_local(src, dst, w, n_nodes, n_iter=20):
+    hub = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+    auth = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+    for _ in range(n_iter):
+        auth = np.zeros(n_nodes, np.float64)
+        np.add.at(auth, dst, w * hub[src])
+        s = float(auth.sum())
+        if s > 0:
+            auth = auth / s
+        hub = np.zeros(n_nodes, np.float64)
+        np.add.at(hub, src, w * auth[dst])
+        s = float(hub.sum())
+        if s > 0:
+            hub = hub / s
+    return hub, auth
+
+
 # -- PageRank ----------------------------------------------------------------
 
 
@@ -202,6 +264,11 @@ def pagerank_ds(edges, n_nodes: int, n_iter: int = 20, d: float = 0.85) -> np.nd
     """
     import ray
 
+    edges = edges.materialize()
+    small = _collect_small_edges(edges)
+    if small is not None:
+        return _pagerank_local(*small, n_nodes, n_iter=n_iter, d=d)
+
     def outw_partial(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         w = t["w"].to_numpy(zero_copy_only=False)
@@ -210,7 +277,6 @@ def pagerank_ds(edges, n_nodes: int, n_iter: int = 20, d: float = 0.85) -> np.nd
         np.add.at(s, np.searchsorted(u, src), w)
         return pa.table({"node": pa.array(u, pa.int64()), "v": pa.array(s)})
 
-    edges = edges.materialize()
     outw = np.zeros(n_nodes, np.float64)
     for t in ray.get(edges.map_batches(outw_partial, batch_format="pyarrow").to_arrow_refs()):
         if t.num_rows:
@@ -362,6 +428,9 @@ def hits_ds(
     import ray
 
     edges = edges.materialize()
+    small = _collect_small_edges(edges)
+    if small is not None:
+        return _hits_local(*small, n_nodes, n_iter=n_iter)
     hub = np.full(n_nodes, 1.0 / n_nodes, np.float64)
     auth = np.full(n_nodes, 1.0 / n_nodes, np.float64)
 
