@@ -656,6 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curate.curated_docs_ds,
         "curation_stats": curate.curation_stats_table,
         "ngram_jaccard_dups": lambda sf: dedup.ngram_jaccard_dups(sf, tau=0.8),
+        # asymmetric containment join (prefix-filter candidates — minhash
+        # LSH can't seed it: contained short docs have low Jaccard)
+        "containment_dups": lambda sf: dedup.containment_dups(sf, tau=0.8),
         "dup_spans": lambda sf: dedup.dup_spans_ds(sf, k=DUP_SPAN_K),
         "dup_span_clean": lambda sf: dedup.dup_span_clean_ds(sf, k=DUP_SPAN_K),
         "dedup_clusters": lambda sf: graph.dedup_clusters_ds(sf, tau=0.8),
@@ -1152,6 +1155,15 @@ SELECT (SELECT count(*) FROM q)::BIGINT AS n_input,
        (SELECT count(*) FROM s)::BIGINT AS n_unique,
        (SELECT count(*) FROM s WHERE ok)::BIGINT AS n_survivors,
        (SELECT coalesce(sum(n_tokens), 0) FROM s WHERE ok)::BIGINT AS survivor_tokens
+""",
+        "containment_dups": f"""
+WITH {shingle_cte}
+SELECT a.doc_id AS docid_a, b.doc_id AS docid_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+             / least(len(a.s), len(b.s)), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / least(len(a.s), len(b.s)) >= 0.8
 """,
         "ngram_jaccard_dups": f"""
 WITH {shingle_cte}

@@ -476,3 +476,64 @@ def test_bloom_filter_no_false_negatives_bulk(ray_session, tmp_path):
     pq.write_table(t, str(d / "documents.parquet"))
     got = incremental_novel_ds(str(d), prior_max_docid=300).to_pandas()
     assert (~got["novel"]).all()
+
+
+# -- containment join (prefix-filter candidates) -------------------------------
+
+
+def test_containment_catches_subset_dup(ray_session, tmp_path_factory):
+    """A short doc pasted inside a long one: containment 1.0, Jaccard far
+    below 0.8 — the pair the Jaccard join (and its minhash seeding) misses
+    by design."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.dedup import (
+        containment_dups,
+        ngram_jaccard_dups,
+    )
+
+    d = tmp_path_factory.mktemp("contain_docs")
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    texts = [short, long_, "totally different words here now"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = containment_dups(str(d), tau=0.8).to_pandas()
+    pairs = set(zip(got.docid_a, got.docid_b))
+    assert (0, 1) in pairs
+    row = got[(got.docid_a == 0) & (got.docid_b == 1)].iloc[0]
+    assert row.containment == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # the Jaccard join must NOT report the subset pair at the same tau
+    # (an empty result loses its column names through the exchange)
+    j = ngram_jaccard_dups(str(d), tau=0.8).to_pandas()
+    assert j.empty or (0, 1) not in set(zip(j["docid_a"], j["docid_b"]))
+
+
+def test_containment_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = entrymod.queries()["containment_dups"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["containment_dups"]).df()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)

@@ -450,7 +450,13 @@ def _shingle_rows_schema() -> pa.Schema:
     )
 
 
-def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = None):
+def ngram_jaccard_dups(
+    sf_dir: str,
+    tau: float = 0.8,
+    max_bucket: int | None = None,
+    metric: str = "jaccard",
+    candidates=None,
+):
     """Pairs with exact 3-gram Jaccard >= tau: LSH candidates + exact
     verification. Fully distributed — NOTHING is collected to the driver
     (no pair materialization, no broadcast dicts); the pipeline is two hash
@@ -479,7 +485,12 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
     from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
 
     np_ = cluster_parts(N_PARTS)
-    cand = minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket)
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_candidates_ds(sf_dir, max_bucket=max_bucket)
+    )
+    out_col = "containment" if metric == "containment" else "jaccard"
 
     def pairs_to_requests(t: pa.Table) -> pa.Table:
         a = _col(t, "docid_a")
@@ -647,7 +658,11 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
                 inter = int(np.count_nonzero(sa[p_] == sb))
             else:
                 inter = 0
-            denom = sa.size + sb.size - inter
+            denom = (
+                min(sa.size, sb.size)
+                if metric == "containment"
+                else sa.size + sb.size - inter
+            )
             if denom == 0:
                 continue
             j = inter / denom
@@ -659,7 +674,7 @@ def ngram_jaccard_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = N
             {
                 "docid_a": pa.array(a_l, pa.int64()),
                 "docid_b": pa.array(b_l, pa.int64()),
-                "jaccard": pa.array(j_l, pa.float64()),
+                out_col: pa.array(j_l, pa.float64()),
             }
         )
 
@@ -1713,3 +1728,176 @@ def incremental_novel_ds(
         )
 
     return _read_docs(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- containment join
+
+
+def _containment_candidates_ds(sf_dir: str, tau: float, max_bucket: int | None = None):
+    """(docid_a, docid_b) candidate pairs for the containment join via EXACT
+    prefix filtering (Bayardo/Chaudhuri's All-Pairs/PPJoin family, WWW'07):
+    order each doc's shingles by ascending global df; the PREFIX is its
+    first ``n - ceil(tau*n) + 1`` shingles. If inter/min(|A|,|B|) >= tau,
+    the smaller doc shares >= ceil(tau*n) shingles with the other, so by
+    pigeonhole at least one lands in its prefix — pairing (prefix holders x
+    all holders) per shingle is therefore COMPLETE. Minhash-LSH cannot seed
+    this join: a short doc fully contained in a long one has low Jaccard.
+
+    Four bounded exchanges: (1) shingle-keyed df attach, (2) docid-keyed
+    prefix marking (rank-within-doc on a whole-partition lexsort), (3)
+    shingle-keyed pair generation — prefix entries are the RAREST shingles,
+    so the prefix side of each list is short; ``max_bucket`` (logged, None
+    = exact) caps a pathological full-side — and (4) pair-keyed distinct.
+    The ceil is taken conservatively (eps-subtracted), which can only ADD
+    candidates, never lose one; the exact verify drops false positives."""
+    import logging
+    import math
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(N_PARTS)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        toks = token_lists(t["text"]).to_list()
+        ids = _col(t, "doc_id")
+        sh = [_shingle_hashes(tl or []) for tl in toks]
+        lens = np.array([r.size for r in sh], np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(
+                    np.concatenate(sh) if sh else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "docid": pa.array(np.repeat(ids, lens), pa.int64()),
+            }
+        )
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        sh = _col(t, "sh", np.uint64)
+        docid = _col(t, "docid")
+        u, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "docid": pa.array(docid, pa.int64()),
+                "df": pa.array(cnt[inv].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def mark_prefix(t: pa.Table) -> pa.Table:
+        sh = _col(t, "sh", np.uint64)
+        docid = _col(t, "docid")
+        df = _col(t, "df")
+        order = np.lexsort((sh, df, docid))
+        sh, docid, df = sh[order], docid[order], df[order]
+        new = np.ones(docid.size, dtype=bool)
+        if docid.size:
+            new[1:] = docid[1:] != docid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n_per = np.diff(np.append(starts, docid.size))
+        rank = np.arange(docid.size, dtype=np.int64) - starts[seg]
+        n_row = n_per[seg]
+        k = np.ceil(tau * n_row - 1e-9).astype(np.int64)  # eps: only widens
+        pfx = rank < (n_row - k + 1)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "docid": pa.array(docid, pa.int64()),
+                "pfx": pa.array(pfx.astype(np.int8), pa.int8()),
+            }
+        )
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        sh = _col(t, "sh", np.uint64)
+        docid = _col(t, "docid")
+        pfx = _col(t, "pfx", np.int8)
+        order = np.lexsort((docid, sh))
+        sh, docid, pfx = sh[order], docid[order], pfx[order]
+        new = np.ones(sh.size, dtype=bool)
+        if sh.size:
+            new[1:] = sh[1:] != sh[:-1]
+        starts = np.append(np.flatnonzero(new), sh.size)
+        a_l, b_l = [], []
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            docs = docid[s0:s1]
+            if max_bucket is not None and docs.size > max_bucket:
+                logging.getLogger(__name__).warning(
+                    "containment: shingle list of %d docs skipped (max_bucket=%d)",
+                    docs.size,
+                    max_bucket,
+                )
+                continue
+            pdocs = docs[pfx[s0:s1] == 1]
+            if not pdocs.size or docs.size < 2:
+                continue
+            a = np.repeat(pdocs, docs.size)
+            b = np.tile(docs, pdocs.size)
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            key = lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64)
+            uk = np.unique(key)
+            a_l.append((uk >> np.uint64(32)).astype(np.int64))
+            b_l.append((uk & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
+        b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "docid_a": pa.array(a, pa.int64()),
+                "docid_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        a = _col(t, "docid_a")
+        b = _col(t, "docid_b")
+        key = a.astype(np.uint64) * np.uint64(1 << 32) + b.astype(np.uint64)
+        uk = np.unique(key)
+        return pa.table(
+            {
+                "docid_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                "docid_b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
+
+    rows = _read_docs(sf_dir).map_batches(shingle_rows, batch_format="pyarrow")
+    with_df = exchange_map(
+        rows,
+        lambda t: (_col(t, "sh", np.uint64) % np.uint64(np_)).astype(np.int64),
+        np_,
+        attach_df,
+        auto_shrink=True,
+    )
+    marked = exchange_map(
+        with_df, lambda t: _col(t, "docid") % np_, np_, mark_prefix,
+        auto_shrink=True,
+    )
+    pairs = exchange_map(
+        marked,
+        lambda t: (_col(t, "sh", np.uint64) % np.uint64(np_)).astype(np.int64),
+        np_,
+        gen_pairs,
+        auto_shrink=True,
+    )
+    return exchange_map(
+        pairs, lambda t: _col(t, "docid_a") % np_, np_, distinct_pairs,
+        auto_shrink=True,
+    )
+
+
+def containment_dups(sf_dir: str, tau: float = 0.8, max_bucket: int | None = None):
+    """Pairs with exact 3-gram CONTAINMENT inter/min(|A|,|B|) >= tau — the
+    asymmetric near-dup criterion (a short doc pasted inside a long one has
+    high containment but low Jaccard, so :func:`ngram_jaccard_dups` and its
+    minhash seeding both miss it). Exact prefix-filter candidates
+    (:func:`_containment_candidates_ds`) + the same distributed shingle
+    verify as the Jaccard join with the containment denominator."""
+    return ngram_jaccard_dups(
+        sf_dir,
+        tau=tau,
+        metric="containment",
+        candidates=_containment_candidates_ds(sf_dir, tau, max_bucket=max_bucket),
+    )
