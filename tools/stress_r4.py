@@ -102,6 +102,15 @@ def main() -> None:
             ],
         ),
         (
+            # templated clone corpus = worst case for a containment join
+            # (few distinct shingles, giant lists): max_bucket=64 is the
+            # logged skew guard, same discipline as the LSH stress
+            "containment_dups_2M_guarded",
+            lambda: __import__(
+                "web_search_engine_ray.pipelines.dedup", fromlist=["d"]
+            ).containment_dups(docs, tau=0.8, max_bucket=64).count(),
+        ),
+        (
             "trigram_grep_queries_2M",  # 5 substrings + 4 regexes, pruned
             lambda: grep.substring_search_table(
                 docs, n_shards=64, index_dir=tri_dir

@@ -1809,6 +1809,9 @@ def _containment_candidates_ds(sf_dir: str, tau: float, max_bucket: int | None =
         )
 
     def gen_pairs(t: pa.Table) -> pa.Table:
+        """Segmented (prefix docs x group docs) cross-product for EVERY
+        shingle group in one vectorized pass (repeat/cumsum index
+        arithmetic — no per-shingle Python loop, the build-router rule)."""
         sh = _col(t, "sh", np.uint64)
         docid = _col(t, "docid")
         pfx = _col(t, "pfx", np.int8)
@@ -1817,35 +1820,48 @@ def _containment_candidates_ds(sf_dir: str, tau: float, max_bucket: int | None =
         new = np.ones(sh.size, dtype=bool)
         if sh.size:
             new[1:] = sh[1:] != sh[:-1]
-        starts = np.append(np.flatnonzero(new), sh.size)
-        a_l, b_l = [], []
-        for s0, s1 in zip(starts[:-1], starts[1:]):
-            docs = docid[s0:s1]
-            if max_bucket is not None and docs.size > max_bucket:
+        gstart = np.flatnonzero(new)  # group start row per group
+        gsize = np.diff(np.append(gstart, sh.size))
+        gid = np.cumsum(new) - 1  # group id per row
+        ok_g = gsize >= 2
+        if max_bucket is not None:
+            over = gsize > max_bucket
+            if over.any():
                 logging.getLogger(__name__).warning(
-                    "containment: shingle list of %d docs skipped (max_bucket=%d)",
-                    docs.size,
+                    "containment: %d shingle lists over max_bucket=%d skipped "
+                    "(largest %d docs)",
+                    int(over.sum()),
                     max_bucket,
+                    int(gsize.max()),
                 )
-                continue
-            pdocs = docs[pfx[s0:s1] == 1]
-            if not pdocs.size or docs.size < 2:
-                continue
-            a = np.repeat(pdocs, docs.size)
-            b = np.tile(docs, pdocs.size)
-            keep = a != b
-            a, b = a[keep], b[keep]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            key = lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64)
-            uk = np.unique(key)
-            a_l.append((uk >> np.uint64(32)).astype(np.int64))
-            b_l.append((uk & np.uint64(0xFFFFFFFF)).astype(np.int64))
-        a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
-        b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+                ok_g &= ~over
+        is_p = (pfx == 1) & ok_g[gid]
+        # one output run per prefix row: its group's full doc list
+        run_len = gsize[gid[is_p]]
+        total = int(run_len.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "docid_a": pa.array(np.empty(0, np.int64)),
+                    "docid_b": pa.array(np.empty(0, np.int64)),
+                }
+            )
+        a = np.repeat(docid[is_p], run_len)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(run_len) - run_len, run_len
+        )
+        b = docid[np.repeat(gstart[gid[is_p]], run_len) + j]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        uk = np.unique(lo * np.uint64(1 << 32) + hi)
         return pa.table(
             {
-                "docid_a": pa.array(a, pa.int64()),
-                "docid_b": pa.array(b, pa.int64()),
+                "docid_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                "docid_b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
             }
         )
 
