@@ -997,10 +997,6 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rn <= {TOPK}
 """,
-        # Dirichlet query likelihood: per query-token occurrence (duplicate
-        # terms count with multiplicity via the duplicate VALUES rows),
-        # candidates = OR set, absent terms pay the background probability;
-        # identical per-(term,doc) expression ln((tf + mu*cf/T)/(dl + mu))
         # identical prune rule (row_number over (term) by tf desc, doc_id)
         # scored with the FULL df/N/avgdl — the tiered-index contract
         "bm25_pruned": f"""
@@ -1032,6 +1028,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rn <= {TOPK}
 """,
+        # Dirichlet query likelihood: per query-token occurrence (duplicate
+        # terms count with multiplicity via the duplicate VALUES rows),
+        # candidates = OR set, absent terms pay the background probability;
+        # identical per-(term,doc) expression ln((tf + mu*cf/T)/(dl + mu))
         "ql_topk": f"""
 WITH {tok_cte},
  {tf_cte},
@@ -1540,7 +1540,7 @@ ORDER BY r.bucket
 """,
         "json_props_agg": """
 WITH k AS (SELECT event_type,
-                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events)
 SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
        min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,

@@ -23,6 +23,26 @@ def ray_session():
 
 
 @pytest.fixture(scope="session")
+def oracle_eq():
+    """Shared oracle-frame comparison: sort columns by name, rows by value,
+    compare ignoring dtype — ONE canonicalization recipe for every
+    entry-vs-DuckDB test (a second inline copy could drift)."""
+    import pandas as pd
+
+    def _eq(got, want):
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want = want.df() if hasattr(want, "df") else want
+
+        def canon(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[sorted(df.columns)].copy()
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+    return _eq
+
+
+@pytest.fixture(scope="session")
 def tiny_corpus_dir(tmp_path_factory):
     """Deterministic tiny transcript corpus parquet (FIXTURES.md §1, scale=tiny)."""
     from web_search_engine_ray.fixtures.transcripts import write_corpus

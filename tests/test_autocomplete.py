@@ -63,3 +63,31 @@ def test_flask_complete_endpoint(ray_session):
     assert len(body["completions"]) >= 1
     assert all(c["term"].startswith("sp") for c in body["completions"])
     assert client.post("/complete", json={"prefix": ""}).status_code == 400
+
+
+def test_complete_df_tie_at_shard_cut(ray_session, tmp_path_factory):
+    """Regression: the per-shard k-cut must be the (df desc, term asc)
+    order — a bare argpartition on df drops the lexicographically-first of
+    df-TIED terms at the k boundary, diverging from the SQL twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.pipelines.query import Searcher
+
+    d = tmp_path_factory.mktemp("tie_docs")
+    # six prefix-sharing terms, ALL df=1, in one lexicon shard
+    terms = ["spaa", "spab", "spac", "spad", "spae", "spaf"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(terms)), pa.int64()),
+                "text": pa.array(terms, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    idx = str(tmp_path_factory.mktemp("tie_idx"))
+    build_index(str(d / "documents.parquet"), idx, partition_rows=10, num_shards=1)
+    got = Searcher(idx).complete("spa", k=2)
+    assert got == [("spaa", 1), ("spab", 1)]

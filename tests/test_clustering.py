@@ -199,7 +199,7 @@ def test_centroid_classify_planted(ray_session, tmp_path_factory):
     assert got.loc[0, "n_correct"] == 3 and got.loc[0, "accuracy"] == 0.75
 
 
-def test_centroid_classify_matches_oracle(ray_session):
+def test_centroid_classify_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -213,8 +213,5 @@ def test_centroid_classify_matches_oracle(ray_session):
     got = entrymod.queries()["centroid_classify"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["centroid_classify"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

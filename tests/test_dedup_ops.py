@@ -518,7 +518,7 @@ def test_containment_catches_subset_dup(ray_session, tmp_path_factory):
     assert j.empty or (0, 1) not in set(zip(j["docid_a"], j["docid_b"]))
 
 
-def test_containment_matches_oracle(ray_session):
+def test_containment_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -532,8 +532,5 @@ def test_containment_matches_oracle(ray_session):
     got = entrymod.queries()["containment_dups"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["containment_dups"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

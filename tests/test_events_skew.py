@@ -190,7 +190,7 @@ def test_json_props_agg(ray_session, tmp_path_factory):
     assert got.loc["b", "n"] == 1 and got.loc["b", "avg_k"] == 2.0
 
 
-def test_json_props_agg_matches_oracle(ray_session):
+def test_json_props_agg_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -204,11 +204,8 @@ def test_json_props_agg_matches_oracle(ray_session):
     got = entrymod.queries()["json_props_agg"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["json_props_agg"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
 
 def test_topn_running_histogram_planted(ray_session, tmp_path_factory):
@@ -259,7 +256,7 @@ def test_topn_running_histogram_planted(ray_session, tmp_path_factory):
     assert list(hist.n) == [1, 3]
 
 
-def test_new_event_ops_match_oracle(ray_session):
+def test_new_event_ops_match_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -275,11 +272,8 @@ def test_new_event_ops_match_oracle(ray_session):
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         want = con.sql(entrymod.oracle_sql()[q]).df()
 
-        def canon(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[sorted(df.columns)].copy()
-            return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+        oracle_eq(got, want)
 
 
 def test_value_quantiles_per_type(ray_session, tmp_path_factory):
@@ -312,7 +306,7 @@ def test_value_quantiles_per_type(ray_session, tmp_path_factory):
     assert got.loc[0.99, "value"] == 50.0  # rank ceil(4.95) = 5
 
 
-def test_value_quantiles_match_oracle(ray_session):
+def test_value_quantiles_match_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -326,11 +320,8 @@ def test_value_quantiles_match_oracle(ray_session):
     got = entrymod.queries()["events_value_quantiles"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["events_value_quantiles"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
 
 def test_daily_active_users(ray_session, tmp_path_factory):
@@ -377,7 +368,7 @@ def test_daily_active_users(ray_session, tmp_path_factory):
     assert got.loc[(d0, "b"), "n_users"] == 1
 
 
-def test_daily_active_users_matches_oracle(ray_session):
+def test_daily_active_users_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -391,8 +382,5 @@ def test_daily_active_users_matches_oracle(ray_session):
     got = entrymod.queries()["events_daily_users"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["events_daily_users"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

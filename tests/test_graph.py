@@ -216,7 +216,7 @@ def test_pagerank_distributed_100k(ray_session):
     assert abs(r.sum() - 1.0) < 1e-9
 
 
-def test_pagerank_gate_matches_oracle(ray_session):
+def test_pagerank_gate_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -230,11 +230,8 @@ def test_pagerank_gate_matches_oracle(ray_session):
     got = entrymod.queries()["pagerank"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["pagerank"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
 
 def test_hits_planted(ray_session):
@@ -282,7 +279,7 @@ def test_hits_planted(ray_session):
     assert np.allclose(hub, h, atol=1e-12) and np.allclose(auth, a, atol=1e-12)
 
 
-def test_hits_gate_matches_oracle(ray_session):
+def test_hits_gate_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -296,11 +293,8 @@ def test_hits_gate_matches_oracle(ray_session):
     got = entrymod.queries()["hits"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["hits"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
 
 def test_distributed_path_forced(ray_session, monkeypatch):

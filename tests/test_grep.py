@@ -116,7 +116,7 @@ def test_all_stop_trigrams_fall_back(ray_session, tmp_path_factory):
     assert got["docid"].to_pylist() == [0, 1, 2, 3]
 
 
-def test_gate_entries_match_oracle(ray_session):
+def test_gate_entries_match_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -131,11 +131,8 @@ def test_gate_entries_match_oracle(ray_session):
         got = entrymod.queries()[q](sf).to_pandas()
         want = con.sql(entrymod.oracle_sql()[q]).df()
 
-        def canon(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[sorted(df.columns)].copy()
-            return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+        oracle_eq(got, want)
 
 
 def test_trigram_extraction_matches_python(ray_session, grep_corpus):

@@ -115,7 +115,7 @@ def test_randomized_vs_brute_force(ray_session, tmp_path_factory):
         assert got == _brute(texts, terms)
 
 
-def test_gate_entry_matches_oracle(ray_session):
+def test_gate_entry_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -129,13 +129,7 @@ def test_gate_entry_matches_oracle(ray_session):
     got = min_window_table(sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["min_window"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        for c in df.columns:
-            df[c] = df[c].astype("int64")
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-    pd.testing.assert_frame_equal(canon(got), canon(want))
+    oracle_eq(got, want)
 
 
 # -- proximity-boosted BM25 ---------------------------------------------------
@@ -178,7 +172,7 @@ def test_bm25_proximity_flips_tie_and_boosts(ray_session, tmp_path_factory):
     assert rows[2][1] == round(base[2], 4)  # missing term: exp(-inf) -> 0
 
 
-def test_bm25_proximity_matches_oracle(ray_session):
+def test_bm25_proximity_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -193,8 +187,5 @@ def test_bm25_proximity_matches_oracle(ray_session):
     got = bm25_proximity_table(sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["bm25_proximity"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

@@ -58,7 +58,7 @@ def test_mlt_norms_match_manual(ray_session, mlt_corpus):
     assert np.all(norms > 0)
 
 
-def test_mlt_gate_matches_oracle(ray_session):
+def test_mlt_gate_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -72,8 +72,5 @@ def test_mlt_gate_matches_oracle(ray_session):
     got = entrymod.queries()["more_like_this"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["more_like_this"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

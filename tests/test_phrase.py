@@ -287,3 +287,10 @@ def test_flask_proximity_boost(ray_session, tmp_path_factory):
     bare = create_app(idx).test_client()
     r = bare.post("/search", json={"query": "x", "proximity_boost": True})
     assert r.status_code == 400
+    # PHRASE + proximity_boost is contradictory -> 400, never silently
+    # dropped (mirrors the ranker=ql + PHRASE rule)
+    r = client.post(
+        "/search",
+        json={"query": "spark join", "mode": "PHRASE", "proximity_boost": True},
+    )
+    assert r.status_code == 400

@@ -68,7 +68,7 @@ def test_ql_hand_computed(ray_session, ql_corpus):
     assert s.ql_topk("zzzz", topk=None) == []
 
 
-def test_ql_gate_entry_matches_oracle(ray_session):
+def test_ql_gate_entry_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -82,11 +82,8 @@ def test_ql_gate_entry_matches_oracle(ray_session):
     got = entrymod.queries()["ql_topk"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["ql_topk"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
 
 def test_flask_ql_ranker(ray_session, ql_corpus, tmp_path_factory):

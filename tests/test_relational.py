@@ -207,7 +207,7 @@ def test_q6_planted(ray_session, tiny_tpch):
     assert empty.iloc[0].n_rows == 0 and empty.iloc[0].revenue == 0.0
 
 
-def test_q5_q6_match_oracle(ray_session):
+def test_q5_q6_match_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -224,8 +224,5 @@ def test_q5_q6_match_oracle(ray_session):
         got = got.to_pandas() if hasattr(got, "to_pandas") else got
         want = con.sql(entrymod.oracle_sql()[q]).df()
 
-        def canon(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[sorted(df.columns)].copy()
-            return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-        pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+        oracle_eq(got, want)

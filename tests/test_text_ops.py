@@ -140,7 +140,7 @@ def test_distinctive_terms_planted(ray_session, tmp_path_factory):
     assert not ((got["term"] == "common") & (got["chi2"] > 0)).any()
 
 
-def test_distinctive_terms_matches_oracle(ray_session):
+def test_distinctive_terms_matches_oracle(ray_session, oracle_eq):
     import duckdb
     import pandas as pd
 
@@ -154,8 +154,5 @@ def test_distinctive_terms_matches_oracle(ray_session):
     got = entrymod.queries()["distinctive_terms"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["distinctive_terms"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)

@@ -63,7 +63,7 @@ def test_wand_tie_set_matches_heap(tie_index):
 # -- statically pruned (tiered) serving ---------------------------------------
 
 
-def test_bm25_pruned_recall_and_contract(ray_session):
+def test_bm25_pruned_recall_and_contract(ray_session, oracle_eq):
     """Pruned serving: (a) matches its own SQL twin (gate test), (b) a
     LARGE m degenerates to the exact unpruned answer, (c) recall@10 vs the
     full index stays high on the fixed queries at gate scale."""
@@ -84,16 +84,13 @@ def test_bm25_pruned_recall_and_contract(ray_session):
     got = entrymod.queries()["bm25_pruned"](sf).to_pandas()
     want = con.sql(entrymod.oracle_sql()["bm25_pruned"]).df()
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[sorted(df.columns)].copy()
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    oracle_eq(got, want)
 
     # m >= corpus size: identical to the exact unpruned ranking
     full = bm25_topk_table(sf).to_pandas()
     big_m = bm25_pruned_topk_table(sf, m=10**9).to_pandas()
-    pd.testing.assert_frame_equal(canon(big_m), canon(full))
+    oracle_eq(big_m, full)
 
     # recall@10 of the tier vs the exact answers. The synthetic corpus has
     # near-uniform tf (1-3) with dl-dominated BM25, the WORST case for

@@ -225,9 +225,14 @@ def _cached_trigram_index(sf_dir: str, n_shards: int = N_SHARDS) -> str:
     out = os.path.join(
         "/tmp", "wse_ray_cache", f"tri_{_cache_key(path, f'tri{n_shards}:v1')}"
     )
-    if not all(
-        os.path.exists(os.path.join(out, f"shard_{i:05d}.parquet"))
-        for i in range(n_shards)
+    # stats.json is written LAST, so its presence marks a complete build —
+    # checking shards alone would trust an interrupted one forever
+    if not (
+        os.path.exists(os.path.join(out, "stats.json"))
+        and all(
+            os.path.exists(os.path.join(out, f"shard_{i:05d}.parquet"))
+            for i in range(n_shards)
+        )
     ):
         build_trigram_index(sf_dir, out, n_shards)
     return out

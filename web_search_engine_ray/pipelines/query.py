@@ -269,7 +269,12 @@ class Searcher:
                 continue
             dfs = lex.df[lo:hi]
             if hi - lo > k:
-                keep = np.argpartition(-dfs, k - 1)[:k]
+                # stable (df desc, term asc) cut: argpartition on df alone
+                # drops the lexicographically-first of df-tied terms at the
+                # k boundary, diverging from the SQL twin's row_number order
+                # (terms[lo:hi] is already sorted, so index order is term
+                # order)
+                keep = np.lexsort((np.arange(hi - lo), -dfs))[:k]
             else:
                 keep = np.arange(hi - lo)
             for i in keep:

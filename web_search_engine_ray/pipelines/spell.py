@@ -188,12 +188,16 @@ def build_spell_shards(
     import pyarrow.parquet as pq
 
     import shutil
+    import tempfile
 
-    tmp_dir = os.path.join(spell_dir, "tmp")
-    # a crashed (or stale-index) build leaves partials here; merging them
-    # would serve suggestions from a dead vocabulary — start clean
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
+    # PRIVATE scratch dir per build: a fixed shared tmp/ made concurrent
+    # builders (two server workers on a fresh index) rmtree each other's
+    # partials mid-build and install a silently incomplete map; crashed
+    # builds' orphans are swept here instead of trusted
+    for stale in os.listdir(spell_dir) if os.path.isdir(spell_dir) else []:
+        if stale.startswith("tmp"):
+            shutil.rmtree(os.path.join(spell_dir, stale), ignore_errors=True)
+    tmp_dir = tempfile.mkdtemp(prefix="tmp_build_", dir=spell_dir)
     n_lex = int(searcher.build["num_shards"]) + len(
         searcher.build.get("heavy_terms", [])
     )
@@ -232,11 +236,13 @@ def build_spell_shards(
             )
         n_variants += len(merged)
         out = os.path.join(spell_dir, f"shard_{sid:05d}.parquet")
-        merged.write_parquet(out + ".tmp")
-        os.replace(out + ".tmp", out)
-    for f in os.listdir(tmp_dir):
-        os.unlink(os.path.join(tmp_dir, f))
-    os.rmdir(tmp_dir)
+        # stage inside the private dir (two builders racing on a shared
+        # ".tmp" name could replace a half-written file); os.replace is
+        # atomic within the same filesystem
+        staged = os.path.join(tmp_dir, f"shard_{sid:05d}.staged.parquet")
+        merged.write_parquet(staged)
+        os.replace(staged, out)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     meta = {
         "version": SPELL_VERSION,
         "n_shards": n_spell_shards,
@@ -284,8 +290,34 @@ class SpellIndex:
             ):
                 meta = None
         if meta is None:
-            os.makedirs(spell_dir, exist_ok=True)
-            meta = build_spell_shards(searcher, spell_dir, n_spell_shards)
+            try:
+                os.makedirs(spell_dir, exist_ok=True)
+                meta = build_spell_shards(searcher, spell_dir, n_spell_shards)
+            except OSError:
+                # read-only index mount: build the artifact in the tmp
+                # cache instead of failing create_app at startup (round-3
+                # behavior was in-memory-only; keep serving possible)
+                import hashlib
+
+                key = hashlib.sha256(
+                    f"{searcher.dir}:{searcher.build.get('build_fp', '')}".encode()
+                ).hexdigest()[:16]
+                spell_dir = os.path.join("/tmp", "wse_ray_cache", f"spell_{key}")
+                mpath = os.path.join(spell_dir, "meta.json")
+                meta = None
+                if os.path.exists(mpath):
+                    with open(mpath) as f:
+                        meta = json.load(f)
+                    if (
+                        meta.get("version") != SPELL_VERSION
+                        or meta.get("n_shards") != n_spell_shards
+                        or meta.get("build_fp")
+                        != searcher.build.get("build_fp", "")
+                    ):
+                        meta = None
+                if meta is None:
+                    os.makedirs(spell_dir, exist_ok=True)
+                    meta = build_spell_shards(searcher, spell_dir, n_spell_shards)
         return cls(spell_dir, meta["n_shards"])
 
     def _shard(self, sid: int) -> dict[str, tuple[int, str]]:

@@ -92,6 +92,10 @@ def create_app(
             return jsonify(
                 {"error": "ranker=ql applies to plain AND/OR ranking only"}
             ), 400
+        if mode == "PHRASE" and prox_boost:
+            return jsonify(
+                {"error": "proximity_boost applies to AND/OR ranking, not PHRASE"}
+            ), 400
         t0 = time.perf_counter()
         if mode == "PHRASE":
             import pyarrow as pa
