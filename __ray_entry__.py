@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ql_topk": lambda sf: serving.ql_topk_table(sf),
         # statically pruned (tiered) index serving: top-m postings per term
         "bm25_pruned": lambda sf: serving.bm25_pruned_topk_table(sf),
+        # reciprocal-rank fusion of the BM25 and QL rankings (Cormack 2009)
+        "rrf_fusion": lambda sf: serving.rrf_fusion_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
@@ -995,6 +997,47 @@ SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # rank fusion: both systems' pools from their exact twins' rank
+        # rule; 1/(k+r) contributions added bm25-then-ql on both sides
+        "rrf_fusion": bm25_core
+        + f""",
+ cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+ statsq AS (SELECT (SELECT sum(dl)::DOUBLE FROM dl) AS t),
+ qkq AS (SELECT q.query_id, q.term, cfq.cf
+         FROM q JOIN cfq ON cfq.term = q.term),
+ candq AS (SELECT DISTINCT qkq.query_id, tf.doc_id
+           FROM qkq JOIN tf ON tf.term = qkq.term),
+ scoredq AS (
+   SELECT c.query_id, c.doc_id AS docid,
+          sum( ln( (coalesce(tf.tf, 0)::DOUBLE
+                    + {serving_mod.QL_MU} * qkq.cf / s.t)
+                   / (dl.dl::DOUBLE + {serving_mod.QL_MU}) ) ) AS score
+   FROM candq c
+   JOIN qkq ON qkq.query_id = c.query_id
+   LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qkq.term
+   JOIN dl ON dl.doc_id = c.doc_id
+   CROSS JOIN statsq s
+   GROUP BY c.query_id, c.doc_id),
+ pb AS (SELECT query_id, docid, r FROM (
+          SELECT query_id, docid, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, docid) AS r
+          FROM scored) WHERE r <= {serving_mod.RRF_DEPTH}),
+ pq AS (SELECT query_id, docid, r FROM (
+          SELECT query_id, docid, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, docid) AS r
+          FROM scoredq) WHERE r <= {serving_mod.RRF_DEPTH}),
+ fused AS (SELECT coalesce(pb.query_id, pq.query_id) AS query_id,
+                  coalesce(pb.docid, pq.docid) AS docid,
+                  coalesce(1.0 / ({serving_mod.RRF_K} + pb.r), 0.0)
+                  + coalesce(1.0 / ({serving_mod.RRF_K} + pq.r), 0.0) AS score
+           FROM pb FULL OUTER JOIN pq
+             ON pb.query_id = pq.query_id AND pb.docid = pq.docid)
+SELECT query_id, docid, ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM fused)
 WHERE rn <= {TOPK}
 """,
         # identical prune rule (row_number over (term) by tf desc, doc_id)

@@ -110,3 +110,38 @@ def test_bm25_pruned_recall_and_contract(ray_session, oracle_eq):
     r100 = recall(bm25_pruned_topk_table(sf, m=100).to_pandas())
     assert r25 >= 0.3, f"tier recall {r25}"
     assert r100 >= r25 and r100 >= 0.6, f"m=100 recall {r100}"
+
+
+def test_rrf_fusion_contract(ray_session, oracle_eq):
+    """RRF: hand-checkable fusion arithmetic + the gate twin."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.serving import (
+        documents_searcher,
+        rrf_fusion_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = rrf_fusion_table(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(got, con.sql(entrymod.oracle_sql()["rrf_fusion"]).df())
+
+    # arithmetic spot-check: recompute query 0's fusion from the two pools
+    s = documents_searcher(sf)
+    q = "spark join"
+    fused = {}
+    for pool in (
+        s.bm25_topk(q, topk=50, mode="OR", tie_semantics="sorted"),
+        s.ql_topk(q, topk=50),
+    ):
+        for r, (d, _sc) in enumerate(pool, start=1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (60 + r)
+    want_top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got0 = got[got.query_id == 0]
+    assert list(got0.docid) == [d for d, _ in want_top]
+    for (_, row), (_, sc) in zip(got0.iterrows(), want_top):
+        assert row.score == round(sc, 6)

@@ -927,3 +927,54 @@ def bm25_pruned_topk_table(
             "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
         }
     )
+
+
+# -- reciprocal-rank fusion ----------------------------------------------------
+
+RRF_K = 60       # the canonical constant (Cormack et al., SIGIR 2009)
+RRF_DEPTH = 50   # per-system pool depth feeding the fusion
+
+
+def rrf_fusion_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    k: int = RRF_K,
+    depth: int = RRF_DEPTH,
+    round_to: int = 6,
+) -> pa.Table:
+    """(query_id, docid, score): reciprocal-rank fusion of the BM25 and the
+    Dirichlet-QL rankings (Cormack, Clarke & Buettcher, SIGIR 2009):
+    score(d) = sum over systems of 1/(k + rank_sys(d)) for docs inside each
+    system's top-``depth`` pool (missing from a pool contributes 0) — the
+    standard zero-training way to combine rankers, and score-scale-free
+    (BM25 and QL scores are incomparable; ranks always fuse). Both pools
+    come from the same loaded index state; ranks use the (score desc,
+    docid) order both rankers already share with their twins."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        pools = [
+            s.bm25_topk(q, topk=depth, mode="OR", tie_semantics="sorted"),
+            s.ql_topk(q, topk=depth),
+        ]
+        fused: dict[int, float] = {}
+        for pool in pools:
+            for rank, (docid, _sc) in enumerate(pool, start=1):
+                fused[int(docid)] = fused.get(int(docid), 0.0) + 1.0 / (k + rank)
+        if not fused:
+            continue
+        docs = np.array(sorted(fused), np.int64)
+        scores = np.array([fused[int(d)] for d in docs], np.float64)
+        order = np.lexsort((docs, -scores))[:topk]
+        q_l.append(np.full(order.size, qid, np.int64))
+        d_l.append(docs[order])
+        s_l.append(np.round(scores[order], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
