@@ -506,6 +506,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pruned": lambda sf: serving.bm25_pruned_topk_table(sf),
         # reciprocal-rank fusion of the BM25 and QL rankings (Cormack 2009)
         "rrf_fusion": lambda sf: serving.rrf_fusion_table(sf),
+        # typo-tolerant boolean search: ED<=1 term expansion (SymSpell
+        # deletes as a distributed vocab scan) -> boolean-OR postings
+        "fuzzy_search": lambda sf: __import__(
+            "web_search_engine_ray.pipelines.spell", fromlist=["x"]
+        ).fuzzy_search_table(sf),
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
@@ -733,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from web_search_engine_ray.pipelines import serving as serving_mod
+    from web_search_engine_ray.pipelines import spell as spell_mod
 
     qv = _q_values()
     tok_cte = f"tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)"
@@ -1001,6 +1007,14 @@ WHERE rn <= {TOPK}
 """,
         # rank fusion: both systems' pools from their exact twins' rank
         # rule; 1/(k+r) contributions added bm25-then-ql on both sides
+        # twin: DuckDB levenshtein (plain, no transpositions — _lev1
+        # matches) over distinct (doc, term); one leg per fixed query word
+        "fuzzy_search": "\nUNION ALL\n".join(
+            f"SELECT {qid} AS query_id, doc_id AS docid FROM ("
+            f"SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents)"
+            f" WHERE levenshtein(term, '{w}') <= 1"
+            for qid, w in enumerate(spell_mod.FUZZY_QUERIES)
+        ),
         "rrf_fusion": bm25_core
         + f""",
  cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),

@@ -169,3 +169,56 @@ def test_sharded_spell_index(spell_index_dir):
     assert fresh.loaded_shards() == []
     fresh.suggest("dta")
     assert 0 < len(fresh.loaded_shards()) <= len("dta") + 1
+
+
+# -- fuzzy (ED<=1) search -------------------------------------------------------
+
+
+def test_lev1_semantics():
+    from web_search_engine_ray.pipelines.spell import _lev1
+
+    assert _lev1("spark", "spark")          # identity
+    assert _lev1("spark", "spar")           # deletion
+    assert _lev1("spar", "spark")           # insertion
+    assert _lev1("spark", "spork")          # substitution
+    assert not _lev1("ab", "ba")            # transposition = 2 in plain Lev
+    assert not _lev1("spark", "spa")        # distance 2
+    assert not _lev1("spark", "sporks")     # sub + insert
+
+
+def test_fuzzy_search_planted(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.spell import fuzzy_search_table
+
+    d = tmp_path_factory.mktemp("fuzzy_docs")
+    texts = ["spark rules", "spork here", "spa day", "sparkle lots", "other"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = fuzzy_search_table(str(d), queries=["spark"]).to_pandas()
+    # spark (identity), spork (sub); spa is ED 2; sparkle is ED 2
+    assert list(got.docid) == [0, 1]
+
+
+def test_fuzzy_search_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["fuzzy_search"](sf),
+        con.sql(entrymod.oracle_sql()["fuzzy_search"]).df(),
+    )

@@ -33,6 +33,7 @@ import json
 import os
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 
 # misspellings of the fixed-query vocabulary: substitution, insertion,
@@ -354,3 +355,128 @@ class SpellIndex:
             ):
                 cand = hit
         return cand[1] if cand else None
+
+
+# -- fuzzy (edit-distance <= 1) term search ------------------------------------
+
+FUZZY_QUERIES = ["spark", "jon", "merg", "customes", "zzzz"]
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Plain Levenshtein(a, b) <= 1 (no transpositions — DuckDB's
+    ``levenshtein`` semantics, the twin)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: a must equal b minus one char
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_candidate_terms_ds(sf_dir: str, queries: list[str]):
+    """(query_id, term) vocabulary terms within Levenshtein 1 of each query
+    word — the SymSpell deletes trick run as a DISTRIBUTED vocabulary scan:
+    the query words' deletion variants broadcast (tiny), each vocab batch
+    generates its own variants VECTORIZED (the spell artifact's polars
+    slicing) and semi-joins; sharing a deletion (or identity) is necessary
+    for ED<=1 but not sufficient ('ab'/'ba' share a deletion at distance
+    2), so survivors get an exact ``_lev1`` verify — candidates per query
+    are a handful, the scan never leaves vectorized land."""
+    import ray.data
+
+    from web_search_engine_ray.pipelines.corpus import term_stats_ds
+
+    qv = []
+    for qid, w in enumerate(queries):
+        for v in {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}:
+            qv.append((v, qid))
+    qtab = pa.table(
+        {
+            "variant": pa.array([v for v, _ in qv], pa.string()),
+            "query_id": pa.array([q for _, q in qv], pa.int64()),
+        }
+    )
+    import ray
+
+    qref = ray.put(qtab)
+    qwords = list(queries)
+
+    def scan(t: pa.Table) -> pa.Table:
+        frame = _variant_frame(
+            t["term"].to_pylist(), np.zeros(t.num_rows, np.int64)
+        )
+        hits = (
+            frame.join(
+                pl.from_arrow(ray.get(qref)), on="variant", how="inner"
+            )
+            .select("query_id", "term")
+            .unique()
+        )
+        if hits.height:
+            keep = [
+                _lev1(qwords[int(q)], trm)
+                for q, trm in zip(hits["query_id"], hits["term"])
+            ]
+            hits = hits.filter(pl.Series(keep))
+        return hits.to_arrow().cast(
+            pa.schema([("query_id", pa.int64()), ("term", pa.string())])
+        )
+
+    return term_stats_ds(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+def fuzzy_search_table(
+    sf_dir: str, queries: list[str] | None = None
+) -> pa.Table:
+    """(query_id, docid): documents containing ANY term within edit
+    distance 1 of the query word — typo-tolerant boolean search (the
+    reference silently drops unknown terms; this recovers them). Matched
+    terms come from the distributed vocab scan; docids are the boolean-OR
+    postings union from the same index state BM25 serves."""
+    import ray
+
+    from web_search_engine_ray.pipelines.serving import documents_searcher
+
+    queries = queries if queries is not None else FUZZY_QUERIES
+    s = documents_searcher(sf_dir)
+    # empty blocks ride through with a degenerate schema (Ray skips the
+    # UDF on them): keep only real rows
+    parts = [
+        t
+        for t in ray.get(fuzzy_candidate_terms_ds(sf_dir, queries).to_arrow_refs())
+        if t.num_rows
+    ]
+    cand = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"query_id": pa.array([], pa.int64()), "term": pa.array([], pa.string())}
+        )
+    )
+    terms_by_q: dict[int, set[str]] = {}
+    for q, t in zip(cand["query_id"].to_pylist(), cand["term"].to_pylist()):
+        terms_by_q.setdefault(int(q), set()).add(t)
+    q_l, d_l = [], []
+    for qid in range(len(queries)):
+        docs = [
+            s.postings(t)[0]
+            for t in sorted(terms_by_q.get(qid, ()))
+        ]
+        docs = [d for d in docs if d.size]
+        if not docs:
+            continue
+        u = np.unique(np.concatenate(docs)).astype(np.int64)
+        q_l.append(np.full(u.size, qid, np.int64))
+        d_l.append(u)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+        }
+    )
