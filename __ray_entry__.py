@@ -506,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pruned": lambda sf: serving.bm25_pruned_topk_table(sf),
         # reciprocal-rank fusion of the BM25 and QL rankings (Cormack 2009)
         "rrf_fusion": lambda sf: serving.rrf_fusion_table(sf),
+        # Salton vector-space TF-IDF cosine — the third ranking family
+        "vsm_topk": lambda sf: serving.vsm_topk_table(sf),
         # typo-tolerant boolean search: ED<=1 term expansion (SymSpell
         # deletes as a distributed vocab scan) -> boolean-OR postings
         "fuzzy_search": lambda sf: __import__(
@@ -1000,6 +1002,39 @@ WHERE rn <= {TOPK}
         "bm25_taat": bm25_core
         + f"""
 SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # VSM: the query is a tiny document — identical tfidf formula,
+        # products and cosine quotient as the more_like_this twin; qtf
+        # counts duplicate query terms via the duplicate VALUES rows
+        "vsm_topk": f"""
+WITH {tok_cte},
+ {tf_cte},
+ {df_cte},
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+ w AS (SELECT tf.doc_id, tf.term,
+              tf.tf::DOUBLE * ln((SELECT n FROM stats) / df.df::DOUBLE) AS w
+       FROM tf JOIN df ON df.term = tf.term),
+ nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+ q(query_id, term) AS (VALUES {qv}),
+ qtf AS (SELECT query_id, term, count(*)::DOUBLE AS tfq
+         FROM q GROUP BY 1, 2),
+ qw AS (SELECT qtf.query_id, qtf.term,
+               qtf.tfq * ln((SELECT n FROM stats) / df.df::DOUBLE) AS w
+        FROM qtf JOIN df ON df.term = qtf.term),
+ qnorm AS (SELECT query_id, sqrt(sum(w * w)) AS nrm FROM qw GROUP BY 1),
+ dots AS (SELECT qw.query_id, w.doc_id AS docid, sum(qw.w * w.w) AS dot
+          FROM qw JOIN w ON w.term = qw.term
+          GROUP BY 1, 2),
+ scored AS (SELECT d.query_id, d.docid,
+                   d.dot / (qn.nrm * dn.nrm) AS score
+            FROM dots d
+            JOIN qnorm qn ON qn.query_id = d.query_id
+            JOIN nrm dn ON dn.doc_id = d.docid)
+SELECT query_id, docid, ROUND(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)

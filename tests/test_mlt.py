@@ -74,3 +74,46 @@ def test_mlt_gate_matches_oracle(ray_session, oracle_eq):
 
 
     oracle_eq(got, want)
+
+
+# -- vector-space ranking -------------------------------------------------------
+
+
+def test_vsm_hand_computed(ray_session, mlt_corpus):
+    import math
+
+    from web_search_engine_ray.pipelines.serving import (
+        _tfidf_norms,
+        vsm_topk_table,
+    )
+
+    got = vsm_topk_table(mlt_corpus, queries=["spark join"]).to_pandas()
+    # docs 0/1 are identical 'spark join order window' -> equal scores;
+    # doc3 shares nothing -> absent
+    assert set(got.docid) == {0, 1, 2}
+    s01 = got[got.docid.isin([0, 1])].score
+    assert s01.iloc[0] == s01.iloc[1]
+    # manual cosine for doc2 ('spark join merge'): both terms tf=1
+    norms = _tfidf_norms(mlt_corpus)
+    idf_s = math.log(5.0 / 3.0)  # spark in docs 0,1,2
+    idf_j = math.log(5.0 / 3.0)  # join in docs 0,1,2
+    qnorm = math.sqrt(idf_s**2 + idf_j**2)
+    dot = idf_s * idf_s + idf_j * idf_j
+    want = round(dot / (qnorm * norms[2]), 6)
+    assert float(got[got.docid == 2].score.iloc[0]) == want
+
+
+def test_vsm_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["vsm_topk"](sf),
+        con.sql(entrymod.oracle_sql()["vsm_topk"]).df(),
+    )

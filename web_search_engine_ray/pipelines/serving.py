@@ -978,3 +978,66 @@ def rrf_fusion_table(
             "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
         }
     )
+
+
+# -- vector-space (TF-IDF cosine) ranking --------------------------------------
+
+
+def vsm_topk_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    round_to: int = 6,
+) -> pa.Table:
+    """(query_id, docid, score): top-k documents by TF-IDF cosine between
+    the query vector and doc vectors (the classic Salton vector-space
+    model — the third ranking family next to BM25 and QL; tfidf = tf *
+    ln(N/df), the repo-wide formula). The query is just a tiny document:
+    w_tq = tf_q * idf with duplicate query terms counted, unknown terms
+    dropped on both sides; doc norms come from the shared
+    :func:`_tfidf_norms` pass, the query norm from the same formula.
+    Identical per-(term, doc) float products and the final
+    dot/(|q||d|) quotient as the SQL twin, ROUND({round_to})."""
+    import math
+
+    from web_search_engine_ray.functions.tokenize import query_terms
+
+    s = documents_searcher(sf_dir)
+    norms = _tfidf_norms(sf_dir)
+    n = float(s.N)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        counts: dict[str, int] = {}
+        for t in query_terms(q):
+            counts[t] = counts.get(t, 0) + 1
+        per_term = []
+        qnorm_sq = 0.0
+        for t in sorted(counts):
+            d_arr, f_arr = s.postings(t)
+            if not d_arr.size:
+                continue  # unknown terms drop (no idf exists)
+            idf = math.log(n / float(s.df(t)))
+            wq = float(counts[t]) * idf
+            qnorm_sq += wq * wq
+            per_term.append((d_arr.astype(np.int64), f_arr, wq, idf))
+        if not per_term or qnorm_sq == 0.0:
+            continue
+        qnorm = math.sqrt(qnorm_sq)
+        cand = np.unique(np.concatenate([d for d, _, _, _ in per_term]))
+        dots = np.zeros(cand.size, np.float64)
+        for d_arr, f_arr, wq, idf in per_term:
+            wd = f_arr.astype(np.float64) * idf
+            dots[np.searchsorted(cand, d_arr)] += wq * wd
+        scores = dots / (qnorm * norms[cand])
+        order = np.lexsort((cand, -scores))[:topk]
+        q_l.append(np.full(order.size, qid, np.int64))
+        d_l.append(cand[order])
+        s_l.append(np.round(scores[order], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
