@@ -112,3 +112,34 @@ def test_flask_ql_ranker(ray_session, ql_corpus, tmp_path_factory):
         ).status_code
         == 400
     )
+
+
+def test_flask_rrf_ranker(ray_session, ql_corpus, tmp_path_factory):
+    from web_search_engine_ray.pipelines.build import build_index
+    from web_search_engine_ray.pipelines.query import Searcher
+    from web_search_engine_ray.serve import create_app
+
+    idx = str(tmp_path_factory.mktemp("rrf_idx"))
+    build_index(ql_corpus + "/documents.parquet", idx, partition_rows=10, num_shards=2)
+    client = create_app(idx).test_client()
+    r = client.post("/search", json={"query": "spark join", "ranker": "rrf", "topk": 5})
+    assert r.status_code == 200
+    got = {h["docid"]: h["score"] for h in r.get_json()["results"]}
+    s = Searcher(idx)
+    fused = {}
+    for pool in (
+        s.bm25_topk("spark join", topk=50, mode="OR", tie_semantics="sorted"),
+        s.ql_topk("spark join", topk=50),
+    ):
+        for rank, (d, _sc) in enumerate(pool, start=1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (60 + rank)
+    assert got == {
+        d: sc
+        for d, sc in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    }
+    assert (
+        client.post(
+            "/search", json={"query": "x", "ranker": "rrf", "mode": "PHRASE"}
+        ).status_code
+        == 400
+    )

@@ -86,11 +86,13 @@ def create_app(
         if (mode == "PHRASE" or prox_boost) and pos_shards is None:
             return jsonify({"error": "No positional index loaded"}), 400
         ranker = (data.get("ranker") or "bm25").lower()
-        if ranker not in ("bm25", "ql"):
-            return jsonify({"error": "Invalid ranker. Must be bm25 or ql"}), 400
-        if ranker == "ql" and (mode == "PHRASE" or prox_boost):
+        if ranker not in ("bm25", "ql", "rrf"):
             return jsonify(
-                {"error": "ranker=ql applies to plain AND/OR ranking only"}
+                {"error": "Invalid ranker. Must be bm25, ql or rrf"}
+            ), 400
+        if ranker in ("ql", "rrf") and (mode == "PHRASE" or prox_boost):
+            return jsonify(
+                {"error": f"ranker={ranker} applies to plain AND/OR ranking only"}
             ), 400
         if mode == "PHRASE" and prox_boost:
             return jsonify(
@@ -125,6 +127,18 @@ def create_app(
             # candidate set — absent terms pay the background probability,
             # so AND/OR candidate modes don't apply here
             results = searcher.ql_topk(query, topk=topk)
+        elif ranker == "rrf":
+            # reciprocal-rank fusion of the BM25 and QL pools (Cormack
+            # 2009) — both pools from this searcher, still Ray-free
+            fused: dict[int, float] = {}
+            for pool in (
+                searcher.bm25_topk(query, topk=50, mode="OR",
+                                   tie_semantics="sorted"),
+                searcher.ql_topk(query, topk=50),
+            ):
+                for r_, (d_, _sc) in enumerate(pool, start=1):
+                    fused[int(d_)] = fused.get(int(d_), 0.0) + 1.0 / (60 + r_)
+            results = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
         else:
             results = searcher.bm25_topk(query, topk=topk, mode=mode)
         search_ms = (time.perf_counter() - t0) * 1000
