@@ -101,3 +101,60 @@ def test_doclengths_below_first_span(tmp_path):
     dls = DocLengths(str(d))
     got = dls.get_many(np.array([5, 100, 102, 99, 103], dtype=np.uint64))
     assert got.tolist() == [0, 7, 9, 0, 0]
+
+
+def test_round4_ops_on_tiny_degenerate_corpora(ray_session, tmp_path_factory):
+    """The session's operators over a 1-doc corpus and an all-empty-text
+    corpus: no crashes, sane empties (the driver may run any entry on any
+    table shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines import grep, spell
+    from web_search_engine_ray.pipelines.serving import (
+        bm25_pruned_topk_table,
+        more_like_this_table,
+        ql_topk_table,
+        rrf_fusion_table,
+        vsm_topk_table,
+    )
+
+    one = tmp_path_factory.mktemp("one_doc")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["spark join data"], pa.string()),
+            }
+        ),
+        str(one / "documents.parquet"),
+    )
+    empty_text = tmp_path_factory.mktemp("empty_text")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["", ""], pa.string()),
+            }
+        ),
+        str(empty_text / "documents.parquet"),
+    )
+    for d in (str(one), str(empty_text)):
+        for fn in (
+            ql_topk_table,
+            bm25_pruned_topk_table,
+            rrf_fusion_table,
+            vsm_topk_table,
+        ):
+            t = fn(d, queries=["spark join", "zzz"])
+            assert t.num_rows >= 0
+        t = more_like_this_table(d, source_docids=[0])
+        assert t.num_rows == 0  # no OTHER doc shares a term (or no terms)
+        assert grep.substring_search(d, "spark join").num_rows == (
+            1 if d == str(one) else 0
+        )
+        assert grep.regex_search(d, "spark [a-z]+ data").num_rows == (
+            1 if d == str(one) else 0
+        )
+        t = spell.fuzzy_search_table(d, queries=["spark", "zzzz"])
+        assert t.num_rows == (1 if d == str(one) else 0)
