@@ -568,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct-user counts per (day, type): distinct-combiner +
         # one exchange (the exact member next to the HLL sketch entry)
         "events_daily_users": lambda sf: events.daily_active_users_ds(sf),
+        # windowed count anomalies: z-score from EXACT integer sums (no
+        # streaming-stddev divergence), flag |z| >= 2
+        "events_anomalies": lambda sf: events.window_anomalies_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -739,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from web_search_engine_ray.pipelines import events as events_mod
     from web_search_engine_ray.pipelines import serving as serving_mod
     from web_search_engine_ray.pipelines import spell as spell_mod
 
@@ -1584,6 +1588,27 @@ FROM pred GROUP BY 1
 """,
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        # mean/var from explicit integer sums (identical float expression
+        # on identical exact inputs; NOT stddev_pop, which is Welford-style)
+        "events_anomalies": f"""
+WITH w AS (SELECT event_type,
+                  ((epoch_us(ts) // 1000000) // {3600}) * {3600} AS window_start,
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1, 2),
+ st AS (SELECT event_type,
+               count(*)::DOUBLE AS c,
+               sum(n_events)::DOUBLE AS s1,
+               sum(n_events * n_events)::DOUBLE AS s2
+        FROM w GROUP BY 1),
+ zed AS (SELECT w.event_type, w.window_start, w.n_events,
+                CASE WHEN sqrt((st.s2 - st.s1 * st.s1 / st.c) / st.c) > 0
+                THEN ROUND((w.n_events::DOUBLE - st.s1 / st.c)
+                     / sqrt((st.s2 - st.s1 * st.s1 / st.c) / st.c), 4)
+                ELSE 0.0 END AS zscore
+         FROM w JOIN st ON st.event_type = w.event_type)
+SELECT event_type, window_start, n_events, zscore
+FROM zed WHERE abs(zscore) >= {events_mod.ANOMALY_Z}
+""",
         "events_daily_users": """
 SELECT epoch_us(ts) // 86400000000 AS day, event_type,
        count(DISTINCT user_id)::BIGINT AS n_users,

@@ -384,3 +384,53 @@ def test_daily_active_users_matches_oracle(ray_session, oracle_eq):
 
 
     oracle_eq(got, want)
+
+
+def test_window_anomalies_planted(ray_session, tmp_path_factory):
+    """Four quiet hourly windows + one 5x spike: only the spike flags."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import window_anomalies_ds
+
+    d = tmp_path_factory.mktemp("anom_events")
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(5):
+        n = 10 if h == 4 else 2  # spike in the last hour
+        for i in range(n):
+            rows.append((t0 + timedelta(hours=h, seconds=i), "a"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = window_anomalies_ds(str(d)).to_pandas()
+    assert len(got) == 1 and got.iloc[0].n_events == 10
+    assert got.iloc[0].zscore == 2.0  # (10-3.6)/3.2 exactly
+
+
+def test_window_anomalies_match_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["events_anomalies"](sf),
+        con.sql(entrymod.oracle_sql()["events_anomalies"]).df(),
+    )

@@ -731,3 +731,96 @@ def daily_active_users_ds(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), route, P, merge,
         auto_shrink=True,
     )
+
+
+ANOMALY_Z = 2.0
+
+
+def window_anomalies_ds(sf_dir: str, window_s: int = WINDOW_S, z: float = ANOMALY_Z):
+    """(event_type, window_start, n_events, zscore): hourly windows whose
+    event count deviates >= ``z`` population-z-scores from the type's mean —
+    the monitoring primitive over the same windowed counts as
+    ``events_window``. Mean/variance are computed from EXACT integer sums
+    (sum and sum-of-squares of int counts), so both sides evaluate the same
+    float expression on identical inputs — no streaming-stddev divergence
+    (DuckDB's stddev_pop aggregates Welford-style; the twin uses the
+    explicit sum arithmetic instead). Window counts are distributed
+    partials (the ``window_agg_ds`` machinery); the per-type stats relation
+    is windows x types — output-scale — reduced by one tiny exchange."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_us(batch) // 1_000_000
+        ws = (epoch // window_s) * window_s
+        d = (
+            pl.DataFrame(
+                {
+                    "event_type": pl.from_arrow(
+                        batch["event_type"].combine_chunks()
+                    ),
+                    "window_start": ws,
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .len(name="n_p")
+        )
+        return d.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("window_start", pa.int64()),
+                    ("n_p", pa.uint32()),
+                ]
+            )
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["event_type"]).hash(seed=9).to_numpy() % np.uint64(N)
+        ).astype(np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "window_start"])
+            .agg(pl.col("n_p").cast(pl.Int64).sum().alias("n_events"))
+        )
+        et = g["event_type"].to_numpy()
+        ws = g["window_start"].to_numpy().astype(np.int64)
+        n = g["n_events"].to_numpy().astype(np.int64)
+        order = np.lexsort((ws, et))
+        et, ws, n = et[order], ws[order], n[order]
+        new = np.ones(et.size, dtype=bool)
+        if et.size:
+            new[1:] = et[1:] != et[:-1]
+        seg = np.cumsum(new) - 1
+        n_grp = np.bincount(seg)
+        s1 = np.bincount(seg, weights=n.astype(np.float64))
+        s2 = np.bincount(seg, weights=(n * n).astype(np.float64))
+        c = n_grp.astype(np.float64)
+        mean = s1 / c
+        var = (s2 - s1 * s1 / c) / c
+        sd = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zs = np.where(sd[seg] > 0, (n - mean[seg]) / sd[seg], 0.0)
+        zs = np.round(zs, 4)
+        keep = np.abs(zs) >= z
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep], pa.string()),
+                "window_start": pa.array(ws[keep], pa.int64()),
+                "n_events": pa.array(n[keep], pa.int64()),
+                "zscore": pa.array(zs[keep], pa.float64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+    return exchange_map(
+        ds.map_batches(partial, batch_format="pyarrow"), route, N, flag,
+        auto_shrink=True,
+    )
