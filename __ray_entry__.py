@@ -571,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed count anomalies: z-score from EXACT integer sums (no
         # streaming-stddev divergence), flag |z| >= 2
         "events_anomalies": lambda sf: events.window_anomalies_ds(sf),
+        # retention cohorts: first-active-day cohort x day-offset counts
+        "events_retention": lambda sf: events.retention_cohorts_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1588,6 +1590,15 @@ FROM pred GROUP BY 1
 """,
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        "events_retention": """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+ c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+SELECT c.cohort AS cohort_day, (d.day - c.cohort)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM d JOIN c ON c.user_id = d.user_id
+GROUP BY 1, 2
+""",
         # mean/var from explicit integer sums (identical float expression
         # on identical exact inputs; NOT stddev_pop, which is Welford-style)
         "events_anomalies": f"""

@@ -434,3 +434,68 @@ def test_window_anomalies_match_oracle(ray_session, oracle_eq):
         entrymod.queries()["events_anomalies"](sf),
         con.sql(entrymod.oracle_sql()["events_anomalies"]).df(),
     )
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path_factory):
+    """Two cohorts: user1/user2 start day0 (user1 returns day1 and day3,
+    user2 never), user3 starts day1 and returns day2."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import retention_cohorts_ds
+
+    d = tmp_path_factory.mktemp("ret_events")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 0), (1, 0),  # user1 twice on day0: counts once
+        (1, 1), (1, 3),
+        (2, 0),
+        (3, 1), (3, 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + timedelta(days=r[1], seconds=i) for i, r in enumerate(rows)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = (
+        retention_cohorts_ds(str(d))
+        .to_pandas()
+        .set_index(["cohort_day", "day_offset"])["n_users"]
+        .sort_index()
+    )
+    d0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    assert got.loc[(d0, 0)] == 2      # users 1+2 on their first day
+    assert got.loc[(d0, 1)] == 1      # only user1 returned next day
+    assert got.loc[(d0, 3)] == 1
+    assert got.loc[(d0 + 1, 0)] == 1  # user3's cohort
+    assert got.loc[(d0 + 1, 1)] == 1
+    assert (d0, 2) not in got.index
+
+
+def test_retention_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["events_retention"](sf),
+        con.sql(entrymod.oracle_sql()["events_retention"]).df(),
+    )

@@ -824,3 +824,82 @@ def window_anomalies_ds(sf_dir: str, window_s: int = WINDOW_S, z: float = ANOMAL
         ds.map_batches(partial, batch_format="pyarrow"), route, N, flag,
         auto_shrink=True,
     )
+
+
+def retention_cohorts_ds(sf_dir: str):
+    """(cohort_day, day_offset, n_users): classic retention analysis — a
+    user's cohort is their FIRST active UTC day; each (cohort, offset) cell
+    counts distinct cohort users active ``offset`` days later. One hash
+    exchange on user_id (all of a user's activity co-locates, so cohort =
+    the partition-local min day and the per-user distinct offsets are
+    exact), then per-user-unique (cohort, offset) rows reduce through one
+    tiny (cohort, offset) exchange — counts need no DISTINCT because each
+    user emits each offset once."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+    US_DAY = 86_400_000_000
+
+    def per_user(t: pa.Table) -> pa.Table:
+        user = _np(t["user_id"])
+        day = (_epoch_us(t) // US_DAY).astype(np.int64)
+        # distinct (user, day) on the 2-column stack — a packed composite
+        # key would cap user_id bits, and ids can be 64-bit hashes at scale
+        uniq = np.unique(np.stack([user, day], axis=1), axis=0)
+        user, day = uniq[:, 0], uniq[:, 1]
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        new = np.ones(user.size, dtype=bool)
+        if user.size:
+            new[1:] = user[1:] != user[:-1]
+        seg = np.cumsum(new) - 1
+        cohort = day[np.flatnonzero(new)][seg]
+        d = (
+            pl.DataFrame({"cohort_day": cohort, "day_offset": day - cohort})
+            .group_by(["cohort_day", "day_offset"])
+            .len(name="n_p")
+        )
+        return d.to_arrow().cast(
+            pa.schema(
+                [
+                    ("cohort_day", pa.int64()),
+                    ("day_offset", pa.int64()),
+                    ("n_p", pa.uint32()),
+                ]
+            )
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            (
+                t["cohort_day"].combine_chunks().to_numpy(zero_copy_only=False)
+                * 31
+                + t["day_offset"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            % P
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["cohort_day", "day_offset"])
+            .agg(pl.col("n_p").cast(pl.Int64).sum().alias("n_users"))
+        )
+        return g.to_arrow().cast(
+            pa.schema(
+                [
+                    ("cohort_day", pa.int64()),
+                    ("day_offset", pa.int64()),
+                    ("n_users", pa.int64()),
+                ]
+            )
+        )
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+    users = exchange_map(
+        ds, lambda t: _np(t["user_id"]) % P, P, per_user, auto_shrink=True
+    )
+    return exchange_map(users, route, P, merge, auto_shrink=True)
