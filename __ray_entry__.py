@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalies": lambda sf: events.window_anomalies_ds(sf),
         # retention cohorts: first-active-day cohort x day-offset counts
         "events_retention": lambda sf: events.retention_cohorts_ds(sf),
+        # ordered in-session funnel over the sessionize boundaries
+        "events_funnel": lambda sf: events.session_funnel_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1590,6 +1592,35 @@ FROM pred GROUP BY 1
 """,
         # field parse: json_extract <-> polars json_path_match; rows whose
         # props lack $.k drop on both sides
+        # per-session ranks (epoch_us, event_id), then stage k = first
+        # stage-k event strictly after stage k-1's rank — identical order
+        "events_funnel": f"""
+WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS epus,
+                  epoch_us(ts) // 1000000 AS ep,
+                  lag(epoch_us(ts) // 1000000) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+ sx AS (SELECT *, sum(CASE WHEN prev IS NULL OR ep - prev > {1800}
+                      THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ep, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        FROM o),
+ r AS (SELECT user_id, session_idx, event_type,
+              row_number() OVER (PARTITION BY user_id, session_idx
+                                 ORDER BY epus, event_id) AS rn
+       FROM sx),
+ a AS (SELECT user_id, session_idx, min(rn) AS ra FROM r
+       WHERE event_type = 'signup' GROUP BY 1, 2),
+ b AS (SELECT r.user_id, r.session_idx, min(r.rn) AS rb
+       FROM r JOIN a ON a.user_id = r.user_id AND a.session_idx = r.session_idx
+       WHERE r.event_type = 'view' AND r.rn > a.ra GROUP BY 1, 2),
+ c AS (SELECT r.user_id, r.session_idx, min(r.rn) AS rc
+       FROM r JOIN b ON b.user_id = r.user_id AND b.session_idx = r.session_idx
+       WHERE r.event_type = 'purchase' AND r.rn > b.rb GROUP BY 1, 2)
+SELECT 1::BIGINT AS stage, (SELECT count(*) FROM a)::BIGINT AS n_sessions
+UNION ALL SELECT 2, (SELECT count(*) FROM b)
+UNION ALL SELECT 3, (SELECT count(*) FROM c)
+""",
         "events_retention": """
 WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
            FROM events),

@@ -499,3 +499,68 @@ def test_retention_matches_oracle(ray_session, oracle_eq):
         entrymod.queries()["events_retention"](sf),
         con.sql(entrymod.oracle_sql()["events_retention"]).df(),
     )
+
+
+def test_session_funnel_planted(ray_session, tmp_path_factory):
+    """Hand-built sessions: one completes the full ordered funnel, one has
+    the stages out of order (view before signup), one breaks across the
+    session gap."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import session_funnel_ds
+
+    d = tmp_path_factory.mktemp("funnel_events")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user1 session: signup -> view -> purchase (completes all 3)
+        (1, 0, "signup"), (1, 10, "view"), (1, 20, "purchase"),
+        # user2 session: view BEFORE signup -> only stage 1 counts
+        (2, 0, "view"), (2, 10, "signup"),
+        # user3: signup, then the view lands after the 1800 s gap (new
+        # session without a signup) -> stage 1 only
+        (3, 0, "signup"), (3, 5000, "view"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + timedelta(seconds=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = (
+        session_funnel_ds(str(d))
+        .to_pandas()
+        .set_index("stage")["n_sessions"]
+        .sort_index()
+    )
+    assert got.loc[1] == 3  # three sessions contain a signup
+    assert got.loc[2] == 1  # only user1's has a view AFTER it
+    assert got.loc[3] == 1
+
+
+def test_session_funnel_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["events_funnel"](sf),
+        con.sql(entrymod.oracle_sql()["events_funnel"]).df(),
+    )

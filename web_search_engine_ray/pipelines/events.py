@@ -903,3 +903,115 @@ def retention_cohorts_ds(sf_dir: str):
         ds, lambda t: _np(t["user_id"]) % P, P, per_user, auto_shrink=True
     )
     return exchange_map(users, route, P, merge, auto_shrink=True)
+
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def session_funnel_ds(
+    sf_dir: str,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    gap_s: int = SESSION_GAP_S,
+):
+    """(stage, n_sessions): sessions completing the first ``k`` funnel
+    stages IN ORDER within one session (stage k counts sessions where
+    stages[0] happens, then stages[1] strictly after it, ...) — the
+    product-analytics funnel over the same session boundaries as
+    ``sessionize_ds``. One user_id exchange; inside a partition everything
+    is segment arithmetic: per-session event ranks, then per stage a
+    SEGMENTED first-occurrence-after-threshold pass (bincount offsets +
+    one searchsorted over the stage's masked rank array — no per-session
+    loop). Ties break by event_id, the twin's rank order."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+    n_stages = len(stages)
+
+    def funnel_part(t: pa.Table) -> pa.Table:
+        user = _np(t["user_id"])
+        epus = _epoch_us(t)
+        ep = epus // 1_000_000
+        eid = _np(t["event_id"])
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, epus, user))
+        user, epus, ep, eid, et = (
+            user[order], epus[order], ep[order], eid[order], et[order]
+        )
+        n = user.size
+        if n == 0:
+            return pa.table(
+                {
+                    "stage": pa.array(
+                        np.arange(1, n_stages + 1, dtype=np.int64)
+                    ),
+                    "n_p": pa.array(np.zeros(n_stages, np.int64)),
+                }
+            )
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (user[1:] != user[:-1]) | ((ep[1:] - ep[:-1]) > gap_s)
+        seg = np.cumsum(brk) - 1
+        nseg = int(seg[-1]) + 1
+        starts = np.flatnonzero(brk)
+        rn = np.arange(n, dtype=np.int64) - starts[seg] + 1  # 1-based rank
+        INF = np.iinfo(np.int64).max
+        thresh = np.zeros(nseg, np.int64)  # stage 1: any rank > 0
+        counts = []
+        for s_name in stages:
+            m = et == s_name
+            seg_m = seg[m]
+            rn_m = rn[m]  # sorted within each segment by construction
+            # first masked rank strictly greater than the threshold, per
+            # segment, in ONE composite-key searchsorted (seg<<32 | rank is
+            # globally ascending because rows sort by (seg, rank)) — no
+            # per-session Python loop
+            alive = thresh < INF
+            first = np.full(nseg, INF, np.int64)
+            segs_alive = np.flatnonzero(alive)
+            if segs_alive.size and rn_m.size:
+                k = (seg_m.astype(np.uint64) << np.uint64(32)) | rn_m.astype(
+                    np.uint64
+                )
+                q = (segs_alive.astype(np.uint64) << np.uint64(32)) | thresh[
+                    segs_alive
+                ].astype(np.uint64)
+                idx = np.searchsorted(k, q, side="right")
+                ok = idx < k.size
+                same_seg = np.zeros(segs_alive.size, dtype=bool)
+                same_seg[ok] = (k[idx[ok]] >> np.uint64(32)) == segs_alive[
+                    ok
+                ].astype(np.uint64)
+                hit = segs_alive[same_seg]
+                first[hit] = rn_m[idx[same_seg]]
+            counts.append(int((first < INF).sum()))
+            thresh = first
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(1, n_stages + 1, dtype=np.int64)),
+                "n_p": pa.array(np.array(counts, np.int64)),
+            }
+        )
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            t["stage"].combine_chunks().to_numpy(zero_copy_only=False) % 4
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (
+            pl.from_arrow(t)
+            .group_by("stage")
+            .agg(pl.col("n_p").sum().alias("n_sessions"))
+        )
+        return g.to_arrow().cast(
+            pa.schema([("stage", pa.int64()), ("n_sessions", pa.int64())])
+        )
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    partials = exchange_map(
+        ds, lambda t: _np(t["user_id"]) % P, P, funnel_part, auto_shrink=True
+    )
+    return exchange_map(partials, route, 4, merge, auto_shrink=True)
