@@ -197,6 +197,31 @@ HAVING min(abs(pa_.p - pb_.p)) <= any_value(pa_.w)
 """
 
 
+def _ordered_window_sql() -> str:
+    """Directional twin: min forward gap (pb.p - pa.p) where b follows a
+    within the query's window."""
+    from web_search_engine_ray.pipelines.phrase import ORDERED_QUERIES
+
+    pv = ", ".join(
+        f"({i}, '{a}', '{b}', {w})" for i, (a, b, w) in enumerate(ORDERED_QUERIES)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ q(query_id, a, b, w) AS (VALUES {pv}),
+ tokpos AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS p
+            FROM t),
+ pa_ AS (SELECT q.query_id, tp.doc_id, tp.p, q.w
+         FROM tokpos tp JOIN q ON tp.tok = q.a),
+ pb_ AS (SELECT q.query_id, tp.doc_id, tp.p
+         FROM tokpos tp JOIN q ON tp.tok = q.b)
+SELECT pa_.query_id AS query_id, pa_.doc_id AS docid,
+       min(pb_.p - pa_.p)::BIGINT AS min_fgap
+FROM pa_ JOIN pb_ ON pb_.query_id = pa_.query_id AND pb_.doc_id = pa_.doc_id
+WHERE pb_.p > pa_.p AND pb_.p <= pa_.p + pa_.w
+GROUP BY pa_.query_id, pa_.doc_id
+"""
+
+
 def _pagerank_sql(n_iter: int = 20, d: float = 0.85, round_to: int = 8) -> str:
     """Event-type PageRank twin: lead()-window transition edges, then
     ``n_iter`` UNROLLED iteration CTEs (the kmeans Lloyd-replay trick) under
@@ -582,6 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, lo=0.0, hi=500.0, bins=20
         ),
         "proximity_search": lambda sf: phrase.proximity_search_table(sf),
+        # ordered window (#od:k): b strictly after a within k tokens
+        "ordered_window_search": lambda sf: phrase.ordered_window_table(sf),
         # minimal covering window per (query, matching doc) — the
         # best-passage / MinDist proximity primitive
         "min_window": lambda sf: phrase.min_window_table(sf),
@@ -1765,6 +1792,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= {serving_mod.MLT_TOPK}
 """,
         "proximity_search": _proximity_sql(),
+        "ordered_window_search": _ordered_window_sql(),
         "min_window": _min_window_sql(),
         # proximity-boosted BM25: the bm25 scored CTE LEFT JOINed to the
         # min-window legs under the engine's exact boost expression

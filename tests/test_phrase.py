@@ -294,3 +294,45 @@ def test_flask_proximity_boost(ray_session, tmp_path_factory):
         json={"query": "spark join", "mode": "PHRASE", "proximity_boost": True},
     )
     assert r.status_code == 400
+
+
+def test_ordered_window_directional(ray_session, tmp_path_factory):
+    """#od:k is DIRECTIONAL: 'york ... new' must not match ('new','york')."""
+    from web_search_engine_ray.pipelines.phrase import ordered_window_table
+
+    d = tmp_path_factory.mktemp("od_docs")
+    texts = [
+        "new shiny york",      # forward gap 2 <= 3 -> match
+        "york then new",       # reversed only -> NO match
+        "new york",            # gap 1
+        "new a b c d york",    # gap 5 > 3 -> no
+        "york new brave york", # reversed AND forward (new->york gap 2)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = ordered_window_table(str(d), queries=[("new", "york", 3)])
+    rows = dict(zip(got["docid"].to_pylist(), got["min_fgap"].to_pylist()))
+    assert rows == {0: 2, 2: 1, 4: 2}
+
+
+def test_ordered_window_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["ordered_window_search"](sf),
+        con.sql(entrymod.oracle_sql()["ordered_window_search"]).df(),
+    )

@@ -721,3 +721,56 @@ def proximity_boosted_hits(
         comb[ok] += np.log(1.0 + np.exp(-wl[pos[ok]].astype(np.float64)))
     order = np.lexsort((docs, -comb))[:topk]
     return [(int(docs[i]), float(comb[i])) for i in order]
+
+
+# -- ordered window (#od:k) -----------------------------------------------------
+
+ORDERED_QUERIES: list[tuple[str, str, int]] = PROXIMITY_QUERIES
+
+
+def ordered_window_table(
+    sf_dir: str,
+    queries: list[tuple[str, str, int]] | None = None,
+    n_shards: int = N_SHARDS,
+) -> pa.Table:
+    """(query_id, docid, min_fgap): documents where term b follows term a
+    IN ORDER within ``window`` tokens (Indri's ``#od:k`` operator — the
+    directional sibling of :func:`proximity_search_table`'s unordered
+    window; "new york" within 3 must not match "york ... new"). Same one-
+    searchsorted composite-key pass, forward neighbour only: for every a
+    occurrence, the first b strictly after it in the same document."""
+    queries = queries if queries is not None else ORDERED_QUERIES
+    idx = _cached_positional_index(sf_dir, n_shards)
+    q_l, d_l, g_l = [], [], []
+    for qid, (wa, wb, window) in enumerate(queries):
+        tp = read_term_positions(idx, [wa, wb], n_shards)
+        universe = _doc_universe([tp[wa], tp[wb]])
+        a, b = _composite(tp[wa], universe), _composite(tp[wb], universe)
+        if a.size == 0 or b.size == 0:
+            continue
+        # first b-position STRICTLY after each a (side='right' skips any
+        # equal composite; distinct terms can't share one anyway)
+        j = np.searchsorted(b, a, side="right")
+        gaps = np.full(a.size, np.iinfo(np.int64).max, np.int64)
+        adoc = a >> _POS_BITS
+        ok_n = (j < b.size) & (
+            (b[np.minimum(j, b.size - 1)] >> _POS_BITS) == adoc
+        )
+        gaps[ok_n] = (b[j[ok_n]] - a[ok_n]).astype(np.int64)
+        keep = gaps <= window
+        if not keep.any():
+            continue
+        docs = universe[(a[keep] >> _POS_BITS).astype(np.int64)]
+        uniq, inv = np.unique(docs, return_inverse=True)
+        best = np.full(uniq.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, gaps[keep])
+        q_l.append(np.full(uniq.size, qid, np.int64))
+        d_l.append(uniq)
+        g_l.append(best)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "min_fgap": pa.array(np.concatenate(g_l) if g_l else [], pa.int64()),
+        }
+    )
