@@ -759,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": analysis.quality_ds,
         "lm_score": analysis.lm_score_ds,
         "langid": analysis.langid_ds,
+        # langid confusion matrix vs the ground-truth lang column
+        "langid_confusion": analysis.langid_confusion_ds,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
         "repetition_stats": analysis.repetition_stats_ds,
         "collocations": lambda sf: analysis.collocations_ds(sf, min_count=5, k=50),
@@ -1875,6 +1877,23 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+""",
+        "langid_confusion": f"""
+WITH t AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),
+ h AS (SELECT doc_id, lang,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour'))) AS h_fr
+  FROM t),
+ p AS (SELECT lang,
+  CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'unknown'
+       WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+  FROM h)
+SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
 """,
         "langid": f"""
 WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),

@@ -156,3 +156,21 @@ def test_distinctive_terms_matches_oracle(ray_session, oracle_eq):
 
 
     oracle_eq(got, want)
+
+
+def test_langid_confusion_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = entrymod.queries()["langid_confusion"](sf).to_pandas()
+    want = con.sql(entrymod.oracle_sql()["langid_confusion"]).df()
+    oracle_eq(got, want)
+    # sanity: totals match the corpus size, truths are the 5 known langs
+    assert got.n.sum() == 500
+    assert set(got.lang) <= {"en", "de", "es", "fr", "zh"}

@@ -681,3 +681,66 @@ def distinctive_terms_ds(sf_dir: str, k: int = 10):
         _docs_path(sf_dir), columns=["source", "text"]
     ).map_batches(partial, batch_format="pyarrow")
     return exchange_map(ds, route, np_, merge, auto_shrink=True)
+
+
+class LangIdConfusionStage:
+    """Actor-pool stage: the langid votes joined to the table's ground-truth
+    ``lang`` column, reduced to per-batch (lang, lang_pred) counts."""
+
+    def __init__(self):
+        self._stage = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = self._stage(batch)["lang_pred"]
+        d = (
+            pl.DataFrame(
+                {
+                    "lang": pl.from_arrow(batch["lang"].combine_chunks()),
+                    "lang_pred": pl.from_arrow(preds),
+                }
+            )
+            .group_by(["lang", "lang_pred"])
+            .len(name="n_p")
+        )
+        return d.to_arrow().cast(
+            pa.schema(
+                [("lang", pa.string()), ("lang_pred", pa.string()), ("n_p", pa.uint32())]
+            )
+        )
+
+
+def langid_confusion_ds(sf_dir: str, concurrency: int = 2):
+    """(lang, lang_pred, n): the language-ID heuristic's confusion matrix
+    against the table's ground-truth ``lang`` column — the eval every
+    classifier stage ships with. Per-batch counts from the actor-pool
+    stage, one tiny hash exchange on the (lang, pred) pair."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    ).map_batches(LangIdConfusionStage, batch_format="pyarrow", concurrency=concurrency)
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t)
+            .select(k=pl.col("lang") + "|" + pl.col("lang_pred"))["k"]
+            .hash(seed=17)
+            .to_numpy()
+            % np.uint64(8)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["lang", "lang_pred"])
+            .agg(pl.col("n_p").cast(pl.Int64).sum().alias("n"))
+        )
+        return g.to_arrow().cast(
+            pa.schema(
+                [("lang", pa.string()), ("lang_pred", pa.string()), ("n", pa.int64())]
+            )
+        )
+
+    return exchange_map(ds, route, 8, merge, auto_shrink=True)
