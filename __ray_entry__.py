@@ -694,6 +694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": lambda sf: relational.local_supplier_volume_ds(sf),
         # Q6 shape: filtered scan -> integer-cent partials -> tiny reduce
         "tpch_q6": lambda sf: relational.revenue_change_ds(sf),
+        # corpus x corpus enrichment join on the docid == vec_id contract
+        "label_doc_stats": lambda sf: relational.label_doc_stats_ds(sf),
         # ---- dedup family + composed curation ----
         "dedup_exact": dedup.exact_dedup_ds,
         "curated_docs": curate.curated_docs_ds,
@@ -1554,6 +1556,12 @@ JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+        "label_doc_stats": f"""
+SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n_docs,
+       ROUND(sum(len({TOK}))::DOUBLE / count(*)::DOUBLE, 6) AS avg_tokens
+FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
 GROUP BY 1
 """,
         "tpch_q6": """

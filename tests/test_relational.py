@@ -226,3 +226,20 @@ def test_q5_q6_match_oracle(ray_session, oracle_eq):
 
 
         oracle_eq(got, want)
+
+
+def test_label_doc_stats_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    oracle_eq(
+        entrymod.queries()["label_doc_stats"](sf),
+        con.sql(entrymod.oracle_sql()["label_doc_stats"]).df(),
+    )

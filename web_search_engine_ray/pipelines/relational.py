@@ -563,3 +563,101 @@ def revenue_change_ds(
             "n_rows": pa.array([n], pa.int64()),
         }
     )
+
+
+def label_doc_stats_ds(sf_dir: str):
+    """(label, n_docs, avg_tokens): per embedding-cluster label, how many
+    documents and their mean token count — the corpus x corpus ENRICHMENT
+    join over the repo's docid == vec_id contract (the same identity
+    hybrid_rerank and the RAG store rely on), done the scale-honest way:
+    BOTH tables are corpus-scale, so neither side broadcasts — a
+    kind-tagged hash exchange on docid joins them per partition, and only
+    dimension-sized (label, n, sum_tokens) partials leave it."""
+    import os
+
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+
+    def emb_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+                "docid": t["vec_id"].cast(pa.int64()),
+                "label": t["label"].cast(pa.int64()),
+                "toks": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        toks = token_lists(t["text"]).list.len().fill_null(0).to_numpy()
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                "docid": t["doc_id"].cast(pa.int64()),
+                "label": pa.array(np.zeros(t.num_rows, np.int64)),
+                "toks": pa.array(toks.astype(np.int64)),
+            }
+        )
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    ).map_batches(emb_rows, batch_format="pyarrow")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(doc_rows, batch_format="pyarrow")
+
+    def join(t: pa.Table) -> pa.Table:
+        tt = pl.from_arrow(t)
+        e = tt.filter(pl.col("kind") == 0).select("docid", "label")
+        d = tt.filter(pl.col("kind") == 1).select("docid", "toks")
+        j = e.join(d, on="docid", how="inner")
+        g = j.group_by("label").agg(
+            n=pl.len().cast(pl.Int64), s=pl.col("toks").sum()
+        )
+        return g.to_arrow().cast(
+            pa.schema([("label", pa.int64()), ("n", pa.int64()), ("s", pa.int64())])
+        )
+
+    partials = exchange_map(
+        emb.union(docs),
+        lambda t: (
+            t["docid"].combine_chunks().to_numpy(zero_copy_only=False) % np_
+        ).astype(np.int64),
+        np_,
+        join,
+        auto_shrink=True,
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("label")
+            .agg(pl.col("n").sum(), pl.col("s").sum())
+        )
+        lab = g["label"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        s = g["s"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(lab),
+                "n_docs": pa.array(n),
+                "avg_tokens": pa.array(
+                    np.round(s.astype(np.float64) / n.astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return exchange_map(
+        partials,
+        lambda t: (
+            t["label"].combine_chunks().to_numpy(zero_copy_only=False) % 4
+        ).astype(np.int64),
+        4,
+        merge,
+        auto_shrink=True,
+    )
