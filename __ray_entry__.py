@@ -222,6 +222,45 @@ GROUP BY pa_.query_id, pa_.doc_id
 """
 
 
+def _paths_sql(source: str = "signup", n_iter: int = 8, round_to: int = 8) -> str:
+    """Bellman-Ford twin: unrolled MATERIALIZED min-relaxation CTEs over
+    the lead()-window transition edges; cost = -ln(w/outw). min is exact
+    in floats, so the sides agree bit-for-bit at equal iteration counts."""
+    INF = "1e308"
+    legs = []
+    prev = "d0"
+    for i in range(1, n_iter + 1):
+        legs.append(f"""
+ d{i} AS MATERIALIZED (
+   SELECT nd.node,
+          least(coalesce(p.v, {INF}),
+                coalesce(c.v, {INF})) AS v
+   FROM nodes nd
+   LEFT JOIN {prev} p ON p.node = nd.node
+   LEFT JOIN (SELECT e.dst AS node, min(pp.v + (-ln(e.w / o.ow))) AS v
+              FROM edges e
+              JOIN outw o ON o.src = e.src
+              JOIN {prev} pp ON pp.node = e.src AND pp.v < {INF}
+              GROUP BY e.dst) c ON c.node = nd.node)""")
+        prev = f"d{i}"
+    chain = ",".join(legs)
+    return f"""
+WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+ pairs AS (SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS dst
+           FROM events),
+ edges AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE AS w
+           FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+ outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+ d0 AS MATERIALIZED (SELECT node,
+        CASE WHEN node = '{source}' THEN 0.0 ELSE {INF} END AS v
+      FROM nodes),{chain}
+SELECT node AS event_type, ROUND(v, {round_to}) AS cost
+FROM {prev} WHERE v < 1e307
+"""
+
+
 def _pagerank_sql(n_iter: int = 20, d: float = 0.85, round_to: int = 8) -> str:
     """Event-type PageRank twin: lead()-window transition edges, then
     ``n_iter`` UNROLLED iteration CTEs (the kmeans Lloyd-replay trick) under
@@ -533,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": lambda sf: serving.rrf_fusion_table(sf),
         # Salton vector-space TF-IDF cosine — the third ranking family
         "vsm_topk": lambda sf: serving.vsm_topk_table(sf),
+        # per-source attribute boost over the BM25 scored set
+        "bm25_source_boost": lambda sf: serving.bm25_source_boost_table(sf),
         # typo-tolerant boolean search: ED<=1 term expansion (SymSpell
         # deletes as a distributed vocab scan) -> boolean-OR postings
         "fuzzy_search": lambda sf: __import__(
@@ -580,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": lambda sf: analysis.distinctive_terms_ds(sf, k=10),
         # HITS hubs/authorities over the same transition graph (Kleinberg)
         "hits": lambda sf: graph.event_type_hits_table(sf),
+        # Bellman-Ford most-probable transition paths from 'signup'
+        "event_paths": lambda sf: graph.event_type_paths_table(sf),
         # nearest-centroid classification self-eval over embeddings.label
         "centroid_classify": lambda sf: clustering.centroid_classify_table(sf),
         # vectorized JSON field extraction + aggregate over events.props
@@ -1044,6 +1087,19 @@ SELECT query_id, docid, ROUND(score, 4) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
+WHERE rn <= {TOPK}
+""",
+        # deterministic attribute weight (1 + (len(source)%3)*0.25), so
+        # the twin needs no side table; rank raw, ROUND(4) both sides
+        "bm25_source_boost": bm25_core
+        + f""",
+ resc AS (SELECT s.query_id, s.docid,
+                 s.score * (1.0 + (length(d.source) % 3) * 0.25) AS score
+          FROM scored s JOIN documents d ON d.doc_id = s.docid)
+SELECT query_id, docid, ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, docid) AS rn
+      FROM resc)
 WHERE rn <= {TOPK}
 """,
         # VSM: the query is a tiny document — identical tfidf formula,
@@ -1604,6 +1660,7 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "regex_search": _grep_sql("regex"),
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "event_paths": _paths_sql(),
         # centroid and squared distance ROUNDED before the argmin on both
         # sides (the kmeans Lloyd-replay trick); ties to the smallest label
         "centroid_classify": """

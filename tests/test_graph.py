@@ -323,3 +323,62 @@ def test_distributed_path_forced(ray_session, monkeypatch):
     assert np.allclose(local_r, dist_r, atol=1e-12)
     assert np.allclose(local_h, dist_h, atol=1e-12)
     assert np.allclose(local_a, dist_a, atol=1e-12)
+
+
+def test_shortest_paths_planted(ray_session):
+    """Hand-checkable Bellman-Ford: the cheaper 2-hop beats the pricey
+    direct edge; unreachable nodes stay infinite; partial edge rows must
+    aggregate before the nonlinear cost (regression for the -ln(w/outw)
+    partials bug)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from web_search_engine_ray.pipelines.graph import shortest_path_costs_ds
+
+    # node0 -> node1 (w 1), node0 -> node2 (w 9), node1 -> node2 (w 1);
+    # probabilities: 0->1: 0.1, 0->2: 0.9, 1->2: 1.0
+    edges = [(0, 1, 1.0), (0, 2, 9.0), (1, 2, 1.0)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.float64()),
+        }
+    )
+    dist = shortest_path_costs_ds(ray.data.from_arrow(t), 4, source=0)
+    assert dist[0] == 0.0
+    assert dist[1] == pytest.approx(-math.log(0.1))
+    # direct -ln(0.9) ~ 0.105 beats 2-hop -ln(0.1) + 0 ~ 2.30
+    assert dist[2] == pytest.approx(-math.log(0.9))
+    assert np.isinf(dist[3])
+    # split edge rows (partials) must behave as their sum once aggregated
+    # upstream: feeding UNaggregated duplicates here produces a DIFFERENT
+    # (wrong) cost — pinning the contract that callers aggregate first
+    t2 = pa.table(
+        {
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 1, 2], pa.int64()),
+            "w": pa.array([0.5, 0.5, 9.0], pa.float64()),
+        }
+    )
+    d2 = shortest_path_costs_ds(ray.data.from_arrow(t2), 3, source=0)
+    assert d2[1] != pytest.approx(-math.log(0.1))
+
+
+def test_event_paths_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["event_paths"](sf),
+        con.sql(entrymod.oracle_sql()["event_paths"]).df(),
+    )

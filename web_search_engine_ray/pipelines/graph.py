@@ -385,8 +385,42 @@ def _event_type_edges(sf_dir: str):
             }
         )
 
-    edges = exchange_map(
+    partial_edges = exchange_map(
         ds, lambda t: _np(t["user_id"]) % P, P, edges_part, auto_shrink=True
+    )
+
+    # aggregate per-partition partials to ONE row per (src, dst): PageRank
+    # and HITS are linear in w so partials were fine, but anything that
+    # takes a NONLINEAR function of an edge weight (Bellman-Ford's
+    # -ln(w/outw)) needs the true totals
+    def agg_edges(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        key = src * n + dst
+        u, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(u.size, np.float64)
+        np.add.at(acc, inv, w)
+        return pa.table(
+            {
+                "src": pa.array((u // n).astype(np.int64)),
+                "dst": pa.array((u % n).astype(np.int64)),
+                "w": pa.array(acc),
+            }
+        )
+
+    edges = exchange_map(
+        partial_edges,
+        lambda t: (
+            (
+                t["src"].combine_chunks().to_numpy(zero_copy_only=False) * n
+                + t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            % 4
+        ).astype(np.int64),
+        4,
+        agg_edges,
+        auto_shrink=True,
     )
     return nodes, edges
 
@@ -492,5 +526,115 @@ def event_type_hits_table(
             "event_type": pa.array(nodes, pa.string()),
             "hub": pa.array(np.round(hub, round_to), pa.float64()),
             "auth": pa.array(np.round(auth, round_to), pa.float64()),
+        }
+    )
+
+
+SP_ITERS = 8  # fixed unroll, >= V-1 for the event-type graph; idempotent after
+
+
+def shortest_path_costs_ds(edges, n_nodes: int, source: int, n_iter: int = SP_ITERS):
+    """Bellman-Ford relaxation over a distributed weighted edge relation
+    with cost(u, v) = -ln(w_uv / outw_u) (so the shortest path is the MOST
+    PROBABLE transition path from ``source``). Same broadcast-vector /
+    sparse-partials shape as :func:`pagerank_ds`, but the per-dst reduce is
+    ``min`` — exact in floats, so engine and twin agree bit-for-bit after
+    the same iteration count (relaxation is idempotent once converged;
+    n_iter is a fixed unroll >= V-1). Returns the float64 dist vector
+    (unreachable = +inf)."""
+    import ray
+
+    small = _collect_small_edges(edges.materialize())
+    if small is not None:
+        src, dst, w = small
+        outw = np.zeros(n_nodes, np.float64)
+        np.add.at(outw, src, w)
+        cost = -np.log(w / np.where(outw[src] > 0, outw[src], 1.0))
+        dist = np.full(n_nodes, np.inf, np.float64)
+        dist[source] = 0.0
+        for _ in range(n_iter):
+            cand = dist[src] + cost
+            nd = dist.copy()
+            np.minimum.at(nd, dst, cand)
+            dist = nd
+        return dist
+
+    def outw_partial(t: pa.Table) -> pa.Table:
+        s_ = t["src"].to_numpy(zero_copy_only=False)
+        w_ = t["w"].to_numpy(zero_copy_only=False)
+        u = np.unique(s_)
+        acc = np.zeros(u.size, np.float64)
+        np.add.at(acc, np.searchsorted(u, s_), w_)
+        return pa.table({"node": pa.array(u, pa.int64()), "v": pa.array(acc)})
+
+    edges = edges.materialize()
+    outw = np.zeros(n_nodes, np.float64)
+    for t in ray.get(
+        edges.map_batches(outw_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if t.num_rows:
+            np.add.at(
+                outw,
+                t["node"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+            )
+    ow_ref = ray.put(outw)
+    dist = np.full(n_nodes, np.inf, np.float64)
+    dist[source] = 0.0
+    for _ in range(n_iter):
+        d_ref = ray.put(dist)
+
+        def relax_partial(t: pa.Table) -> pa.Table:
+            ow = ray.get(ow_ref)
+            dv = ray.get(d_ref)
+            s_ = t["src"].to_numpy(zero_copy_only=False)
+            ds_ = t["dst"].to_numpy(zero_copy_only=False)
+            w_ = t["w"].to_numpy(zero_copy_only=False)
+            cand = dv[s_] + (-np.log(w_ / np.where(ow[s_] > 0, ow[s_], 1.0)))
+            u = np.unique(ds_)
+            best = np.full(u.size, np.inf, np.float64)
+            np.minimum.at(best, np.searchsorted(u, ds_), cand)
+            keep = np.isfinite(best)
+            return pa.table(
+                {"node": pa.array(u[keep], pa.int64()), "v": pa.array(best[keep])}
+            )
+
+        nd = dist.copy()
+        for t in ray.get(
+            edges.map_batches(relax_partial, batch_format="pyarrow").to_arrow_refs()
+        ):
+            if t.num_rows:
+                np.minimum.at(
+                    nd,
+                    t["node"].to_numpy(zero_copy_only=False),
+                    t["v"].to_numpy(zero_copy_only=False),
+                )
+        dist = nd
+    return dist
+
+
+def event_type_paths_table(
+    sf_dir: str, source: str = "signup", n_iter: int = SP_ITERS, round_to: int = 8
+) -> pa.Table:
+    """(event_type, cost): most-probable-transition-path cost from
+    ``source`` to every reachable event type (Bellman-Ford over the shared
+    :func:`_event_type_edges`; cost = sum of -ln(transition probability)
+    along the best path). SQL twin: ``n_iter`` unrolled MATERIALIZED
+    min-relaxation CTEs — ``min`` is float-exact, so the sides agree
+    bit-for-bit before the ROUND."""
+    nodes, edges = _event_type_edges(sf_dir)
+    if not nodes or source not in nodes:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "cost": pa.array([], pa.float64())}
+        )
+    dist = shortest_path_costs_ds(edges, len(nodes), nodes.index(source), n_iter)
+    keep = np.isfinite(dist)
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [n for n, k in zip(nodes, keep) if k], pa.string()
+            ),
+            "cost": pa.array(np.round(dist[keep], round_to), pa.float64()),
         }
     )

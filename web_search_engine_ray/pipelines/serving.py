@@ -1041,3 +1041,45 @@ def vsm_topk_table(
             "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
         }
     )
+
+
+# -- source-boosted BM25 --------------------------------------------------------
+
+
+def bm25_source_boost_table(
+    sf_dir: str,
+    queries: list[str] | None = None,
+    topk: int = 10,
+    round_to: int = 4,
+) -> pa.Table:
+    """(query_id, docid, score): BM25-OR rescored by a per-source boost —
+    the document-attribute weighting every vertical engine ships (news
+    ranks official feeds up, code search ranks vendored dirs down). The
+    boost is a deterministic function of the attribute so the twin needs
+    no side table: weight(source) = 1 + (len(source) % 3) * 0.25. Sources
+    are gathered for CANDIDATES ONLY (:func:`_gather_doc_sources`, the
+    hybrid-rerank shape); one TAAT pass supplies the base scores."""
+    s = documents_searcher(sf_dir)
+    queries = queries if queries is not None else FIXED_QUERIES
+    q_l, d_l, s_l = [], [], []
+    for qid, q in enumerate(queries):
+        base = s.search(q, mode="OR", topk=None)
+        if not base:
+            continue
+        docs = np.array([d for d, _ in base], np.int64)
+        sc = np.array([x for _, x in base], np.float64)
+        ids, srcs = _gather_doc_sources(sf_dir, docs)
+        pos = np.searchsorted(ids, docs)
+        w = 1.0 + (np.char.str_len(srcs[pos].astype(str)) % 3) * 0.25
+        sc = sc * w
+        order = np.lexsort((docs, -sc))[:topk]
+        q_l.append(np.full(order.size, qid, np.int64))
+        d_l.append(docs[order])
+        s_l.append(np.round(sc[order], round_to))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+            "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
+        }
+    )
