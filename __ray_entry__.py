@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vsm_topk": lambda sf: serving.vsm_topk_table(sf),
         # per-source attribute boost over the BM25 scored set
         "bm25_source_boost": lambda sf: serving.bm25_source_boost_table(sf),
+        # per-query top-k overlap between the three ranking families
+        "ranker_agreement": lambda sf: serving.ranker_agreement_table(sf),
         # typo-tolerant boolean search: ED<=1 term expansion (SymSpell
         # deletes as a distributed vocab scan) -> boolean-OR postings
         "fuzzy_search": lambda sf: __import__(
@@ -1088,6 +1090,73 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, docid) AS rn
       FROM scored)
 WHERE rn <= {TOPK}
+""",
+        # three scored CTEs composed; rows exist where BOTH systems have
+        # a cut (INTERSECT-present), overlap 0 with both present IS a row
+        "ranker_agreement": bm25_core
+        + f""",
+ cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+ statsq AS (SELECT (SELECT sum(dl)::DOUBLE FROM dl) AS t),
+ qkq AS (SELECT q.query_id, q.term, cfq.cf
+         FROM q JOIN cfq ON cfq.term = q.term),
+ candq AS (SELECT DISTINCT qkq.query_id, tf.doc_id
+           FROM qkq JOIN tf ON tf.term = qkq.term),
+ scoredq AS (
+   SELECT c.query_id, c.doc_id AS docid,
+          sum( ln( (coalesce(tf.tf, 0)::DOUBLE
+                    + {serving_mod.QL_MU} * qkq.cf / s.t)
+                   / (dl.dl::DOUBLE + {serving_mod.QL_MU}) ) ) AS score
+   FROM candq c
+   JOIN qkq ON qkq.query_id = c.query_id
+   LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qkq.term
+   JOIN dl ON dl.doc_id = c.doc_id
+   CROSS JOIN statsq s
+   GROUP BY c.query_id, c.doc_id),
+ wv AS (SELECT tf.doc_id, tf.term,
+               tf.tf::DOUBLE * ln(s.n / df.df::DOUBLE) AS w
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s),
+ nrmv AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY doc_id),
+ qtfv AS (SELECT query_id, term, count(*)::DOUBLE AS tfq FROM q GROUP BY 1, 2),
+ qwv AS (SELECT qtfv.query_id, qtfv.term,
+                qtfv.tfq * ln(s.n / df.df::DOUBLE) AS w
+         FROM qtfv JOIN df ON df.term = qtfv.term CROSS JOIN stats s),
+ qnormv AS (SELECT query_id, sqrt(sum(w * w)) AS nrm FROM qwv GROUP BY 1),
+ scoredv AS (SELECT d_.query_id, d_.docid, d_.dot / (qn.nrm * dn.nrm) AS score
+             FROM (SELECT qwv.query_id, wv.doc_id AS docid,
+                          sum(qwv.w * wv.w) AS dot
+                   FROM qwv JOIN wv ON wv.term = qwv.term
+                   GROUP BY 1, 2) d_
+             JOIN qnormv qn ON qn.query_id = d_.query_id
+             JOIN nrmv dn ON dn.doc_id = d_.docid),
+ cb AS (SELECT query_id, docid FROM (
+          SELECT query_id, docid, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, docid) AS rn
+          FROM scored) WHERE rn <= {TOPK}),
+ cq AS (SELECT query_id, docid FROM (
+          SELECT query_id, docid, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, docid) AS rn
+          FROM scoredq) WHERE rn <= {TOPK}),
+ cv AS (SELECT query_id, docid FROM (
+          SELECT query_id, docid, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, docid) AS rn
+          FROM scoredv) WHERE rn <= {TOPK})
+SELECT p.query_id, 'bm25_ql' AS pair, coalesce(o.c, 0)::BIGINT AS overlap
+FROM (SELECT query_id FROM cb INTERSECT SELECT query_id FROM cq) p
+LEFT JOIN (SELECT a.query_id, count(*) AS c FROM cb a
+           JOIN cq b ON b.query_id = a.query_id AND b.docid = a.docid
+           GROUP BY 1) o ON o.query_id = p.query_id
+UNION ALL
+SELECT p.query_id, 'bm25_vsm', coalesce(o.c, 0)::BIGINT
+FROM (SELECT query_id FROM cb INTERSECT SELECT query_id FROM cv) p
+LEFT JOIN (SELECT a.query_id, count(*) AS c FROM cb a
+           JOIN cv b ON b.query_id = a.query_id AND b.docid = a.docid
+           GROUP BY 1) o ON o.query_id = p.query_id
+UNION ALL
+SELECT p.query_id, 'ql_vsm', coalesce(o.c, 0)::BIGINT
+FROM (SELECT query_id FROM cq INTERSECT SELECT query_id FROM cv) p
+LEFT JOIN (SELECT a.query_id, count(*) AS c FROM cq a
+           JOIN cv b ON b.query_id = a.query_id AND b.docid = a.docid
+           GROUP BY 1) o ON o.query_id = p.query_id
 """,
         # deterministic attribute weight (1 + (len(source)%3)*0.25), so
         # the twin needs no side table; rank raw, ROUND(4) both sides

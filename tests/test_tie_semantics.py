@@ -145,3 +145,36 @@ def test_rrf_fusion_contract(ray_session, oracle_eq):
     assert list(got0.docid) == [d for d, _ in want_top]
     for (_, row), (_, sc) in zip(got0.iterrows(), want_top):
         assert row.score == round(sc, 6)
+
+
+def test_ranker_agreement_contract(ray_session, oracle_eq):
+    """Agreement rows exist for every (query, pair) where both systems
+    produced a cut; values recomputed from the three top-k tables."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.serving import (
+        bm25_topk_table,
+        ql_topk_table,
+        ranker_agreement_table,
+        vsm_topk_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ranker_agreement_table(sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(got, con.sql(entrymod.oracle_sql()["ranker_agreement"]).df())
+
+    tops = {
+        "bm25": bm25_topk_table(sf).to_pandas(),
+        "ql": ql_topk_table(sf).to_pandas(),
+        "vsm": vsm_topk_table(sf).to_pandas(),
+    }
+    for _, row in got.iterrows():
+        a, b = row["pair"].split("_")
+        sa = set(tops[a][tops[a].query_id == row.query_id].docid)
+        sb = set(tops[b][tops[b].query_id == row.query_id].docid)
+        assert row.overlap == len(sa & sb)

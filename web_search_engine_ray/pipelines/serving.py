@@ -1083,3 +1083,46 @@ def bm25_source_boost_table(
             "score": pa.array(np.concatenate(s_l) if s_l else [], pa.float64()),
         }
     )
+
+
+# -- ranker agreement -----------------------------------------------------------
+
+AGREEMENT_PAIRS = (("bm25", "ql"), ("bm25", "vsm"), ("ql", "vsm"))
+
+
+def ranker_agreement_table(
+    sf_dir: str, queries: list[str] | None = None, topk: int = 10
+) -> pa.Table:
+    """(query_id, pair, overlap): |top-k(A) ∩ top-k(B)| per fixed query for
+    each pair of the three ranking families — the systems-comparison eval
+    (how differently do BM25, Dirichlet QL and VSM rank the same corpus).
+    Rows exist only for queries where BOTH systems returned something (the
+    twin's INTERSECT-present rule); overlap 0 with both present IS a row."""
+    queries = queries if queries is not None else FIXED_QUERIES
+    tops = {
+        "bm25": bm25_topk_table(sf_dir, queries=queries, topk=topk),
+        "ql": ql_topk_table(sf_dir, queries=queries, topk=topk),
+        "vsm": vsm_topk_table(sf_dir, queries=queries, topk=topk),
+    }
+    sets: dict[str, dict[int, set[int]]] = {}
+    for name, t in tops.items():
+        m: dict[int, set[int]] = {}
+        for q, d in zip(t["query_id"].to_pylist(), t["docid"].to_pylist()):
+            m.setdefault(int(q), set()).add(int(d))
+        sets[name] = m
+    q_l, p_l, o_l = [], [], []
+    for a, b in AGREEMENT_PAIRS:
+        for qid in range(len(queries)):
+            sa, sb = sets[a].get(qid), sets[b].get(qid)
+            if sa is None or sb is None:
+                continue
+            q_l.append(qid)
+            p_l.append(f"{a}_{b}")
+            o_l.append(len(sa & sb))
+    return pa.table(
+        {
+            "query_id": pa.array(q_l, pa.int64()),
+            "pair": pa.array(p_l, pa.string()),
+            "overlap": pa.array(o_l, pa.int64()),
+        }
+    )
