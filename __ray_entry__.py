@@ -808,6 +808,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": analysis.langid_ds,
         # langid confusion matrix vs the ground-truth lang column
         "langid_confusion": analysis.langid_confusion_ds,
+        # Church & Gale burstiness: tf variance-to-mean across containing
+        # docs, top-k over df >= 20
+        "term_burstiness": analysis.term_burstiness_ds,
+        # Zipf rank-frequency slope over the top-200 terms by cf
+        "zipf_slope": analysis.zipf_slope_table,
         "rolling_fingerprint": analysis.rolling_fingerprint_ds,
         "repetition_stats": analysis.repetition_stats_ds,
         "collocations": lambda sf: analysis.collocations_ds(sf, min_count=5, k=50),
@@ -2011,6 +2016,37 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+""",
+        # mean/var from exact integer sums; identical nesting
+        # ((s2 - s1*s1/df)/df) / (s1/df); rank by the ROUNDED statistic
+        "term_burstiness": f"""
+WITH {tok_cte}, {tf_cte},
+ st AS (SELECT term, count(*)::DOUBLE AS dfx,
+               sum(tf)::DOUBLE AS s1, sum(tf * tf)::DOUBLE AS s2
+        FROM tf GROUP BY 1 HAVING count(*) >= 20),
+ b AS (SELECT term, dfx::BIGINT AS df,
+              ROUND(s1 / dfx, 6) AS mean_tf,
+              ROUND(((s2 - s1 * s1 / dfx) / dfx) / (s1 / dfx), 6) AS burstiness
+       FROM st)
+SELECT term, df, mean_tf, burstiness FROM (
+  SELECT *, row_number() OVER (ORDER BY burstiness DESC, term) AS rn FROM b)
+WHERE rn <= 30
+""",
+        # identical least-squares arithmetic over exact integer cfs/ranks
+        "zipf_slope": f"""
+WITH {tok_cte}, {tf_cte},
+ st AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+ top AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rnk
+         FROM st ORDER BY cf DESC, term LIMIT 200),
+ pts AS (SELECT ln(rnk::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM top),
+ agg AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(x * y) AS sxy
+         FROM pts)
+SELECT (SELECT count(*) FROM top)::BIGINT AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM agg
 """,
         "langid_confusion": f"""
 WITH t AS (SELECT doc_id, lang, {TOK} AS toks FROM documents),

@@ -31,7 +31,7 @@ def oracle_eq():
 
     def _eq(got, want):
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
-        want = want.df() if hasattr(want, "df") else want
+        want = want.df() if callable(getattr(want, "df", None)) else want
 
         def canon(df: pd.DataFrame) -> pd.DataFrame:
             df = df[sorted(df.columns)].copy()

@@ -174,3 +174,49 @@ def test_langid_confusion_matches_oracle(ray_session, oracle_eq):
     # sanity: totals match the corpus size, truths are the 5 known langs
     assert got.n.sum() == 500
     assert set(got.lang) <= {"en", "de", "es", "fr", "zh"}
+
+
+def test_burstiness_and_zipf(ray_session, oracle_eq, tmp_path_factory):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.analysis import (
+        term_burstiness_ds,
+        zipf_slope_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for q in ["term_burstiness", "zipf_slope"]:
+        got = entrymod.queries()[q](sf)
+        oracle_eq(got, con.sql(entrymod.oracle_sql()[q]).df())
+
+    # planted burstiness: 'bursty' tf 5 in one doc, tf 1 in 19 others
+    # (df 20); 'even' tf 1 in 20 docs -> burstiness 0
+    d = tmp_path_factory.mktemp("burst_docs")
+    texts = ["bursty " * 5 + "even"] + ["bursty even"] * 19 + ["filler"] * 5
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = term_burstiness_ds(str(d)).to_pandas().set_index("term")
+    assert got.loc["even", "burstiness"] == 0.0
+    s1, s2, n = 5 + 19, 25 + 19, 20.0
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    assert got.loc["bursty", "burstiness"] == round(var / mean, 6)
+    assert got.loc["bursty", "burstiness"] > 0
+    # zipf slope over a geometric cf profile is near the log-ratio
+    z = zipf_slope_table(sf).to_pandas()
+    assert z.iloc[0].n_terms >= 2 and z.iloc[0].slope < 0

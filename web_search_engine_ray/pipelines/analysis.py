@@ -744,3 +744,136 @@ def langid_confusion_ds(sf_dir: str, concurrency: int = 2):
         )
 
     return exchange_map(ds, route, 8, merge, auto_shrink=True)
+
+
+BURSTINESS_MIN_DF = 20
+BURSTINESS_K = 30
+
+
+def term_burstiness_ds(sf_dir: str, min_df: int = BURSTINESS_MIN_DF, k: int = BURSTINESS_K):
+    """(term, df, mean_tf, burstiness): Church & Gale burstiness — the
+    variance-to-mean ratio of a term's tf across the documents CONTAINING
+    it (a content word concentrates, a function word spreads evenly; the
+    statistic that separates them when raw frequency can't). Top-k by
+    (burstiness desc, term) over terms with df >= min_df. Per-batch
+    (term, tf, tf²) partials, one term exchange; mean/variance from EXACT
+    integer sums, so both sides evaluate identical float expressions."""
+    import ray.data
+
+    from web_search_engine_ray.pipelines.corpus import _to_postings, _docs_path
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    np_ = cluster_parts(32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = pl.from_arrow(_to_postings(batch))
+        g = p.group_by("term").agg(
+            df_p=pl.len().cast(pl.Int64),
+            s1=pl.col("tf").cast(pl.Int64).sum(),
+            s2=(pl.col("tf").cast(pl.Int64) * pl.col("tf").cast(pl.Int64)).sum(),
+        )
+        return g.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["term"]).hash(seed=23).to_numpy() % np.uint64(np_)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by("term")
+            .agg(pl.col("df_p").sum().alias("df"), pl.col("s1").sum(), pl.col("s2").sum())
+            .filter(pl.col("df") >= min_df)
+        )
+        df_ = g["df"].to_numpy().astype(np.float64)
+        s1 = g["s1"].to_numpy().astype(np.float64)
+        s2 = g["s2"].to_numpy().astype(np.float64)
+        mean = s1 / df_
+        var = (s2 - s1 * s1 / df_) / df_
+        burst = np.round(np.where(mean > 0, var / mean, 0.0), 6)
+        out = (
+            g.with_columns(
+                pl.Series("mean_tf", np.round(mean, 6)),
+                pl.Series("burstiness", burst),
+            )
+            .sort(["burstiness", "term"], descending=[True, False])
+            .head(k)
+        )
+        return out.select("term", "df", "mean_tf", "burstiness").to_arrow().cast(
+            pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("df", pa.int64()),
+                    ("mean_tf", pa.float64()),
+                    ("burstiness", pa.float64()),
+                ]
+            )
+        )
+
+    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    parts = exchange_map(ds, route, np_, merge, auto_shrink=True)
+
+    # per-partition head(k) is a SUPERSET of the global top-k (each term
+    # lives in exactly one partition); one tiny final cut
+    def final_cut(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort(["burstiness", "term"], descending=[True, False])
+            .head(k)
+            .to_arrow()
+            .cast(t.schema)
+        )
+
+    return exchange_map(
+        parts,
+        lambda t: np.zeros(t.num_rows, np.int64),
+        1,
+        final_cut,
+        auto_shrink=False,
+    )
+
+
+def zipf_slope_table(sf_dir: str, top_n: int = 200) -> pa.Table:
+    """One row (n_terms, slope, intercept): least-squares fit of
+    ln(cf) ~ ln(rank) over the top-``top_n`` terms by collection frequency
+    (rank ties to the lexicographically-first term) — the Zipf exponent,
+    the corpus-health one-liner (natural text ~ -1; templated/synthetic
+    corpora flatten). cf comes from the distributed term_stats relation;
+    the regression runs on exact integer cfs and integer ranks, identical
+    float expressions both sides, ROUND(6)."""
+    import ray
+
+    from web_search_engine_ray.pipelines.corpus import term_stats_ds
+
+    stats = pa.concat_tables(
+        [t for t in ray.get(term_stats_ds(sf_dir).to_arrow_refs()) if t.num_rows]
+    )
+    d = (
+        pl.from_arrow(stats)
+        .sort(["cf", "term"], descending=[True, False])
+        .head(top_n)
+    )
+    n = d.height
+    if n < 2:
+        return pa.table(
+            {
+                "n_terms": pa.array([n], pa.int64()),
+                "slope": pa.array([0.0], pa.float64()),
+                "intercept": pa.array([0.0], pa.float64()),
+            }
+        )
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(d["cf"].to_numpy().astype(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    nn = float(n)
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nn
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope": pa.array([round(slope, 6)], pa.float64()),
+            "intercept": pa.array([round(intercept, 6)], pa.float64()),
+        }
+    )
