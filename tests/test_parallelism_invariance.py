@@ -9,9 +9,13 @@ import subprocess
 import sys
 
 SCRIPT = r"""
-import sys, os, glob, hashlib, json
+import sys, os, glob, hashlib, json, tempfile
 corpus, out, ncpu = sys.argv[1], sys.argv[2], int(sys.argv[3])
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# own Ray root: sharing /tmp/ray with the live pytest session flips the
+# session_latest symlink under it and has coincided with task_manager.cc
+# Check-failed crashes in the MAIN driver (see BASELINE.md flake note)
+os.environ["RAY_TMPDIR"] = tempfile.mkdtemp(prefix="ray_sub_")
 import ray
 ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
 sys.path.insert(0, os.getcwd())
