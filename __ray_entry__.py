@@ -625,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": lambda sf: graph.event_type_hits_table(sf),
         # Bellman-Ford most-probable transition paths from 'signup'
         "event_paths": lambda sf: graph.event_type_paths_table(sf),
+        # the transition relation itself (gates the shared edge derivation)
+        "transition_matrix": lambda sf: graph.transition_matrix_table(sf),
         # nearest-centroid classification self-eval over embeddings.label
         "centroid_classify": lambda sf: clustering.centroid_classify_table(sf),
         # vectorized JSON field extraction + aggregate over events.props
@@ -1735,6 +1737,17 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
         "event_paths": _paths_sql(),
+        "transition_matrix": """
+WITH pairs AS (SELECT event_type AS src,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS dst
+               FROM events),
+ edges AS (SELECT src, dst, count(*)::BIGINT AS w
+           FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+ outw AS (SELECT src, sum(w)::DOUBLE AS ow FROM edges GROUP BY 1)
+SELECT e.src, e.dst, e.w, ROUND(e.w::DOUBLE / o.ow, 6) AS p
+FROM edges e JOIN outw o ON o.src = e.src
+""",
         # centroid and squared distance ROUNDED before the argmin on both
         # sides (the kmeans Lloyd-replay trick); ties to the smallest label
         "centroid_classify": """

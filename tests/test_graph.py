@@ -382,3 +382,22 @@ def test_event_paths_matches_oracle(ray_session, oracle_eq):
         entrymod.queries()["event_paths"](sf),
         con.sql(entrymod.oracle_sql()["event_paths"]).df(),
     )
+
+
+def test_transition_matrix_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["transition_matrix"](sf).to_pandas()
+    oracle_eq(got, con.sql(entrymod.oracle_sql()["transition_matrix"]).df())
+    # probabilities row-normalize exactly
+    import numpy as np
+
+    sums = got.groupby("src").p.sum()
+    assert np.allclose(sums, 1.0, atol=1e-4)

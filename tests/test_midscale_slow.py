@@ -325,3 +325,24 @@ def test_largescale_episode_split_identity(ray_session):
     )
     assert int(parts["n"].sum()) == n_rows
     assert int(parts["nonzero"].sum()) == 0
+
+
+@pytest.mark.skipif(not os.environ.get("WSE_SLOW"), reason="set WSE_SLOW=1")
+def test_sf01_twins_slow(ray_session, oracle_eq):
+    """sf0.1 oracle equality for the round-4 families the sf0.01 gate
+    samples (larger corpus, same twins): grep, pagerank, funnel,
+    burstiness."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for q in ["substring_search", "regex_search", "pagerank",
+              "events_funnel", "term_burstiness"]:
+        got = entrymod.queries()[q](sf)
+        oracle_eq(got, con.sql(entrymod.oracle_sql()[q]).df())

@@ -638,3 +638,41 @@ def event_type_paths_table(
             "cost": pa.array(np.round(dist[keep], round_to), pa.float64()),
         }
     )
+
+
+def transition_matrix_table(sf_dir: str, round_to: int = 6) -> pa.Table:
+    """(src, dst, w, p): the event-type transition graph itself — the
+    weighted edges every graph entry here consumes (:func:`_event_type_edges`)
+    plus the row-normalized transition probability. Gating this relation
+    directly pins the shared derivation the PageRank/HITS/paths entries
+    build on."""
+    import ray
+
+    nodes, edges = _event_type_edges(sf_dir)
+    if not nodes:
+        return pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "w": pa.array([], pa.int64()),
+                "p": pa.array([], pa.float64()),
+            }
+        )
+    parts = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(parts)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["w"].to_numpy(zero_copy_only=False)
+    outw = np.zeros(len(nodes), np.float64)
+    np.add.at(outw, src, w)
+    names = np.array(nodes)
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    return pa.table(
+        {
+            "src": pa.array(names[src], pa.string()),
+            "dst": pa.array(names[dst], pa.string()),
+            "w": pa.array(w.astype(np.int64)),
+            "p": pa.array(np.round(w / outw[src], round_to), pa.float64()),
+        }
+    )
