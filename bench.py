@@ -392,6 +392,16 @@ def run_bench() -> dict:
     _serving.more_like_this_table(SF_DIR)
     timings["more_like_this_sf"] = round(time.perf_counter() - t0, 3)
 
+    # the events analytics family in one key (round-4 second wave)
+    from web_search_engine_ray.pipelines import events as _events
+
+    t0 = time.perf_counter()
+    _events.daily_active_users_ds(SF_DIR).count()
+    _events.retention_cohorts_ds(SF_DIR).count()
+    _events.session_funnel_ds(SF_DIR).count()
+    _events.window_anomalies_ds(SF_DIR).count()
+    timings["events_analytics_sf"] = round(time.perf_counter() - t0, 3)
+
     # sentinel, last reading: the first/last pair brackets every number above
     sentinel_last = run_sentinel()
     noise_sentinel = {
