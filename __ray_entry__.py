@@ -647,6 +647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": lambda sf: events.retention_cohorts_ds(sf),
         # ordered in-session funnel over the sessionize boundaries
         "events_funnel": lambda sf: events.session_funnel_ds(sf),
+        # time-to-convert: first signup -> first subsequent purchase
+        "conversion_lags": lambda sf: events.conversion_lags_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1801,6 +1803,16 @@ WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS epus,
 SELECT 1::BIGINT AS stage, (SELECT count(*) FROM a)::BIGINT AS n_sessions
 UNION ALL SELECT 2, (SELECT count(*) FROM b)
 UNION ALL SELECT 3, (SELECT count(*) FROM c)
+""",
+        "conversion_lags": """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS us FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+ p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS up
+       FROM events e JOIN s ON s.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.us
+       GROUP BY 1)
+SELECT p.user_id, ((p.up - s.us) // 1000000)::BIGINT AS lag_s
+FROM p JOIN s ON s.user_id = p.user_id
 """,
         "events_retention": """
 WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -564,3 +564,60 @@ def test_session_funnel_matches_oracle(ray_session, oracle_eq):
         entrymod.queries()["events_funnel"](sf),
         con.sql(entrymod.oracle_sql()["events_funnel"]).df(),
     )
+
+
+def test_conversion_lags_planted(ray_session, tmp_path_factory):
+    """First signup -> first purchase STRICTLY after; purchases before the
+    signup don't count, users without both are absent."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_search_engine_ray.pipelines.events import conversion_lags_ds
+
+    d = tmp_path_factory.mktemp("conv_lag_events")
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 0, "signup"), (1, 90, "purchase"), (1, 50, "purchase"),
+        (2, 10, "purchase"), (2, 20, "signup"),          # purchase BEFORE signup only
+        (3, 0, "signup"),                                 # never converts
+        (4, 0, "purchase"),                               # never signs up
+        (2, 80, "purchase"),                              # converts at 60 s
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + timedelta(seconds=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = (
+        conversion_lags_ds(str(d)).to_pandas().set_index("user_id")["lag_s"]
+    )
+    assert dict(got) == {1: 50, 2: 60}
+
+
+def test_conversion_lags_match_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["conversion_lags"](sf),
+        con.sql(entrymod.oracle_sql()["conversion_lags"]).df(),
+    )

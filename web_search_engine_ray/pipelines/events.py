@@ -1015,3 +1015,55 @@ def session_funnel_ds(
         ds, lambda t: _np(t["user_id"]) % P, P, funnel_part, auto_shrink=True
     )
     return exchange_map(partials, route, 4, merge, auto_shrink=True)
+
+
+def conversion_lags_ds(sf_dir: str, from_type: str = "signup", to_type: str = "purchase"):
+    """(user_id, lag_s): seconds from a user's FIRST ``from_type`` event to
+    their first ``to_type`` event strictly after it — the time-to-convert
+    relation the funnel summarizes away. One user_id exchange; inside a
+    partition both firsts come from segmented minimum-reduces (sort by
+    (user, ts, event_id), ``np.minimum.reduceat`` per segment for the
+    from-events, then the same over to-events masked to > the user's
+    from-time). Integer microsecond arithmetic end to end."""
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import cluster_parts, exchange_map
+
+    P = cluster_parts(32)
+
+    def part(t: pa.Table) -> pa.Table:
+        user = _np(t["user_id"])
+        epus = _epoch_us(t)
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((epus, user))
+        user, epus, et = user[order], epus[order], et[order]
+        uu = np.unique(user)
+
+        def first_per_user(mask: np.ndarray, floor: np.ndarray | None) -> np.ndarray:
+            """min epus per user over masked rows (optionally > floor[user]);
+            INF where absent."""
+            m = mask.copy()
+            if floor is not None:
+                fl = floor[np.searchsorted(uu, user)]
+                m &= epus > fl
+            vals = np.full(uu.size, np.iinfo(np.int64).max, np.int64)
+            if m.any():
+                np.minimum.at(vals, np.searchsorted(uu, user[m]), epus[m])
+            return vals
+
+        first_from = first_per_user(et == from_type, None)
+        first_to = first_per_user(et == to_type, first_from)
+        ok = (first_from < np.iinfo(np.int64).max) & (
+            first_to < np.iinfo(np.int64).max
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uu[ok], pa.int64()),
+                "lag_s": pa.array(
+                    (first_to[ok] - first_from[ok]) // 1_000_000, pa.int64()
+                ),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    return exchange_map(ds, lambda t: _np(t["user_id"]) % P, P, part, auto_shrink=True)
