@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: events.session_funnel_ds(sf),
         # time-to-convert: first signup -> first subsequent purchase
         "conversion_lags": lambda sf: events.conversion_lags_ds(sf),
+        # hour-of-day seasonality profile (integer-cent exact averages)
+        "events_hourly_profile": lambda sf: events.hourly_profile_ds(sf),
         # windowed running aggregate (segmented cumsum per partition)
         "events_running_sum": lambda sf: events.running_sum_ds(sf),
         # fixed-width histogram: bincount partials, driver-tiny merge
@@ -1803,6 +1805,14 @@ WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS epus,
 SELECT 1::BIGINT AS stage, (SELECT count(*) FROM a)::BIGINT AS n_sessions
 UNION ALL SELECT 2, (SELECT count(*) FROM b)
 UNION ALL SELECT 3, (SELECT count(*) FROM c)
+""",
+        "events_hourly_profile": """
+SELECT event_type,
+       (((epoch_us(ts) // 1000000) % 86400) // 3600)::BIGINT AS hour,
+       count(*)::BIGINT AS n,
+       ROUND(sum(round(value * 100))::DOUBLE / (100.0 * count(*)), 6)
+         AS avg_value
+FROM events GROUP BY 1, 2
 """,
         "conversion_lags": """
 WITH s AS (SELECT user_id, min(epoch_us(ts)) AS us FROM events

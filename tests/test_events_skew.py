@@ -621,3 +621,18 @@ def test_conversion_lags_match_oracle(ray_session, oracle_eq):
         entrymod.queries()["conversion_lags"](sf),
         con.sql(entrymod.oracle_sql()["conversion_lags"]).df(),
     )
+
+
+def test_hourly_profile_matches_oracle(ray_session, oracle_eq):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = entrymod.queries()["events_hourly_profile"](sf).to_pandas()
+    oracle_eq(got, con.sql(entrymod.oracle_sql()["events_hourly_profile"]).df())
+    assert got.hour.between(0, 23).all() and got.n.sum() == 1000

@@ -1067,3 +1067,62 @@ def conversion_lags_ds(sf_dir: str, from_type: str = "signup", to_type: str = "p
 
     ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
     return exchange_map(ds, lambda t: _np(t["user_id"]) % P, P, part, auto_shrink=True)
+
+
+def hourly_profile_ds(sf_dir: str):
+    """(event_type, hour, n, avg_value): the hour-of-day seasonality
+    profile (UTC) — per-batch integer-cent partials (value is 2-decimal)
+    through one tiny (type, hour) exchange; avg divides once on identical
+    integers, the relational money rule."""
+    import polars as pl
+    import ray.data
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    N = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = ((_epoch_us(t) // 1_000_000) % 86_400) // 3_600
+        val_c = np.rint(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = (
+            pl.DataFrame(
+                {
+                    "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+                    "hour": hour.astype(np.int64),
+                    "v_c": val_c,
+                }
+            )
+            .group_by(["event_type", "hour"])
+            .agg(n=pl.len().cast(pl.Int64), s_c=pl.col("v_c").sum())
+        )
+        return d.to_arrow()
+
+    def route(t: pa.Table) -> np.ndarray:
+        return (
+            pl.from_arrow(t["event_type"]).hash(seed=29).to_numpy() % np.uint64(N)
+        ).astype(np.int64)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "hour"])
+            .agg(pl.col("n").sum(), pl.col("s_c").sum())
+        )
+        n = g["n"].to_numpy().astype(np.float64)
+        s = g["s_c"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "event_type": g["event_type"].to_arrow().cast(pa.string()),
+                "hour": g["hour"].to_arrow().cast(pa.int64()),
+                "n": g["n"].to_arrow().cast(pa.int64()),
+                "avg_value": pa.array(np.round(s / (100.0 * n), 6), pa.float64()),
+            }
+        )
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+    return exchange_map(
+        ds.map_batches(partial, batch_format="pyarrow"), route, N, merge,
+        auto_shrink=True,
+    )
