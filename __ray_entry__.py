@@ -347,6 +347,22 @@ FROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node
 """
 
 
+def _boolean_not_sql() -> str:
+    from web_search_engine_ray.pipelines.serving import NOT_QUERIES
+
+    legs = [
+        f"SELECT {qid} AS query_id, doc_id AS docid FROM"
+        f" (SELECT DISTINCT doc_id FROM tok WHERE term = '{pos}')"
+        f" WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{neg}')"
+        for qid, (pos, neg) in enumerate(NOT_QUERIES)
+    ]
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+{union}
+"""
+
+
 def _grep_sql(kind: str) -> str:
     """Pattern-search twin: the literal full-scan predicate — engine
     (pyarrow RE2 kernels behind a trigram-index prune) and DuckDB
@@ -584,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_partitioned": lambda sf: serving.bm25_partitioned_table(sf, mode="OR"),
         "bm25_after_delete": lambda sf: serving.bm25_after_delete_table(sf, mode="OR"),
         "boolean_and": lambda sf: serving.boolean_table(sf, mode="AND"),
+        # exclusion: pos AND NOT neg (completes the boolean family)
+        "boolean_and_not": lambda sf: serving.boolean_not_table(sf),
         "boolean_or": lambda sf: serving.boolean_table(sf, mode="OR"),
         # faceted search: best-k hits per (query, source facet) + boolean
         # match counts per facet — the search-UI sidebar pair
@@ -1344,6 +1362,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, docid) AS rn2 FROM rr)
 WHERE rn2 <= {RERANK_K2}
 """,
+        "boolean_and_not": _boolean_not_sql(),
         "boolean_and": f"""
 WITH {tok_cte}, {tf_cte}, {df_cte},
  q(query_id, term) AS (VALUES {qv}),

@@ -178,3 +178,39 @@ def test_ranker_agreement_contract(ray_session, oracle_eq):
         sa = set(tops[a][tops[a].query_id == row.query_id].docid)
         sb = set(tops[b][tops[b].query_id == row.query_id].docid)
         assert row.overlap == len(sa & sb)
+
+
+def test_boolean_and_not(ray_session, oracle_eq, tmp_path_factory):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.serving import boolean_not_table
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_eq(
+        entrymod.queries()["boolean_and_not"](sf),
+        con.sql(entrymod.oracle_sql()["boolean_and_not"]).df(),
+    )
+    # planted: pos-only docs survive; unknown negative excludes nothing
+    d = tmp_path_factory.mktemp("not_docs")
+    texts = ["alpha beta", "alpha", "beta", "alpha gamma"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    t = boolean_not_table(str(d), pairs=[("alpha", "beta"), ("alpha", "zzz")])
+    got = {}
+    for q, doc in zip(t["query_id"].to_pylist(), t["docid"].to_pylist()):
+        got.setdefault(q, []).append(doc)
+    assert got == {0: [1, 3], 1: [0, 1, 3]}

@@ -1126,3 +1126,42 @@ def ranker_agreement_table(
             "overlap": pa.array(o_l, pa.int64()),
         }
     )
+
+
+# -- boolean NOT ----------------------------------------------------------------
+
+NOT_QUERIES = [
+    ("spark", "join"),
+    ("data", "merge"),
+    ("customer", "order"),
+    ("vector", "nosuchterm"),
+    ("the", "data"),
+]
+
+
+def boolean_not_table(
+    sf_dir: str, pairs: list[tuple[str, str]] | None = None
+) -> pa.Table:
+    """(query_id, docid): documents containing the positive term AND NOT
+    the negative term — the exclusion operator completing the boolean
+    family (AND / OR / NOT). One sorted-postings ``setdiff1d`` per query;
+    an unknown negative term excludes nothing (the twin's NOT IN over an
+    empty set)."""
+    s = documents_searcher(sf_dir)
+    pairs = pairs if pairs is not None else NOT_QUERIES
+    q_l, d_l = [], []
+    for qid, (pos, neg) in enumerate(pairs):
+        dp, _ = s.postings(pos)
+        if not dp.size:
+            continue
+        dn, _ = s.postings(neg)
+        keep = np.setdiff1d(dp.astype(np.int64), dn.astype(np.int64),
+                            assume_unique=True)
+        q_l.append(np.full(keep.size, qid, np.int64))
+        d_l.append(keep)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
+            "docid": pa.array(np.concatenate(d_l) if d_l else [], pa.int64()),
+        }
+    )
