@@ -1870,7 +1870,7 @@ WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS epus,
            FROM events),
  sx AS (SELECT *, sum(CASE WHEN prev IS NULL OR ep - prev > {1800}
                       THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id ORDER BY ep, event_id
+                  OVER (PARTITION BY user_id ORDER BY epus, event_id
                         ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
         FROM o),
  r AS (SELECT user_id, session_idx, event_type,

@@ -550,6 +550,60 @@ def test_session_funnel_planted(ray_session, tmp_path_factory):
     assert got.loc[3] == 1
 
 
+def test_session_funnel_same_second_tiebreak(
+    ray_session, oracle_eq, tmp_path_factory
+):
+    """Adversarial twin-exactness case: two events share a SECOND right
+    after a >gap break, with event_id order REVERSED vs microsecond order.
+    A twin whose session cumsum orders by (ep, event_id) instead of
+    (epus, event_id) pulls the later-in-time purchase into the PRE-gap
+    session (making it complete the funnel) while the engine keeps it in
+    the post-gap session — so stage 3 reads 1 vs the correct 0."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.events import session_funnel_ds
+
+    d = tmp_path_factory.mktemp("funnel_tiebreak")
+    t0 = datetime(2024, 1, 1)
+    # (event_id, offset_us, event_type); eid 2/3 share second 2000 but eid 3
+    # is EARLIER in microseconds.
+    rows = [
+        (0, 0, "signup"),
+        (1, 10_000_000, "view"),
+        (2, 2000_500_000, "purchase"),
+        (3, 2000_000_100, "signup"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + timedelta(microseconds=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = session_funnel_ds(str(d)).to_pandas()
+    assert got.set_index("stage")["n_sessions"].to_dict() == {1: 2, 2: 1, 3: 0}
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    oracle_eq(got, con.sql(entrymod.oracle_sql()["events_funnel"]).df())
+
+
 def test_session_funnel_matches_oracle(ray_session, oracle_eq):
     import duckdb
 

@@ -179,6 +179,12 @@ def test_flask_grep_endpoint(ray_session, grep_corpus, tmp_path_factory):
     # bad regex -> 400
     r = client.post("/grep", json={"pattern": "foo(bar", "regex": True})
     assert r.status_code == 400
+    # Python-valid but RE2-invalid (backreference): executes past the
+    # re.compile validation, must still be a 400 (ArrowInvalid), never a 500
+    r = client.post(
+        "/grep", json={"pattern": r"(spark) \1 join", "regex": True}
+    )
+    assert r.status_code == 400
     # no grep index loaded -> 400
     bare = create_app(idx).test_client()
     assert bare.post("/grep", json={"pattern": "spark join"}).status_code == 400

@@ -408,7 +408,9 @@ def centroid_classify_table(sf_dir: str, round_to: int = 6) -> pa.Table:
             }
         )
     lab_arr = np.array(labels, np.int64)
-    dim = len(parts[0]["vsum"][0])
+    # probe dim from a NON-empty part: empty blocks can carry the pre-UDF
+    # schema (no vsum column at all)
+    dim = len(next(p for p in parts if p.num_rows)["vsum"][0])
     sums = np.zeros((lab_arr.size, dim), np.float64)
     counts = np.zeros(lab_arr.size, np.int64)
     for p in parts:

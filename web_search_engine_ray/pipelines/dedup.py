@@ -1853,29 +1853,26 @@ def _containment_candidates_ds(sf_dir: str, tau: float, max_bucket: int | None =
         b = docid[np.repeat(gstart[gid[is_p]], run_len) + j]
         keep = a != b
         a, b = a[keep], b[keep]
-        lo = np.minimum(a, b).astype(np.uint64)
-        hi = np.maximum(a, b).astype(np.uint64)
-        uk = np.unique(lo * np.uint64(1 << 32) + hi)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        # 2-column unique (retention_cohorts pattern) — safe for the full
+        # int64 docid range, unlike lo<<32|hi packing
+        uk = np.unique(np.stack([lo, hi], axis=1), axis=0)
         return pa.table(
             {
-                "docid_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
-                "docid_b": pa.array(
-                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                ),
+                "docid_a": pa.array(uk[:, 0].astype(np.int64)),
+                "docid_b": pa.array(uk[:, 1].astype(np.int64)),
             }
         )
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         a = _col(t, "docid_a")
         b = _col(t, "docid_b")
-        key = a.astype(np.uint64) * np.uint64(1 << 32) + b.astype(np.uint64)
-        uk = np.unique(key)
+        uk = np.unique(np.stack([a, b], axis=1), axis=0)
         return pa.table(
             {
-                "docid_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
-                "docid_b": pa.array(
-                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                ),
+                "docid_a": pa.array(uk[:, 0].astype(np.int64)),
+                "docid_b": pa.array(uk[:, 1].astype(np.int64)),
             }
         )
 

@@ -20,6 +20,7 @@ import os
 import re
 import time
 
+import pyarrow as pa
 from flask import Flask, jsonify, request
 
 from web_search_engine_ray.pipelines.query import Searcher
@@ -222,7 +223,9 @@ def create_app(
             ids = match_docids_local(
                 corpus_dir, grep_index_dir, pattern, bool(data.get("regex"))
             )
-        except (ValueError, re.error) as e:
+        except (ValueError, re.error, pa.lib.ArrowInvalid) as e:
+            # ArrowInvalid: patterns Python's re accepts but RE2 rejects
+            # (backreferences, lookarounds) fail at match time, not compile
             return jsonify({"error": str(e)}), 400
         return jsonify(
             {
