@@ -507,6 +507,15 @@ def _autocomplete_prefix_values() -> str:
     return ", ".join(f"('{p}')" for p in AUTOCOMPLETE_PREFIXES)
 
 
+def _rag_q_values() -> str:
+    """The fixed query set as raw-text SQL VALUES rows (query_id, text) —
+    the RAG embedder tokenizes with the DOC-side tokenizer, so the twin
+    re-tokenizes in SQL rather than inlining terms."""
+    from web_search_engine_ray.pipelines.serving import FIXED_QUERIES
+
+    return ", ".join(f"({i}, '{q}')" for i, q in enumerate(FIXED_QUERIES))
+
+
 def _q_values() -> str:
     """The fixed query set as SQL VALUES rows (query_id, term) — query-side
     tokenization is lower().split(), preserved here."""
@@ -1555,6 +1564,54 @@ GROUP BY c.doc_id
 """,
         "kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
         "semdedup": _semdedup_sql(KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU),
+        # composed RAG retrieval: the twin replays the WHOLE chain in SQL —
+        # sliding-window chunking (the chunk_docs CTE), signed-feature-hash
+        # embedding (md5_number_lower == the engine's md5-low-64 token hash;
+        # bucket = h % 64, sign = top hash bit; CAST AS FLOAT reproduces the
+        # store's f32 rounding bit-for-bit), then cosine top-5 per query
+        # with the engine-wide (cos desc, vec_id) tie contract. chunk_uid =
+        # docid * 2^20 + chunk_idx. Chunks sharing no bucket with a query
+        # still rank (cos = 0), hence the LEFT JOIN from the full cross set.
+        "rag_topk": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 32)) AS start FROM t),
+ ch AS (SELECT doc_id * 1048576 + (start // 32) AS chunk_uid,
+               list_slice(ws, start + 1, start + 64) AS toks
+        FROM st),
+ ctk AS (SELECT chunk_uid, md5_number_lower(unnest(toks)) AS h FROM ch),
+ cb AS (SELECT chunk_uid, (h % 64)::BIGINT AS b,
+               SUM(CASE WHEN h >= 9223372036854775808 THEN 1.0 ELSE -1.0 END)
+                 AS s
+        FROM ctk GROUP BY 1, 2),
+ cn AS (SELECT chunk_uid, sqrt(SUM(s * s)) AS norm FROM cb GROUP BY 1),
+ cc AS (SELECT cb.chunk_uid, cb.b,
+               CAST(cb.s / (CASE WHEN cn.norm = 0 THEN 1 ELSE cn.norm END)
+                    AS FLOAT) AS comp
+        FROM cb JOIN cn USING (chunk_uid)),
+ qraw AS (SELECT * FROM (VALUES {_rag_q_values()}) AS v(query_id, text)),
+ qtk AS (SELECT query_id, md5_number_lower(unnest({TOK})) AS h FROM qraw),
+ qb AS (SELECT query_id, (h % 64)::BIGINT AS b,
+               SUM(CASE WHEN h >= 9223372036854775808 THEN 1.0 ELSE -1.0 END)
+                 AS s
+        FROM qtk GROUP BY 1, 2),
+ qn AS (SELECT query_id, sqrt(SUM(s * s)) AS norm FROM qb GROUP BY 1),
+ qc AS (SELECT qb.query_id, qb.b, CAST(qb.s / qn.norm AS FLOAT) AS comp
+        FROM qb JOIN qn USING (query_id) WHERE qn.norm > 0),
+ dots AS (SELECT qc.query_id, cc.chunk_uid,
+                 SUM(qc.comp::DOUBLE * cc.comp::DOUBLE) AS dot
+          FROM qc JOIN cc ON cc.b = qc.b GROUP BY 1, 2),
+ allc AS (SELECT q.query_id, ch.chunk_uid
+          FROM (SELECT DISTINCT query_id FROM qc) q CROSS JOIN ch),
+ sims AS (SELECT a.query_id::BIGINT AS query_id,
+                 a.chunk_uid::BIGINT AS vec_id,
+                 coalesce(d.dot, 0.0) AS cos
+          FROM allc a LEFT JOIN dots d
+            ON d.query_id = a.query_id AND d.chunk_uid = a.chunk_uid)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rn FROM sims)
+WHERE rn <= 5
+""",
         "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),
@@ -2357,8 +2414,6 @@ FROM w WHERE role = 'assistant'
         # - incremental_novel: Bloom verdicts depend on the filter's bit
         #   layout; pytest pins no-false-negatives + an FPR bound.
         # - pca_project: eigendecomposition; pytest replays vs numpy.
-        # - rag_topk: hash-based embedder (not SQL math); pytest pins
-        #   exact-chunk retrieval + determinism.
         # - conv_* + sft_examples + role_search over the transcript FIXTURE
         #   corpus: the native transcript shape (tool calls, planted dups/
         #   gaps) has no driver table; all are DuckDB-oracled in pytest, and
