@@ -94,3 +94,73 @@ def test_chunk_uid_roundtrip(store):
     uid = t["chunk_uid"].to_numpy()
     assert np.array_equal(uid >> CHUNK_UID_SHIFT, t["docid"].to_numpy())
     assert np.array_equal(uid & ((1 << CHUNK_UID_SHIFT) - 1), t["chunk_idx"].to_numpy())
+
+
+def test_ivf_build_resume_and_drift(store):
+    from web_search_engine_ray.pipelines.rag import build_rag_ivf
+
+    out, _ = store
+    rep = build_rag_ivf(out, n_cells=8)
+    assert not rep["resumed"]
+    assert sum(rep["cell_counts"].values()) == json.load(
+        open(os.path.join(out, "rag_store.json"))
+    )["n_chunks"]  # every chunk lands in exactly one cell
+    rep2 = build_rag_ivf(out, n_cells=8)
+    assert rep2["resumed"]
+    with pytest.raises(ValueError, match="different parameters"):
+        build_rag_ivf(out, n_cells=4)
+
+
+def test_ivf_recall_floor_and_determinism(store):
+    from web_search_engine_ray.pipelines.rag import (
+        build_rag_ivf,
+        rag_topk,
+        rag_topk_ivf,
+    )
+
+    out, _ = store
+    build_rag_ivf(out, n_cells=8)
+    queries = ["spark join", "data window", "merge sort stream", "vector"]
+    exact = rag_topk(out, queries, topk=5).to_pandas()
+    a = rag_topk_ivf(out, queries, topk=5, nprobe=3).to_pandas()
+    b = rag_topk_ivf(out, queries, topk=5, nprobe=3).to_pandas()
+    assert a.equals(b)  # deterministic
+    ep = set(zip(exact["query_id"], exact["vec_id"]))
+    ip = set(zip(a["query_id"], a["vec_id"]))
+    assert len(ep & ip) / max(1, len(ep)) >= 0.6
+    # every IVF cos is the TRUE cosine: the probed subset never rescores
+    merged = a.merge(exact, on=["query_id", "vec_id"], suffixes=("_i", "_e"))
+    assert (merged["cos_i"] - merged["cos_e"]).abs().max() <= 1e-9
+
+
+def test_ivf_prunes_the_read(store):
+    """The probe-side read must touch only the probed cells' files."""
+    from web_search_engine_ray.pipelines.rag import (
+        IVF_CELLS,
+        build_rag_ivf,
+        rag_topk_ivf,
+    )
+
+    out, _ = store
+    build_rag_ivf(out, n_cells=8)
+    ivf_dir = os.path.join(out, "ivf")
+    n_files = len([f for f in os.listdir(ivf_dir) if f.endswith(".parquet")])
+    assert n_files > 3  # corpus spreads over multiple cells
+    got = rag_topk_ivf(out, ["spark join"], topk=5, nprobe=1).to_pandas()
+    # nprobe=1 rows all come from ONE cell: every returned chunk_uid must
+    # be in the single probed cell's file
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from web_search_engine_ray.pipelines.rag import hash_embed_matrix
+
+    C = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    Q = hash_embed_matrix(pa.chunked_array([pa.array(["spark join"])]), 64)
+    cell = int((Q.astype(np.float64) @ C.T.astype(np.float64)).argmax())
+    in_cell = set(
+        pq_.read_table(
+            os.path.join(ivf_dir, f"cell_{cell:05d}.parquet"),
+            columns=["chunk_uid"],
+        )["chunk_uid"].to_pylist()
+    )
+    assert set(got["vec_id"]) <= in_cell

@@ -235,3 +235,228 @@ def rag_topk(
 
         return _empty_knn_table()
     return _merge_query_topk(parts, topk)
+
+
+# ---------------------------------------------------------------------------
+# IVF-routed retrieval — the 100-TB serving path.  The exact scan above stays
+# as the oracle path (and the driver-gate `rag_topk` entry); this variant
+# re-layouts the store into per-cell parquet files so a query reads only its
+# ``nprobe`` probed cells (a partition-pruned read, the `similarity.ivf_knn`
+# discipline) instead of every chunk embedding.
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_SAMPLE_ROWS = 2048
+
+
+def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
+    """Re-layout ``<store_dir>/chunks.parquet`` into ``<store_dir>/ivf/``:
+    one parquet file per coarse-quantizer cell (chunk_uid, cell, embedding)
+    plus ``centroids.npy`` and an ``ivf.json`` marker. Training is the
+    bounded-sample spherical k-means from ``similarity._train_centroids``
+    (driver-side, corpus-size independent); assignment + writes stream
+    through Ray Data. Resumable: a rerun with the same params + store
+    fingerprint is metadata-only; changed params raise (drift guard)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import _norm_rows
+    from web_search_engine_ray.functions.arrays import list_matrix
+
+    chunks_path = os.path.join(store_dir, "chunks.parquet")
+    with open(os.path.join(store_dir, "rag_store.json")) as f:
+        store = json.load(f)
+    dim = int(store["params"]["dim"])
+    params = {
+        "n_cells": n_cells,
+        "store_fp": store["params"]["corpus_fp"],
+        "n_chunks": store["n_chunks"],
+    }
+    ivf_dir = os.path.join(store_dir, "ivf")
+    marker = os.path.join(ivf_dir, "ivf.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)
+        if prev.get("params") == params:
+            prev["resumed"] = True
+            return prev
+        raise ValueError(
+            f"ivf layout exists with different parameters "
+            f"({prev.get('params')} != {params}); rebuild the store"
+        )
+    os.makedirs(ivf_dir, exist_ok=True)
+
+    # bounded training sample: first IVF_SAMPLE_ROWS chunk embeddings via
+    # row-group-ranged reads — never the full store on the driver
+    import pyarrow.dataset as pds
+
+    sample = []
+    got = 0
+    for batch in pds.dataset(chunks_path).to_batches(
+        columns=["embedding"], batch_size=IVF_SAMPLE_ROWS
+    ):
+        if batch.num_rows == 0:
+            continue
+        sample.append(pa.Table.from_batches([batch]))
+        got += batch.num_rows
+        if got >= IVF_SAMPLE_ROWS:
+            break
+    S = list_matrix(
+        pa.concat_tables(sample).slice(0, IVF_SAMPLE_ROWS)["embedding"]
+    )
+    # store embeddings are already L2-normalized (zero rows stay zero)
+    rng = np.random.Generator(np.random.Philox(key=777))
+    C = S[rng.choice(S.shape[0], size=min(n_cells, S.shape[0]), replace=False)]
+    for _ in range(8):
+        assign = (S @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                C[c] = S[m].mean(axis=0)
+            else:
+                C[c] = S[int(rng.integers(0, S.shape[0]))]
+        C = _norm_rows(C)
+    C = C.astype(np.float32)
+    import ray as _ray
+
+    cref = _ray.put(C)
+
+    def assign_cells(t: pa.Table) -> pa.Table:
+        cents = _ray.get(cref)
+        V = list_matrix(t["embedding"], dtype=np.float32)
+        cell = (V.astype(np.float64) @ cents.T.astype(np.float64)).argmax(
+            axis=1
+        )
+        return pa.table(
+            {
+                "chunk_uid": t["chunk_uid"],
+                "cell": pa.array(cell.astype(np.int64)),
+                "embedding": t["embedding"],
+            }
+        )
+
+    assigned = ray.data.read_parquet(
+        chunks_path, columns=["chunk_uid", "embedding"]
+    ).map_batches(assign_cells, batch_format="pyarrow")
+
+    # one file per cell: the probe-side read prunes at the FILE level, the
+    # on-disk analogue of a partition-pruned read on a real object store
+    import shutil
+
+    tmp = ivf_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def route(t: pa.Table) -> np.ndarray:
+        return t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    from web_search_engine_ray.stages.exchange import exchange_map
+
+    def write_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cell = int(t["cell"][0].as_py())
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            t.sort_by("chunk_uid"), os.path.join(tmp, f"cell_{cell:05d}.parquet")
+        )
+        return pa.table(
+            {"cell": pa.array([cell], pa.int64()),
+             "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    counts = exchange_map(
+        assigned, route, n_cells, write_cell, auto_shrink=True
+    ).to_pandas()
+    np.save(os.path.join(ivf_dir, "centroids.npy"), C)
+    for f_ in os.listdir(tmp):
+        os.replace(os.path.join(tmp, f_), os.path.join(ivf_dir, f_))
+    shutil.rmtree(tmp, ignore_errors=True)
+    rep = {
+        "params": params,
+        "n_cells_nonempty": int(len(counts)),
+        "cell_counts": {
+            int(r.cell): int(r.n) for r in counts.itertuples()
+        },
+        "resumed": False,
+    }
+    with open(marker + ".tmp", "w") as f:
+        json.dump(rep, f)
+    os.replace(marker + ".tmp", marker)
+    return rep
+
+
+def rag_topk_ivf(
+    store_dir: str,
+    queries: list[str],
+    topk: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> pa.Table:
+    """(query_id, vec_id, cos) like :func:`rag_topk`, but each query scans
+    only its ``nprobe`` nearest IVF cells: the read is pruned to the UNION
+    of probed cell files (at 100 TB: a partition-pruned object-store read
+    of nprobe/n_cells of the data), and inside a batch each query masks to
+    its own probed cells. Same embedder, same merge, same tie contract —
+    recall vs the exact scan is pinned in tests/test_rag.py."""
+    import ray
+    import ray.data
+
+    from web_search_engine_ray.pipelines.similarity import (
+        _empty_knn_table,
+        _knn_partials_table,
+        _merge_query_topk,
+        _topk_det,
+    )
+    from web_search_engine_ray.functions.arrays import list_matrix
+
+    ivf_dir = os.path.join(store_dir, "ivf")
+    with open(os.path.join(store_dir, "rag_store.json")) as f:
+        dim = int(json.load(f)["params"]["dim"])
+    C = np.load(os.path.join(ivf_dir, "centroids.npy"))
+    Q = hash_embed_matrix(pa.chunked_array([pa.array(queries)]), dim)
+    live = np.linalg.norm(Q, axis=1) > 0
+    qcells = np.argsort(
+        -(Q.astype(np.float64) @ C.T.astype(np.float64)), axis=1, kind="stable"
+    )[:, :nprobe]
+    probed = sorted({int(c) for qi in range(Q.shape[0]) if live[qi]
+                     for c in qcells[qi]})
+    files = [
+        os.path.join(ivf_dir, f"cell_{c:05d}.parquet")
+        for c in probed
+        if os.path.exists(os.path.join(ivf_dir, f"cell_{c:05d}.parquet"))
+    ]
+    if not files:
+        return _empty_knn_table()
+    qref = ray.put((Q, qcells))
+
+    def f(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(qref)
+        M = list_matrix(batch["embedding"], dtype=np.float64)
+        vid = batch["chunk_uid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cell = batch["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            if not live[qi]:
+                continue
+            mask = np.isin(cell, probes[qi])
+            if not mask.any():
+                continue
+            s = qm[qi].astype(np.float64) @ M[mask].T
+            v = vid[mask]
+            k = min(topk, v.size)
+            keep = _topk_det(s, v, k)
+            out_q.append(np.full(keep.size, qi, dtype=np.int64))
+            out_v.append(v[keep])
+            out_s.append(s[keep])
+        return _knn_partials_table(out_q, out_v, out_s)
+
+    parts = (
+        ray.data.read_parquet(files, columns=["chunk_uid", "cell", "embedding"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return _empty_knn_table()
+    return _merge_query_topk(parts, topk)
