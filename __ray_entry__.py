@@ -669,6 +669,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-routed RAG retrieval recall contract (the 100-TB serving path:
         # probes read nprobe/n_cells of the store as a partition-pruned scan)
         "rag_ivf_recall_bound": _rag_ivf_recall_entry,
+        # multimodal decode->resize->feature digests over the deterministic
+        # generated media + audio corpora (rows-only; digests pytest-pinned)
+        "media_features": lambda sf: __import__(
+            "web_search_engine_ray.pipelines.multimodal", fromlist=["x"]
+        ).media_gate_table(sf),
         "spell_suggest": _spell_suggest_entry,
         # ---- legacy run interop (SURVEY S4/S5): corpus -> reference-format
         # TSV+RUN1 runs -> autodetected import -> native index -> decode all
@@ -917,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_PRIORITY = [
     "rag_topk",  # upgraded rows-only -> full value twin in round 5
     "rag_ivf_recall_bound",  # new in round 5
+    "media_features",  # new in round 5 — first driver-visible multimodal row
     "centroid_classify",
     "json_props_agg",
     "events_topn_per_user",
@@ -2466,6 +2472,10 @@ FROM w WHERE role = 'assistant'
         #   and the ranking math itself is oracled via bm25_topk_or.
         # - crawl_log: stateful frontier traversal (priority queue over
         #   fetch results) — no SQL twin can exist; pytest pins policy.
+        # - media_features: byte-level codec decode (PNG inflate, WAV PCM)
+        #   + FFT features are not SQL math; the exact per-row digests are
+        #   pytest-pinned (test_multimodal_serve.py) over the deterministic
+        #   generated corpora.
         # - bpe_merges + bpe_encode_stats: iterative greedy training loop;
         #   pytest pins both against an independent naive recount trainer.
         # - incremental_novel: Bloom verdicts depend on the filter's bit

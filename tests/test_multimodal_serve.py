@@ -176,3 +176,31 @@ def test_flask_spell_suggestions(served_index):
     r = client.post("/search", json={"query": "the data", "mode": "OR"})
     body = r.get_json()
     assert "suggestions" not in body and "suggestedQuery" not in body
+
+
+def test_media_gate_digests_pinned(ray_session):
+    """The driver-gate `media_features` entry's per-row digests, pinned the
+    crawl_log way: decode -> resize -> feature over the deterministic
+    generated corpora must reproduce these EXACT values — a codec, resize,
+    or feature regression flips a digest."""
+    import hashlib
+
+    from web_search_engine_ray.pipelines.multimodal import media_gate_table
+
+    df = media_gate_table("unused").to_pandas()
+    assert len(df) == 96
+    assert df.groupby("kind").size().to_dict() == {
+        "audio": 32, "image": 48, "video": 16,
+    }
+    pinned = [
+        (0, "image", 14, "d36436e6cbb54a50db377ca9c4af2a59", 43.176869),
+        (1, "image", 14, "ed9a72d2ff43815c11a9e6f4c24a8e24", 43.790548),
+        (3, "video", 14, "e9e0a067308288708641ffcd3b05f241", 46.295994),
+        (10003, "audio", 12, "1ab30703d2e665c92427d1501c8981fb", 0.262467),
+    ]
+    for mid, kind, dim, digest, mean in pinned:
+        r = df[df.media_id == mid].iloc[0]
+        assert (r["kind"], r["dim"], r["feat_digest"]) == (kind, dim, digest)
+        assert r["feat_mean"] == mean
+    full = hashlib.md5("|".join(df.feat_digest).encode()).hexdigest()
+    assert full == "ac95fce2dd0fed298183a99e553575a0"

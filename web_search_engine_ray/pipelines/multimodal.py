@@ -417,3 +417,74 @@ def media_features(media_table: pa.Table, concurrency: int = 2):
     return ds.map_batches(
         FeatureStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
     )
+
+
+def media_gate_table(sf_dir: str) -> pa.Table:
+    """(media_id, kind, dim, feat_digest, feat_mean): the multimodal
+    family's driver-gate entry — decode -> resize -> feature over the
+    deterministic generated media corpus (images, real PNGs, videos) plus
+    decode -> feature over the generated WAV audio corpus, reduced to one
+    digest row per media item.  ``sf_dir`` is unused (the driver tables
+    carry no media columns; the corpus is synthesized deterministically,
+    the `crawl_log` pattern).  Rows-only at the gate; the exact digests are
+    pytest-pinned in tests/test_multimodal_serve.py."""
+    import hashlib
+
+    def digest_rows(kind_by_id: dict[int, str], feats) -> list[tuple]:
+        rows = []
+        for mid, feat in zip(
+            feats["media_id"].to_pylist(), feats["feature"].to_pylist()
+        ):
+            d = hashlib.md5(
+                ",".join(f"{v:.6f}" for v in feat).encode()
+            ).hexdigest()
+            mean = round(float(np.mean(feat)), 6) if feat else 0.0
+            rows.append((mid, kind_by_id[mid], len(feat), d, mean))
+        return rows
+
+    media = make_media_table(n=64)
+    audio = make_audio_table(n=32)
+    mkinds = dict(
+        zip(media["media_id"].to_pylist(), media["kind"].to_pylist())
+    )
+    # audio ids offset so the two corpora never collide in one relation
+    AOFF = 10_000
+    rows = digest_rows(mkinds, _collect(media_features(media)))
+    arows = digest_rows(
+        {i + AOFF: "audio" for i in audio["media_id"].to_pylist()},
+        _offset_ids(_collect(audio_features(audio)), AOFF),
+    )
+    rows = sorted(rows + arows)
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "dim": pa.array([r[2] for r in rows], pa.int64()),
+            "feat_digest": pa.array([r[3] for r in rows], pa.string()),
+            "feat_mean": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _collect(ds) -> pa.Table:
+    """Small-result collect (the media gate corpora are <100 rows)."""
+    import pyarrow as pa_
+
+    tbls = ds.to_arrow_refs()
+    import ray as _ray
+
+    parts = [t for t in _ray.get(tbls) if t.num_rows]
+    return pa_.concat_tables(parts) if parts else pa_.table(
+        {"media_id": pa_.array([], pa_.int64()),
+         "feature": pa_.array([], pa_.list_(pa_.float64()))}
+    )
+
+
+def _offset_ids(t: pa.Table, off: int) -> pa.Table:
+    return t.set_column(
+        t.schema.get_field_index("media_id"),
+        "media_id",
+        pa.array(
+            (np.asarray(t["media_id"].combine_chunks()) + off).astype(np.int64)
+        ),
+    )
