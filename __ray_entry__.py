@@ -531,6 +531,118 @@ def _rag_ivf_recall_entry(sf_dir: str):
     )
 
 
+def _crawl_expected_values() -> str:
+    """Expected crawl log as SQL VALUES rows, computed by an INDEPENDENT
+    replay of the reference crawl policy over the deterministic FakeWeb: a
+    flat list-scan frontier (no heap, no waves) re-expressing priority
+    ordering, lazy robots, post-redirect dedup, and child filtering. The
+    unit-pinned building blocks (LinkExtractor, get_domain, RobotsCache —
+    F7/F8/F9 tests) are shared as spec; the crawl LOOP — what the twin
+    actually checks — is written independently of ``crawl.crawler``."""
+    import math
+    from urllib.parse import urldefrag
+
+    from web_search_engine_ray.crawl.crawler import looks_binary_by_suffix
+    from web_search_engine_ray.crawl.fakeweb import FakeWeb
+    from web_search_engine_ray.crawl.robots import RobotsCache
+    from web_search_engine_ray.crawl.urls import (
+        LinkExtractor,
+        get_domain,
+        get_superdomain,
+    )
+
+    web = FakeWeb()
+    seeds = [web.page_url(0, 1), web.page_url(1, 2)]
+    robots = RobotsCache("wse-ray-crawler", web.fetch_text)
+    SUPW, MAXP, MAXD = 0.1, 40, 3
+
+    def prio(dn: int, sn: int, depth: int) -> float:
+        return (
+            1.0 / math.log2(2.0 + dn)
+            + SUPW / math.log2(2.0 + sn)
+            + 1.0 / (1.0 + depth)
+        )
+
+    frontier: list[dict] = []
+    visited: set[str] = set()
+    in_frontier: set[str] = set()
+    dom_n: dict[str, int] = {}
+    sup_n: dict[str, int] = {}
+    seq = 0
+    out = []
+    for s in seeds:
+        s, _ = urldefrag(s.strip())
+        if robots.can_fetch(s) and s not in in_frontier:
+            frontier.append(
+                {"url": s, "depth": 0, "seq": seq, "prio": prio(0, 0, 0)}
+            )
+            in_frontier.add(s)
+            seq += 1
+    while frontier and len(out) < MAXP:
+        best = min(frontier, key=lambda f: (-f["prio"], f["depth"], f["seq"]))
+        frontier.remove(best)
+        in_frontier.discard(best["url"])
+        if not robots.can_fetch(best["url"]):
+            continue
+        res = web.fetch(best["url"])
+        final, status, body = res["final_url"], int(res["status"]), res["body"]
+        if final in visited:
+            continue
+        d, sd = get_domain(final), get_superdomain(final)
+        db, sb = dom_n.get(d, 0), sup_n.get(sd, 0)
+        tp = round(
+            1.0 / math.log2(2.0 + db)
+            + SUPW / math.log2(2.0 + sb)
+            + 1.0 / (1.0 + best["depth"]),
+            3,
+        )
+        out.append(
+            (final, status, best["depth"], len(body) if body else 0, d, tp)
+        )
+        visited.add(final)
+        dom_n[d] = db + 1
+        sup_n[sd] = sb + 1
+        if not body or best["depth"] >= MAXD or status >= 400:
+            continue
+        p = LinkExtractor(final)
+        p.feed(body.decode("utf-8", errors="replace"))
+        page_seen: set[str] = set()
+        accepted = 0
+        # FakeWeb pages carry far fewer than 100 links, so the reference's
+        # oversample/keep path never engages on this corpus
+        for child in p.links:
+            if (
+                looks_binary_by_suffix(child)
+                or child in visited
+                or child in in_frontier
+                or child in page_seen
+            ):
+                continue
+            page_seen.add(child)
+            if "cgi" in child.lower():
+                continue
+            if accepted < 100:
+                frontier.append(
+                    {
+                        "url": child,
+                        "depth": best["depth"] + 1,
+                        "seq": seq,
+                        "prio": prio(
+                            dom_n.get(get_domain(child), 0),
+                            sup_n.get(get_superdomain(child), 0),
+                            best["depth"] + 1,
+                        ),
+                    }
+                )
+                in_frontier.add(child)
+                accepted += 1
+            seq += 1
+    return ", ".join(
+        f"('{u}', {s}, {dep}, {nb}, '{dm}', {tp})"
+        for u, s, dep, nb, dm, tp in out
+    )
+
+
 def _spell_suggest_entry(sf_dir: str):
     from web_search_engine_ray.pipelines.spell import spell_suggest_ds
 
@@ -923,6 +1035,7 @@ _DRIVER_PRIORITY = [
     "rag_topk",  # upgraded rows-only -> full value twin in round 5
     "rag_ivf_recall_bound",  # new in round 5
     "media_features",  # new in round 5 — first driver-visible multimodal row
+    "crawl_log",  # upgraded rows-only -> independent-replay value twin in round 5
     "centroid_classify",
     "json_props_agg",
     "events_topn_per_user",
@@ -1674,6 +1787,17 @@ GROUP BY c.doc_id
         "rag_ivf_recall_bound": f"""
 SELECT (SELECT count(*) FROM ({rag_sql}))::BIGINT AS n_exact,
        true AS recall_ok
+""",
+        # crawl over the deterministic FakeWeb: the twin's VALUES come from
+        # an INDEPENDENT flat-loop replay of the reference policy (see
+        # _crawl_expected_values) — heap/wave scheduling regressions,
+        # robots/dedup/priority drift all hash-mismatch
+        "crawl_log": f"""
+SELECT url, status::BIGINT AS status, depth::BIGINT AS depth,
+       n_bytes::BIGINT AS n_bytes, domain,
+       total_priority::DOUBLE AS total_priority
+FROM (VALUES {_crawl_expected_values()})
+  AS v(url, status, depth, n_bytes, domain, total_priority)
 """,
 "knn_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -2470,8 +2594,6 @@ FROM w WHERE role = 'assistant'
         # - wand_daat_equivalence: engine-internal heap-tie membership is
         #   not SQL-expressible; the entry RAISES on WAND/DAAT divergence
         #   and the ranking math itself is oracled via bm25_topk_or.
-        # - crawl_log: stateful frontier traversal (priority queue over
-        #   fetch results) — no SQL twin can exist; pytest pins policy.
         # - media_features: byte-level codec decode (PNG inflate, WAV PCM)
         #   + FFT features are not SQL math; the exact per-row digests are
         #   pytest-pinned (test_multimodal_serve.py) over the deterministic
