@@ -44,36 +44,31 @@ def built_index(ray_session, phrase_dir, tmp_path_factory):
     return out
 
 
-def test_positional_postings(ray_session, phrase_dir):
-    from web_search_engine_ray.pipelines.phrase import positional_postings_ds
-
-    t = positional_postings_ds(phrase_dir, codec="plain").to_pandas()
-    row = t[(t.term == "spark") & (t.docid == 0)].iloc[0]
-    assert list(row.positions) == [1, 3]
-    row = t[(t.term == "join") & (t.docid == 0)].iloc[0]
-    assert list(row.positions) == [2, 4]
-    # the huge docid keeps exact positions
-    row = t[(t.term == "tail") & (t.docid == 2**40)].iloc[0]
-    assert list(row.positions) == [3]
+def _expected_positions(texts, docids) -> dict:
+    """Independent recount oracle: 1-based positions per (term, docid) by a
+    plain ``str.split`` walk (fixture texts are simple space-separated
+    lowercase, where split == the engine tokenizer)."""
+    want: dict = {}
+    for did, text in zip(docids, texts):
+        for i, w in enumerate(text.split(), start=1):
+            want.setdefault((w, did), []).append(i)
+    return want
 
 
 def test_vb_positions_roundtrip(ray_session, phrase_dir):
-    """The default varbyte layout decodes to exactly the plain layout's
-    position lists, row for row."""
+    """The (single) varbyte layout decodes to exactly the independently
+    recounted position lists, row for row."""
     from web_search_engine_ray.pipelines.phrase import (
         _decode_positions,
         positional_postings_ds,
     )
 
-    plain = positional_postings_ds(phrase_dir, codec="plain").to_pandas()
-    vb = positional_postings_ds(phrase_dir, codec="vb").take_all()
+    vb = positional_postings_ds(phrase_dir).take_all()
     import pyarrow as _pa
 
     vbt = _pa.Table.from_pylist(vb)
     assert set(vbt.column_names) == {"term", "docid", "tf", "positions_vb"}
     counts, flat = _decode_positions(vbt)
-    # rebuild per-row lists and compare against the plain layout keyed by
-    # (term, docid)
     got = {}
     off = 0
     rows = vbt.to_pylist()
@@ -82,8 +77,13 @@ def test_vb_positions_roundtrip(ray_session, phrase_dir):
         got[(r["term"], r["docid"])] = list(map(int, flat[off : off + c]))
         assert c == r["tf"]
         off += c
-    for _, r in plain.iterrows():
-        assert got[(r.term, r.docid)] == list(r.positions)
+    t = pq.read_table(os.path.join(phrase_dir, "documents.parquet"))
+    want = _expected_positions(
+        t["text"].to_pylist(), t["doc_id"].to_pylist()
+    )
+    assert got == want
+    assert got[("spark", 0)] == [1, 3] and got[("join", 0)] == [2, 4]
+    assert got[("tail", 2**40)] == [3]  # huge docid keeps exact positions
 
 
 def test_blocked_layout_multi_block_roundtrip():
@@ -127,12 +127,35 @@ def test_blocked_layout_multi_block_roundtrip():
             off += len(pos)
 
 
-def test_vb_index_results_equal_plain(ray_session, phrase_dir, tmp_path_factory):
-    """phrase/proximity answers are identical from both on-disk codecs."""
+def test_legacy_plain_index_read_compat(
+    ray_session, phrase_dir, tmp_path_factory
+):
+    """Readers still accept a pre-round-5 plain list<int32> on-disk index:
+    the test writes one directly (the retired writer's layout) and phrase
+    answers must equal the blocked-varbyte index's."""
+    from web_search_engine_ray.pipelines.phrase import _term_shard
+
     out_p = str(tmp_path_factory.mktemp("posidx_plain"))
     out_v = str(tmp_path_factory.mktemp("posidx_vb"))
-    build_positional_index(phrase_dir, out_p, n_shards=4, codec="plain")
-    build_positional_index(phrase_dir, out_v, n_shards=4, codec="vb")
+    build_positional_index(phrase_dir, out_v, n_shards=4)
+    t = pq.read_table(os.path.join(phrase_dir, "documents.parquet"))
+    want = _expected_positions(t["text"].to_pylist(), t["doc_id"].to_pylist())
+    shards = {i: [] for i in range(4)}
+    for (term, did), pos in sorted(want.items()):
+        shards[_term_shard(term, 4)].append((term, did, pos))
+    for i, rows in shards.items():
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array([r[0] for r in rows], pa.string()),
+                    "docid": pa.array([r[1] for r in rows], pa.int64()),
+                    "positions": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.int32())
+                    ),
+                }
+            ),
+            os.path.join(out_p, f"shard_{i:05d}.parquet"),
+        )
     for terms in (["spark", "join"], ["spark", "join", "order"], ["spark", "zzz"]):
         dp, cp = phrase_match_counts(out_p, terms, n_shards=4)
         dv, cv = phrase_match_counts(out_v, terms, n_shards=4)

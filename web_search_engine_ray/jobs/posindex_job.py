@@ -20,12 +20,6 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="dir containing documents.parquet")
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-shards", type=int, default=8)
-    ap.add_argument(
-        "--codec",
-        choices=("vb", "plain"),
-        default="vb",
-        help="position-list encoding: delta-gap varbyte (default) or plain list<int32>",
-    )
     args = ap.parse_args()
 
     import ray
@@ -35,9 +29,7 @@ def main() -> None:
     from web_search_engine_ray.pipelines.phrase import build_positional_index
 
     t0 = time.perf_counter()
-    stats = build_positional_index(
-        args.input, args.out, n_shards=args.num_shards, codec=args.codec
-    )
+    stats = build_positional_index(args.input, args.out, n_shards=args.num_shards)
     stats["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(stats))
     ray.shutdown()

@@ -8,7 +8,7 @@ build discipline:
 - :func:`positional_postings_ds` — one row per (term, docid) with 1-based
   token positions, stored delta-gap varbyte (``positions_vb`` binary + ``tf``;
   the main index's posting-block wire codec, ~1 byte/position in flight and
-  on disk — codec="plain" keeps the legacy list<int32> layout, and readers
+  on disk — the only writer layout since round 5; readers
   accept both). NO shuffle: a document never spans batches, so each
   per-batch (term, docid) group is already complete (the same invariant the
   postings build relies on, ``pipelines/corpus.py``).
@@ -53,7 +53,7 @@ from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
 N_SHARDS = 8
 _POS_BITS = np.uint64(32)  # composite key = doc_rank << 32 | pos
-POS_CODEC = "vb"  # default on-disk layout ("vb" blocked varbyte | "plain")
+POS_CODEC = "vb"  # the single writer layout (readers also accept legacy plain)
 POS_BLOCK = 4096  # postings per blocked row (vb layout)
 
 
@@ -135,16 +135,14 @@ def _decode_positions(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return counts, _segmented_abs(gaps, counts)
 
 
-def positional_postings_ds(sf_dir: str, codec: str = POS_CODEC):
+def positional_postings_ds(sf_dir: str):
     """One row per (term, doc), positions sorted ascending, 1-based over the
-    tokenized stream. ``codec="vb"`` (default) emits (term, docid, tf,
-    positions_vb) with delta-gap varbyte position bytes — ~1 byte per
-    position in flight and on disk instead of list<int32>'s 4; ``"plain"``
-    keeps the list<int32> layout (still readable everywhere). A single
-    document would need >2^31 tokens to overflow the position space
+    tokenized stream, as (term, docid, tf, positions_vb) with delta-gap
+    varbyte position bytes — ~1 byte per position in flight and on disk
+    instead of list<int32>'s 4. The ONLY in-flight layout since round 5
+    (readers still accept legacy plain list<int32> indexes on disk). A
+    single document would need >2^31 tokens to overflow the position space
     (guarded)."""
-    if codec not in ("vb", "plain"):
-        raise ValueError(f"unknown positional codec {codec!r}")
 
     def f(batch: pa.Table) -> pa.Table:
         toks = token_lists(batch["text"])
@@ -175,7 +173,7 @@ def positional_postings_ds(sf_dir: str, codec: str = POS_CODEC):
                 ]
             )
         )
-        return _encode_positions_batch(out) if codec == "vb" else out
+        return _encode_positions_batch(out)
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
@@ -299,14 +297,14 @@ def _blocked_shard_table(t: pa.Table, block: int = POS_BLOCK) -> pa.Table:
 
 
 def build_positional_index(
-    sf_dir: str, out_dir: str, n_shards: int = N_SHARDS, codec: str = POS_CODEC
+    sf_dir: str, out_dir: str, n_shards: int = N_SHARDS
 ) -> dict:
-    """Write the positional index: ``out_dir/shard_{i:05d}.parquet``.
-    ``codec="vb"`` (default) stores the blocked varbyte layout (one row per
-    term per <=POS_BLOCK postings — see :func:`_blocked_shard_table`);
-    ``"plain"`` keeps one (term, docid, positions list<int32>) row per
-    posting. Atomic per-shard writes (tmp + rename); ``n_rows`` in the
-    returned stats counts POSTINGS (term, doc pairs) for both codecs."""
+    """Write the positional index: ``out_dir/shard_{i:05d}.parquet`` in the
+    blocked varbyte layout (one row per term per <=POS_BLOCK postings — see
+    :func:`_blocked_shard_table`; 2.18x smaller and faster to build than
+    the retired plain list<int32> writer, which readers still accept on
+    disk). Atomic per-shard writes (tmp + rename); ``n_rows`` in the
+    returned stats counts POSTINGS (term, doc pairs)."""
     from web_search_engine_ray.stages.exchange import exchange_map
 
     os.makedirs(out_dir, exist_ok=True)
@@ -315,12 +313,8 @@ def build_positional_index(
         return _term_shard_column(t["term"], n_shards)
 
     def write_shard(t: pa.Table, pi: int) -> pa.Table:
-        if codec == "vb":
-            tt = _blocked_shard_table(t)
-            n_postings = t.num_rows
-        else:
-            tt = pl.from_arrow(t).sort(["term", "docid"]).to_arrow().cast(t.schema)
-            n_postings = tt.num_rows
+        tt = _blocked_shard_table(t)
+        n_postings = t.num_rows
         path = os.path.join(out_dir, f"shard_{pi:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(tt, tmp)
@@ -332,7 +326,7 @@ def build_positional_index(
             }
         )
 
-    ds = positional_postings_ds(sf_dir, codec=codec)
+    ds = positional_postings_ds(sf_dir)
     stats = exchange_map(ds, route, n_shards, write_shard, with_index=True)
     rows = stats.to_pandas()
     return {
