@@ -247,6 +247,7 @@ def test_conversation_minhash_pairs_are_similar(ray_session, neardup_corpus):
     shingle jaccard must be well above random (banded LSH false positives
     need a band-hash collision, which the u64 band space makes negligible)."""
     import numpy as np
+    import pyarrow as pa
 
     from web_search_engine_ray.functions.tokenize import token_lists
     from web_search_engine_ray.pipelines.dedup import _shingle_hashes
@@ -556,3 +557,30 @@ def test_role_filtered_probe_cap(ray_session, conv_corpus):
         role_filtered_search_table(
             conv_corpus, role="nosuchrole", queries=["the"], probe_cap=50
         )
+
+
+def test_minhash_unique_text_gather_bit_identical():
+    """The dictionary-encode fast path (sign unique conversation texts,
+    gather) is bit-identical to signing every row directly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_search_engine_ray.functions.tokenize import token_lists
+    from web_search_engine_ray.pipelines.dedup import _batch_signatures
+
+    texts = [
+        "user: hello world alpha beta gamma delta",
+        "assistant: the quick brown fox jumps over dogs",
+        "user: hello world alpha beta gamma delta",  # exact repeat
+        "user: hello world alpha beta gamma delta",
+        "assistant: something else entirely here now too",
+    ]
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+    direct = _batch_signatures(token_lists(col).to_list())
+    txt = np.asarray(texts, dtype=object)
+    uniq, inv = np.unique(txt, return_inverse=True)
+    utoks = token_lists(
+        pa.chunked_array([pa.array(uniq.tolist(), pa.string())])
+    ).to_list()
+    gathered = _batch_signatures(utoks)[inv]
+    assert np.array_equal(direct, gathered)

@@ -702,9 +702,28 @@ def conversation_minhash_dups_ds(
     n_parts = max(n_parts, np_)
 
     def to_bands(t: pa.Table) -> pa.Table:
-        toks = token_lists(t["conv_text"]).to_list()
         ids = t["conv_id"].to_pylist()
-        sigs = _batch_signatures(toks)
+        col = t["conv_text"].combine_chunks()
+        txt = np.asarray(col.to_pylist(), dtype=object)
+        # dictionary-encode identical conversation texts: sign each UNIQUE
+        # text once and gather (min over a multiset == min over its set, so
+        # the gathered signatures are bit-identical). Wins on templated
+        # corpora with repeated whole conversations; ~free otherwise (one
+        # string sort per batch). Turn-LEVEL dictionary encoding was
+        # investigated and rejected — see BASELINE.md round-5 notes (the
+        # per-chunk unique-shingle pass in _batch_signatures already
+        # captures cross-conversation shingle repetition).
+        if col.null_count == 0 and txt.size:
+            uniq, inv = np.unique(txt, return_inverse=True)
+            if uniq.size < txt.size:
+                utoks = token_lists(
+                    pa.chunked_array([pa.array(uniq.tolist(), pa.string())])
+                ).to_list()
+                sigs = _batch_signatures(utoks)[inv]
+            else:
+                sigs = _batch_signatures(token_lists(col).to_list())
+        else:
+            sigs = _batch_signatures(token_lists(col).to_list())
         bh = _band_hashes(sigs)
         n = len(ids)
         return pa.table(
