@@ -268,7 +268,6 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
     chunks_path = os.path.join(store_dir, "chunks.parquet")
     with open(os.path.join(store_dir, "rag_store.json")) as f:
         store = json.load(f)
-    dim = int(store["params"]["dim"])
     params = {
         "n_cells": n_cells,
         "store_fp": store["params"]["corpus_fp"],
@@ -303,6 +302,8 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
         got += batch.num_rows
         if got >= IVF_SAMPLE_ROWS:
             break
+    if not sample:
+        raise ValueError(f"rag store at {store_dir} has no chunks to index")
     S = list_matrix(
         pa.concat_tables(sample).slice(0, IVF_SAMPLE_ROWS)["embedding"]
     )
