@@ -951,8 +951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, holdout_max_docid=100, n=8
         ),
         # rows-only: the Bloom membership verdict depends on the filter's
-        # bit layout (no SQL twin); pytest pins no-false-negatives and the
-        # planted novel/dup split (tests/test_dedup_ops.py)
+        # full value twin: the Bloom's bit layout is splitmix over
+        # md5-low-64, both DuckDB-expressible (UHUGEINT wraparound
+        # arithmetic) — even false positives reproduce bit-for-bit
         "incremental_novel": lambda sf: dedup.incremental_novel_ds(
             sf, prior_max_docid=100
         ),
@@ -1790,6 +1791,41 @@ GROUP BY c.doc_id
 SELECT (SELECT count(*) FROM ({rag_sql}))::BIGINT AS n_exact,
        true AS recall_ok
 """,
+        # Bloom-gated incremental dedup, replayed EXACTLY in SQL: content
+        # hash = low 64 bits of md5 (big-endian hex parse, matching the
+        # engine's int(hex,16) & mask), k=4 bit positions via splitmix
+        # (UHUGEINT wraparound multiply emulates mod-2^64; seeds inlined =
+        # splitmix(1..4)), snapshot = distinct positions of doc_id < 100,
+        # novel = any of the doc's k positions missing. False positives
+        # reproduce bit-for-bit because both sides compute the same bits.
+        "incremental_novel": f"""
+WITH h_all AS (SELECT doc_id,
+        CASE WHEN text IS NULL THEN 0::UBIGINT
+             ELSE ('0x' || right(md5(text), 16))::UBIGINT END AS h
+      FROM documents),
+ seeds(s) AS (VALUES (10451216379200822465::UBIGINT),
+                     (10905525725756348110::UBIGINT),
+                     (2092789425003139053::UBIGINT),
+                     (7958955049054603978::UBIGINT)),
+ x0 AS (SELECT doc_id, xor(h, s) AS x FROM h_all CROSS JOIN seeds),
+ z0 AS (SELECT doc_id,
+        ((x::UHUGEINT + 11400714819323198485::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM x0),
+ z1 AS (SELECT doc_id,
+        ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM z0),
+ z2 AS (SELECT doc_id,
+        ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM z1),
+ pos AS (SELECT doc_id, xor(z, z >> 31) % {1 << 22} AS p FROM z2),
+ spos AS (SELECT DISTINCT p FROM pos WHERE doc_id < 100),
+ npos AS (SELECT DISTINCT doc_id, p FROM pos WHERE doc_id >= 100),
+ miss AS (SELECT DISTINCT n.doc_id FROM npos n
+          LEFT JOIN spos ON spos.p = n.p WHERE spos.p IS NULL)
+SELECT doc_id::BIGINT AS docid,
+       (doc_id IN (SELECT doc_id FROM miss)) AS novel
+FROM h_all WHERE doc_id >= 100
+""",
         # crawl over the deterministic FakeWeb: the twin's VALUES come from
         # an INDEPENDENT flat-loop replay of the reference policy (see
         # _crawl_expected_values) — heap/wave scheduling regressions,
@@ -2602,8 +2638,6 @@ FROM w WHERE role = 'assistant'
         #   generated corpora.
         # - bpe_merges + bpe_encode_stats: iterative greedy training loop;
         #   pytest pins both against an independent naive recount trainer.
-        # - incremental_novel: Bloom verdicts depend on the filter's bit
-        #   layout; pytest pins no-false-negatives + an FPR bound.
         # - pca_project: eigendecomposition; pytest replays vs numpy.
         # - conv_* + sft_examples + role_search over the transcript FIXTURE
         #   corpus: the native transcript shape (tool calls, planted dups/

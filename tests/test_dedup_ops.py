@@ -457,6 +457,42 @@ def test_incremental_bloom_dedup(ray_session, tmp_path):
     assert got == {50: False, 51: False, 52: True, 53: True, 54: False}
 
 
+def test_incremental_bloom_twin_with_dups(ray_session, oracle_eq, tmp_path):
+    """The SQL twin replays the Bloom bit layout exactly: on a planted
+    corpus where novel=False actually occurs (exact dups across the
+    doc_id=100 split the gate twin hardcodes), engine == twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.dedup import incremental_novel_ds
+
+    d = tmp_path / "inctwin"
+    d.mkdir()
+    prior = [f"snapshot doc number {i} stable content" for i in range(100)]
+    new = [prior[3], "a genuinely new document", prior[42], None, ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(prior) + len(new)), pa.int64()),
+            "text": pa.array(prior + new, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = incremental_novel_ds(str(d), prior_max_docid=100).to_pandas()
+    assert got.set_index("docid")["novel"].to_dict() == {
+        100: False, 101: True, 102: False, 103: True, 104: True,
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle_eq(
+        got, con.sql(entrymod.oracle_sql()["incremental_novel"]).df()
+    )
+
+
 def test_bloom_filter_no_false_negatives_bulk(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
