@@ -531,6 +531,36 @@ def _rag_ivf_recall_entry(sf_dir: str):
     )
 
 
+def _sm_cte(prefix: str, xcol: str) -> str:
+    """Chained CTEs applying splitmix64 to column ``xcol`` of
+    ``<prefix>_in`` — UHUGEINT wraparound multiply emulates the mod-2^64
+    arithmetic DuckDB's UBIGINT would overflow on (unit-verified against
+    the numpy kernel on boundary values in the bloom twin work)."""
+    MOD = "18446744073709551616::UHUGEINT"
+    return f"""
+ {prefix}0 AS (SELECT * REPLACE(((({xcol})::UHUGEINT
+        + 11400714819323198485::UHUGEINT) % {MOD})::UBIGINT AS {xcol})
+        FROM {prefix}_in),
+ {prefix}1 AS (SELECT * REPLACE(((xor({xcol}, {xcol} >> 30)::UHUGEINT
+        * 13787848793156543929::UHUGEINT) % {MOD})::UBIGINT AS {xcol})
+        FROM {prefix}0),
+ {prefix}2 AS (SELECT * REPLACE(((xor({xcol}, {xcol} >> 27)::UHUGEINT
+        * 10723151780598845931::UHUGEINT) % {MOD})::UBIGINT AS {xcol})
+        FROM {prefix}1),
+ {prefix} AS (SELECT * REPLACE(xor({xcol}, {xcol} >> 31) AS {xcol})
+        FROM {prefix}2)"""
+
+
+def _minhash_seed_values() -> str:
+    """The 64 permutation seeds (splitmix(1..64)) as SQL VALUES rows."""
+    import numpy as np
+
+    from web_search_engine_ray.pipelines.dedup import MINHASH_PERMS, _splitmix
+
+    seeds = _splitmix(np.arange(1, MINHASH_PERMS + 1, dtype=np.uint64))
+    return ",".join(f"({p}, {int(s)}::UBIGINT)" for p, s in enumerate(seeds))
+
+
 def _crawl_expected_values() -> str:
     """Expected crawl log as SQL VALUES rows, computed by an INDEPENDENT
     replay of the reference crawl policy over the deterministic FakeWeb: a
@@ -950,7 +980,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_contamination": lambda sf: dedup.holdout_contamination_ds(
             sf, holdout_max_docid=100, n=8
         ),
-        # rows-only: the Bloom membership verdict depends on the filter's
         # full value twin: the Bloom's bit layout is splitmix over
         # md5-low-64, both DuckDB-expressible (UHUGEINT wraparound
         # arithmetic) — even false positives reproduce bit-for-bit
@@ -1791,6 +1820,51 @@ GROUP BY c.doc_id
 SELECT (SELECT count(*) FROM ({rag_sql}))::BIGINT AS n_exact,
        true AS recall_ok
 """,
+        # banded minhash LSH, replayed EXACTLY in SQL: token hash =
+        # md5_number_lower, k=3 shingle combine with inlined FNV-prime
+        # powers mod 2^64, 64 permutation mins (seeds = splitmix(1..64)),
+        # 32 bands x 2 rows band-hash, intra-bucket pairs distinct across
+        # bands. LSH is approximate as a DEDUP method, but the candidate
+        # RELATION is a deterministic function of the corpus — so it value-
+        # twins. Shingle-less docs (<3 tokens) keep all-max signatures and
+        # pair with each other, reproduced via the coalesce.
+        "minhash_lsh_candidates": f"""
+WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
+ tk AS (SELECT doc_id, i, md5_number_lower(ws[i]) AS th
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+ sm_sh_in AS (SELECT a.doc_id,
+        (((a.th::UHUGEINT * 1::UHUGEINT) % 18446744073709551616::UHUGEINT
+        + (b.th::UHUGEINT * 1099511628211::UHUGEINT)
+          % 18446744073709551616::UHUGEINT
+        + (c.th::UHUGEINT * 956575116354345::UHUGEINT)
+          % 18446744073709551616::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS x
+        FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                  JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+{_sm_cte("sm_sh", "x")},
+ shd AS (SELECT DISTINCT doc_id, x AS sh FROM sm_sh),
+ seeds(p, s) AS (VALUES {_minhash_seed_values()}),
+ sm_pm_in AS (SELECT doc_id, p, xor(sh, s) AS x FROM shd CROSS JOIN seeds),
+{_sm_cte("sm_pm", "x")},
+ sigv AS (SELECT doc_id, p, min(x) AS sig FROM sm_pm GROUP BY 1, 2),
+ sigfull AS (SELECT d.doc_id, sd.p,
+             coalesce(v.sig, 18446744073709551615::UBIGINT) AS sig
+             FROM (SELECT doc_id FROM t) d
+             CROSS JOIN (SELECT p FROM seeds) sd
+             LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.p = sd.p),
+ sm_bh_in AS (SELECT doc_id, p // 2 AS band,
+        (SUM((sig::UHUGEINT
+              * (CASE WHEN p % 2 = 0 THEN 2654435761::UHUGEINT
+                 ELSE 7046029209275649121::UHUGEINT END))
+             % 18446744073709551616::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS x
+        FROM sigfull GROUP BY 1, 2),
+{_sm_cte("sm_bh", "x")},
+ bh AS (SELECT doc_id, band, (x >> 1)::BIGINT AS bhash FROM sm_bh)
+SELECT DISTINCT a.doc_id::BIGINT AS docid_a, b.doc_id::BIGINT AS docid_b
+FROM bh a JOIN bh b ON b.band = a.band AND b.bhash = a.bhash
+                   AND b.doc_id > a.doc_id
+""",
         # Bloom-gated incremental dedup, replayed EXACTLY in SQL: content
         # hash = low 64 bits of md5 (big-endian hex parse, matching the
         # engine's int(hex,16) & mask), k=4 bit positions via splitmix
@@ -2618,8 +2692,6 @@ SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_context_turns,
 FROM w WHERE role = 'assistant'
 """,
         # rows-only (no SQL value twin) — per-entry rationale:
-        # - minhash_lsh_candidates: splitmix64 mixing needs wrapping u64
-        #   arithmetic DuckDB lacks; feeds the hash-green ngram_jaccard_dups.
         # - knn_lsh/knn_ivf/knn_pq + embedding_dups_lsh: approximate by
         #   construction — their CONTRACTS are oracled (ann_recall_bounds);
         #   raw outputs additionally pinned by pytest recall/subset tests.
