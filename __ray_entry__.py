@@ -1820,6 +1820,37 @@ GROUP BY c.doc_id
 SELECT (SELECT count(*) FROM ({rag_sql}))::BIGINT AS n_exact,
        true AS recall_ok
 """,
+        # HyperLogLog, replayed EXACTLY in SQL: registers are a
+        # deterministic function of the corpus's distinct tokens (bucket =
+        # md5-low-64 >> 52, rank = leading zeros of the remaining bits + 1
+        # via exact integer bin()-length — no float log2), then the
+        # alpha-corrected harmonic mean with the linear-counting branch.
+        # Round to 3 like the engine.
+        "distinct_terms_hll": f"""
+WITH terms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
+ h AS (SELECT md5_number_lower(term) AS h FROM terms),
+ ir AS (SELECT (h >> 52)::BIGINT AS idx,
+               ((h::UHUGEINT * 4096::UHUGEINT)
+                % 18446744073709551616::UHUGEINT)::UBIGINT AS rest
+        FROM h),
+ rk AS (SELECT idx,
+               CASE WHEN rest = 0 THEN 53
+                    ELSE 64 - length(ltrim(bin(rest), '0')) + 1 END AS rank
+        FROM ir),
+ regs AS (SELECT idx, max(rank) AS r FROM rk GROUP BY idx),
+ allregs AS (SELECT g.idx, coalesce(regs.r, 0) AS r
+             FROM range(0, 4096) g(idx) LEFT JOIN regs ON regs.idx = g.idx),
+ agg AS (SELECT sum(power(2.0, -r)) AS denom,
+                sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+         FROM allregs),
+ est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / denom
+                  AS e,
+                zeros FROM agg)
+SELECT ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+             THEN 4096.0 * ln(4096.0 / zeros) ELSE e END, 3) AS estimate,
+       12::BIGINT AS p
+FROM est
+""",
         # banded minhash LSH, replayed EXACTLY in SQL: token hash =
         # md5_number_lower, k=3 shingle combine with inlined FNV-prime
         # powers mod 2^64, 64 permutation mins (seeds = splitmix(1..64)),
@@ -2695,12 +2726,14 @@ FROM w WHERE role = 'assistant'
         # - knn_lsh/knn_ivf/knn_pq + embedding_dups_lsh: approximate by
         #   construction — their CONTRACTS are oracled (ann_recall_bounds);
         #   raw outputs additionally pinned by pytest recall/subset tests.
-        # - distinct_terms_hll / value_quantiles / heavy_hitter_terms:
-        #   sketch estimates are not SQL math; HLL and the quantile summary
-        #   have contract twins (distinct_terms_hll_bound /
+        # - value_quantiles / heavy_hitter_terms: the quantile summary's
+        #   estimates are not SQL math (contract twin:
         #   value_quantiles_bound); CountMin heavy hitters may emit
-        #   threshold false positives (the reported SET is not SQL-
-        #   reproducible), pytest pins never-underestimate + eps*N bound.
+        #   threshold false positives (the reported SET depends on
+        #   per-batch candidate tracking, not just the corpus), pytest
+        #   pins never-underestimate + eps*N bound. (distinct_terms_hll
+        #   itself is value-twinned as of round 5 — registers are corpus-
+        #   deterministic.)
         # - wand_daat_equivalence: engine-internal heap-tie membership is
         #   not SQL-expressible; the entry RAISES on WAND/DAAT divergence
         #   and the ranking math itself is oracled via bm25_topk_or.

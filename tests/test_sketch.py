@@ -321,3 +321,42 @@ def test_top_terms_per_source_matches_sql(ray_session):
     assert mine["term"].tolist() == want["term"].tolist()
     assert mine["cf"].tolist() == want["cf"].tolist()
     assert mine["rank"].tolist() == want["rank"].tolist()
+
+
+def test_hll_twin_raw_estimate_branch(ray_session, oracle_eq, tmp_path):
+    """The driver tables' ~31-term vocabulary only exercises the twin's
+    linear-counting branch; a planted 30k-term corpus drives the raw
+    alpha-corrected estimate branch and must still match engine == twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from web_search_engine_ray.pipelines.sketch import hll_distinct_terms
+
+    d = tmp_path / "hllbig"
+    d.mkdir()
+    texts = [
+        " ".join(f"tok{i}x{j}" for j in range(100)) for i in range(300)
+    ]  # 30,000 distinct tokens >> 2.5 * 4096
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = hll_distinct_terms(str(d)).to_pandas()
+    est = float(got["estimate"][0])
+    assert abs(est - 30_000) / 30_000 < 0.05  # ~1.6% std error at p=12
+    assert est > 2.5 * 4096  # the raw branch, not linear counting
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle_eq(
+        got, con.sql(entrymod.oracle_sql()["distinct_terms_hll"]).df()
+    )
