@@ -111,6 +111,29 @@ def test_ivf_build_resume_and_drift(store):
         build_rag_ivf(out, n_cells=4)
 
 
+def test_ivf_file_set_equals_cell_set(store):
+    """Regression: auto_shrink coalesces exchange shards for small inputs,
+    so one shard can carry several cells — the writer must still emit one
+    cell-pure file per ACTUAL assigned cell, or probe-side reads (which
+    open only ``cell_<c>.parquet`` for probed ``c``) silently miss rows."""
+    from web_search_engine_ray.pipelines.rag import build_rag_ivf
+
+    out, _ = store
+    rep = build_rag_ivf(out, n_cells=8)
+    ivf_dir = os.path.join(out, "ivf")
+    files = sorted(f for f in os.listdir(ivf_dir) if f.endswith(".parquet"))
+    file_cells = {int(f[len("cell_"):-len(".parquet")]) for f in files}
+    assert file_cells == set(rep["cell_counts"])  # one file per assigned cell
+    total = 0
+    for f in files:
+        t = pq.read_table(os.path.join(ivf_dir, f), columns=["cell"])
+        got = set(t["cell"].to_pylist())
+        assert got == {int(f[len("cell_"):-len(".parquet")])}  # cell-pure
+        total += t.num_rows
+    n_chunks = json.load(open(os.path.join(out, "rag_store.json")))["n_chunks"]
+    assert total == n_chunks  # no row lost or duplicated by the re-layout
+
+
 def test_ivf_recall_floor_and_determinism(store):
     from web_search_engine_ray.pipelines.rag import (
         build_rag_ivf,

@@ -280,6 +280,11 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
             prev = json.load(f)
         if prev.get("params") == params:
             prev["resumed"] = True
+            # JSON round-trip stringifies the cell keys; keep the resumed
+            # report shape identical to a fresh build's (int keys)
+            prev["cell_counts"] = {
+                int(k): v for k, v in prev.get("cell_counts", {}).items()
+            }
             return prev
         raise ValueError(
             f"ivf layout exists with different parameters "
@@ -355,17 +360,27 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
     from web_search_engine_ray.stages.exchange import exchange_map
 
     def write_cell(t: pa.Table) -> pa.Table:
+        # One exchange shard may carry SEVERAL cells (auto_shrink re-mods
+        # routing for small inputs), so split by the cell column and write
+        # one file per ACTUAL cell — the file set must equal the assigned
+        # cell set or probe-side reads silently miss rows.
         if t.num_rows == 0:
             return pa.table({"cell": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        cell = int(t["cell"][0].as_py())
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(
-            t.sort_by("chunk_uid"), os.path.join(tmp, f"cell_{cell:05d}.parquet")
-        )
+        cell_np = t["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        cells_out, ns_out = [], []
+        for cell in np.unique(cell_np):
+            sub = t.filter(pa.array(cell_np == cell))
+            pq.write_table(
+                sub.sort_by("chunk_uid"),
+                os.path.join(tmp, f"cell_{int(cell):05d}.parquet"),
+            )
+            cells_out.append(int(cell))
+            ns_out.append(sub.num_rows)
         return pa.table(
-            {"cell": pa.array([cell], pa.int64()),
-             "n": pa.array([t.num_rows], pa.int64())}
+            {"cell": pa.array(cells_out, pa.int64()),
+             "n": pa.array(ns_out, pa.int64())}
         )
 
     counts = exchange_map(
