@@ -111,6 +111,23 @@ def test_ivf_build_resume_and_drift(store):
         build_rag_ivf(out, n_cells=4)
 
 
+def test_ivf_layout_version_rebuilds_not_raises(store):
+    """A cached ivf/ dir written by an older engine layout must be
+    rebuilt in place (it may be wrong to read), while genuine user-param
+    drift still raises."""
+    from web_search_engine_ray.pipelines.rag import build_rag_ivf
+
+    out, _ = store
+    build_rag_ivf(out, n_cells=8)
+    marker = os.path.join(out, "ivf", "ivf.json")
+    rep = json.load(open(marker))
+    rep["params"]["layout"] = 1  # pretend an older engine wrote it
+    json.dump(rep, open(marker, "w"))
+    rep2 = build_rag_ivf(out, n_cells=8)
+    assert rep2["resumed"] is False  # rebuilt, not resumed, not raised
+    assert json.load(open(marker))["params"]["layout"] != 1
+
+
 def test_ivf_file_set_equals_cell_set(store):
     """Regression: auto_shrink coalesces exchange shards for small inputs,
     so one shard can carry several cells — the writer must still emit one

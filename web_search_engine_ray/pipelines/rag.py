@@ -248,6 +248,10 @@ def rag_topk(
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_SAMPLE_ROWS = 2048
+# bump when the on-disk cell-file layout changes: a cached ivf/ dir built
+# by an older engine is silently WRONG to read (v2 fixed shard-coalesced
+# cell files), so a version mismatch auto-rebuilds instead of resuming
+IVF_LAYOUT_VERSION = 2
 
 
 def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
@@ -257,7 +261,8 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
     bounded-sample spherical k-means from ``similarity._train_centroids``
     (driver-side, corpus-size independent); assignment + writes stream
     through Ray Data. Resumable: a rerun with the same params + store
-    fingerprint is metadata-only; changed params raise (drift guard)."""
+    fingerprint is metadata-only; changed params raise (drift guard); an
+    older engine's layout version triggers a rebuild, not an error."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -272,6 +277,7 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
         "n_cells": n_cells,
         "store_fp": store["params"]["corpus_fp"],
         "n_chunks": store["n_chunks"],
+        "layout": IVF_LAYOUT_VERSION,
     }
     ivf_dir = os.path.join(store_dir, "ivf")
     marker = os.path.join(ivf_dir, "ivf.json")
@@ -286,10 +292,20 @@ def build_rag_ivf(store_dir: str, n_cells: int = IVF_CELLS) -> dict:
                 int(k): v for k, v in prev.get("cell_counts", {}).items()
             }
             return prev
-        raise ValueError(
-            f"ivf layout exists with different parameters "
-            f"({prev.get('params')} != {params}); rebuild the store"
-        )
+        prev_p = dict(prev.get("params") or {})
+        if prev_p.get("layout") != params["layout"] and {
+            k: v for k, v in prev_p.items() if k != "layout"
+        } == {k: v for k, v in params.items() if k != "layout"}:
+            # same user params, older engine layout: the cached dir may be
+            # wrong to read (pre-v2 shard-coalesced files) — rebuild it
+            import shutil as _sh
+
+            _sh.rmtree(ivf_dir, ignore_errors=True)
+        else:
+            raise ValueError(
+                f"ivf layout exists with different parameters "
+                f"({prev.get('params')} != {params}); rebuild the store"
+            )
     os.makedirs(ivf_dir, exist_ok=True)
 
     # bounded training sample: first IVF_SAMPLE_ROWS chunk embeddings via
