@@ -468,15 +468,27 @@ def rag_topk_ivf(
         M = list_matrix(batch["embedding"], dtype=np.float64)
         vid = batch["chunk_uid"].combine_chunks().to_numpy(zero_copy_only=False)
         cell = batch["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+        # ONE matmul for every query against the whole block (the exact
+        # path's shape — measured 2x faster than a per-query gather +
+        # matvec at 4.8M chunks), then per-query probe masking on the
+        # SCORES: gathering score entries is ~dim x cheaper than
+        # re-gathering embedding rows.
+        S = qm.astype(np.float64) @ M.T
+        # probe membership via a small lookup table over the block's cell
+        # ids instead of one np.isin sort per query
+        ncells = int(cell.max()) + 1 if cell.size else 0
         out_q, out_v, out_s = [], [], []
         for qi in range(qm.shape[0]):
-            if not live[qi]:
+            if not live[qi] or ncells == 0:
                 continue
-            mask = np.isin(cell, probes[qi])
-            if not mask.any():
+            pm = np.zeros(ncells, dtype=bool)
+            p = probes[qi]
+            pm[p[p < ncells]] = True
+            idx = np.flatnonzero(pm[cell])
+            if idx.size == 0:
                 continue
-            s = qm[qi].astype(np.float64) @ M[mask].T
-            v = vid[mask]
+            s = S[qi, idx]
+            v = vid[idx]
             k = min(topk, v.size)
             keep = _topk_det(s, v, k)
             out_q.append(np.full(keep.size, qi, dtype=np.int64))
