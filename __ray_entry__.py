@@ -1246,7 +1246,12 @@ GROUP BY event_type, window_start
         "events_sessionize": f"""
 WITH o AS (
   SELECT user_id, epoch_us(ts) // 1000000 AS ep, event_id,
-         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+             -- SECOND-resolution order to match the running sum below and the
+             -- engine's lexsort((event_id, ep, user)): ordering the lag by raw
+             -- microsecond ts diverges when same-second events carry event_ids
+             -- opposed to their microseconds (tools/adversarial_gate.py)
+             ORDER BY epoch_us(ts) // 1000000, event_id) AS prev
   FROM events
 ),
 s AS (
@@ -1273,7 +1278,12 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
         "events_range_join": f"""
 WITH o AS (
   SELECT user_id, epoch_us(ts) // 1000000 AS ep, event_id,
-         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+             -- SECOND-resolution order to match the running sum below and the
+             -- engine's lexsort((event_id, ep, user)): ordering the lag by raw
+             -- microsecond ts diverges when same-second events carry event_ids
+             -- opposed to their microseconds (tools/adversarial_gate.py)
+             ORDER BY epoch_us(ts) // 1000000, event_id) AS prev
   FROM events
 ),
 s AS (
@@ -1664,9 +1674,16 @@ WHERE rn <= {TOPK}
                                              ORDER BY score DESC, docid) AS rn
                 FROM scored)
           WHERE rn <= {RERANK_K1}),
- e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+              sqrt(list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[])) AS nrm
+       FROM embeddings),
+ -- zero-guarded cosine (engine semantics: zero vector -> cos 0.0; see
+ -- the knn_cosine twin note)
  rr AS (SELECT c.query_id, c.docid,
-               list_cosine_similarity(eq.emb, ed.emb) AS cos
+               CASE WHEN eq.nrm * ed.nrm = 0 THEN 0.0
+                    ELSE list_dot_product(eq.emb, ed.emb)
+                         / (eq.nrm * ed.nrm) END AS cos
         FROM cand c JOIN e eq ON eq.vec_id = c.query_id
                     JOIN e ed ON ed.vec_id = c.docid)
 SELECT query_id, docid, ROUND(cos, 6) AS cos
@@ -1943,10 +1960,21 @@ FROM (VALUES {_crawl_expected_values()})
   AS v(url, status, depth, n_bytes, domain, total_priority)
 """,
 "knn_cosine": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
- q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {N_KNN_QUERIES}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+ q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn
+       FROM e WHERE vec_id < {N_KNN_QUERIES}),
+ -- explicit zero-guarded cosine: the engine normalizes with zero-stays-
+ -- zero (cos 0.0 for a zero vector), while DuckDB's
+ -- list_cosine_similarity returns -1.0 there — an artifact that ranks
+ -- zero vectors LAST instead of mid-tie and diverges top-k membership
+ -- (caught by tools/adversarial_gate.py)
  sims AS (SELECT q.query_id, e.vec_id,
-                 list_cosine_similarity(q.qe, e.emb) AS cos
+                 CASE WHEN q.qn * e.nrm = 0 THEN 0.0
+                      ELSE list_dot_product(q.qe, e.emb) / (q.qn * e.nrm)
+                 END AS cos
           FROM q JOIN e ON e.vec_id != q.query_id)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -287,9 +287,14 @@ def test_value_quantile_sketch_vs_exact(ray_session):
     ests = t["value_est"].to_pylist()
     assert len(qs) == 8
     for q, est in zip(qs, ests):
-        # normalized rank error bound: (max_batch + N) / (k * N) plus slack
-        true_rank = np.searchsorted(vals, est, side="right")
-        assert abs(true_rank / n - q) < 0.01, (q, est)
+        # normalized rank error bound: (max_batch + N) / (k * N) plus
+        # slack, in rank-INTERVAL form — with tied values a returned
+        # value covers [lt, le]/n of normalized rank, and q must fall in
+        # that interval (+/- tol); the point form |le/n - q| fails on
+        # rank-correct estimates inside wide tie runs (adversarial gate)
+        lo = np.searchsorted(vals, est, side="left") / n
+        hi = np.searchsorted(vals, est, side="right") / n
+        assert lo - 0.01 <= q <= hi + 0.01, (q, est, lo, hi)
 
 
 def test_top_terms_per_source_matches_sql(ray_session):

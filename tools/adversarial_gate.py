@@ -1,0 +1,202 @@
+"""Adversarial gate corpus: the generator the driver's tables are too
+polite to be.
+
+Clones /root/testdata/sf0.001 into /tmp/wse_adversarial_sf, then replaces
+``events.parquet`` and ``embeddings.parquet`` with handcrafted pathological
+data and runs the FULL engine-vs-SQL gate (tools/check_driver.py) over the
+clone. The driver's generators assign event_id in timestamp order and draw
+continuous values, so an engine/twin pair that secretly disagrees on tie
+ordering still hashes green — exactly the latent-divergence class the
+round-4 review flagged on events_funnel. This corpus plants every such
+tie on purpose:
+
+events (same schema, ~230 rows, event_id deliberately NOT in ts order):
+- funnel trios inside ONE second with microsecond order REVERSED vs the
+  semantic stage order, straddling session breaks;
+- whole user histories at a single identical microsecond (ordering falls
+  entirely to event_id);
+- session gaps at exactly gap_s seconds, gap_s +/- 1, and a sub-second
+  straddle where second-resolution and microsecond-resolution deltas
+  disagree about the break;
+- hour- and midnight-aligned timestamps (window/hopping/daily/retention
+  bin edges), value ties and bin-edge values, single-event users,
+  purchase-before-signup in time but after in event_id.
+
+embeddings (same schema, 120 rows): duplicate vectors (exact cosine
+ties -> the (cos desc, vec_id) contract decides), a zero vector, negated
+pairs, and axis-aligned one-hots; labels cycle 0..3.
+
+Usage: python tools/adversarial_gate.py [entry ...]
+(no args = full gate; exit code is check_driver's)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+DST = "/tmp/wse_adversarial_sf"
+
+US = 1_000_000
+BASE = 1_704_067_200 * US  # 2024-01-01T00:00:00Z in epoch-us
+
+
+def _ts(day: int, h: int, m: int, s: int, us: int = 0) -> int:
+    return BASE + ((day * 24 + h) * 3600 + m * 60 + s) * US + us
+
+
+def build_events() -> pa.Table:
+    rows: list[tuple[int, int, str, float, int]] = []  # (epus, user, type, value, k)
+
+    def add(epus, user, etype, value, k):
+        rows.append((int(epus), user, etype, float(value), k))
+
+    # user 0: funnel trio inside one second, microseconds REVERSED vs the
+    # semantic order; a second trio exactly 1801 s later (clear new session)
+    add(_ts(0, 10, 0, 0, 900_000), 0, "signup", 10.0, 1)
+    add(_ts(0, 10, 0, 0, 500_000), 0, "view", 20.0, 2)
+    add(_ts(0, 10, 0, 0, 100_000), 0, "purchase", 30.0, 3)
+    t2 = _ts(0, 10, 0, 0, 900_000) + 1801 * US
+    add(t2 + 900_000 - 900_000, 0, "signup", 11.0, 4)
+    add(t2 + 400_000, 0, "view", 21.0, 5)
+    add(t2 + 200_000, 0, "purchase", 31.0, 6)
+
+    # user 1: six events at ONE identical microsecond — ordering falls
+    # entirely to event_id (assigned scrambled below)
+    one = _ts(0, 12, 0, 0)
+    for i, et in enumerate(["signup", "view", "purchase", "view", "click", "error"]):
+        add(one, 1, et, 50.0, i)
+
+    # user 2: gap-resolution plants. gap_s=1800 in the engine.
+    g0 = _ts(1, 13, 0, 0, 500_000)
+    add(g0, 2, "signup", 1.0, 1)
+    add(g0 + 1800 * US, 2, "view", 2.0, 2)          # delta == gap_s: same session (> rule)
+    add(g0 + 1800 * US + 1801 * US, 2, "view", 3.0, 3)  # 1801 s: break
+    # sub-second straddle: second-resolution delta 1800, us delta 1799.9 s
+    h0 = _ts(1, 18, 0, 0, 900_000)
+    add(h0, 2, "purchase", 4.0, 4)
+    add(h0 + 1800 * US - 800_000, 2, "view", 5.0, 5)
+    # and second-resolution delta 1801, us delta 1800.2 s
+    add(h0 + (1800 * US - 800_000) + 1801 * US + 200_000, 2, "click", 6.0, 6)
+
+    # user 3: single event, value at a bin edge
+    add(_ts(2, 0, 0, 0), 3, "purchase", 100.0, 0)
+
+    # user 4: hour/midnight boundary hits across three days (retention
+    # offsets 0, 1, 7 days), values tied across users
+    add(_ts(0, 0, 0, 0), 4, "signup", 50.0, 1)
+    add(_ts(0, 23, 0, 0), 4, "view", 50.0, 2)
+    add(_ts(1, 0, 0, 0), 4, "view", 50.0, 3)
+    add(_ts(7, 0, 0, 0), 4, "purchase", 50.0, 4)
+
+    # user 5: value pathology — ties, zero, negative, huge, bin edges
+    v0 = _ts(3, 9, 30, 0)
+    for i, v in enumerate([50.0, 50.0, 50.0, 50.0, 50.0, 0.0, -10.5, 1e6, 100.0, 99.99]):
+        add(v0 + i * 60 * US, 5, "purchase" if i % 2 else "view", v, i)
+
+    # user 6: purchase BEFORE signup in time but AFTER in event_id (the
+    # scramble below preserves insertion blocks, so keep them adjacent);
+    # plus a zero-lag signup->purchase pair at one microsecond
+    c0 = _ts(4, 8, 0, 0)
+    add(c0 + 5 * US, 6, "purchase", 9.0, 1)
+    add(c0, 6, "signup", 8.0, 2)
+    add(c0 + 600 * US, 6, "signup", 7.0, 3)
+    add(c0 + 600 * US, 6, "purchase", 6.0, 4)
+
+    # user 7: 40-event single-session run, each adjacent pair sharing a
+    # second with reversed microseconds (stress for running sums / windows
+    # / top-n tie orders); values cycle through a small tied set
+    r0 = _ts(5, 14, 0, 0)
+    for i in range(20):
+        sec = r0 + i * 120 * US
+        add(sec + 700_000, 7, ["view", "click", "purchase", "signup"][i % 4], [5.0, 5.0, 7.5][i % 3], i)
+        add(sec + 100_000, 7, ["click", "view", "error", "view"][i % 4], [5.0, 7.5, 5.0][i % 3], i + 100)
+
+    # users 8, 9: deterministic filler over three days so windowed ops have
+    # ordinary mass too (arithmetic, no RNG)
+    for u in (8, 9):
+        f0 = _ts(0, 6 + u, 7, 11)
+        for i in range(60):
+            et = ["view", "click", "signup", "view", "purchase"][(i + u) % 5]
+            add(f0 + (i * 997 + u * 131) * US * 7, u, et, ((i * 37 + u * 11) % 200) / 2.0, (i * 13 + u) % 100)
+
+    # event_id assignment: reverse within blocks of 7 over the ts-sorted
+    # sequence — ids are a deterministic scramble of time order, so any
+    # engine/twin pair that breaks ties differently diverges
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    n = len(rows)
+    ids = np.arange(n, dtype=np.int64)
+    for b in range(0, n, 7):
+        ids[b : b + 7] = ids[b : b + 7][::-1]
+    order = np.argsort(ids, kind="stable")
+    rows = [rows[i] for i in order]  # table rows in event_id order
+
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": %d}' % r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def build_embeddings(dim: int = 64, n: int = 120) -> pa.Table:
+    V = np.zeros((n, dim), dtype=np.float32)
+    for i in range(n):
+        kind = i % 6
+        if kind == 0:  # axis one-hot (exact ties between repeats)
+            V[i, (i // 6) % dim] = 1.0
+        elif kind == 1:  # duplicate of the previous one-hot
+            V[i, (i // 6) % dim] = 1.0
+        elif kind == 2:  # negation (cosine -1 vs the pair)
+            V[i, (i // 6) % dim] = -1.0
+        elif kind == 3:  # zero vector
+            pass
+        elif kind == 4:  # two-hot with tied magnitude
+            V[i, (i // 6) % dim] = 1.0
+            V[i, ((i // 6) + 1) % dim] = 1.0
+        else:  # deterministic dense ramp
+            V[i] = np.arange(dim, dtype=np.float32) * ((i % 7) - 3)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in V], pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 4).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def build_corpus() -> str:
+    os.makedirs(DST, exist_ok=True)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
+    pq.write_table(build_events(), os.path.join(DST, "events.parquet"))
+    pq.write_table(build_embeddings(), os.path.join(DST, "embeddings.parquet"))
+    return DST
+
+
+def main() -> None:
+    dst = build_corpus()
+    print(f"adversarial corpus at {dst}")
+    rc = subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "check_driver.py"), dst]
+        + sys.argv[1:]
+    )
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(
+    sf_dir: str, only: list[str] | None = None, shutdown: bool = True
+) -> int:
+    """Run entries against their twins; returns the failure count.
+
+    ``shutdown=False`` leaves the Ray session up — for callers (pytest)
+    that own a session-scoped Ray instance."""
     import ray
 
     if not ray.is_initialized():
@@ -102,7 +108,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         print(f"ok    {name}: {len(mine)} rows match")
     # smoke entry()
     if only:
-        ray.shutdown()
+        if shutdown:
+            ray.shutdown()
         return failures
     try:
         res = to_pandas(entrymod.entry())
@@ -110,7 +117,8 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     except Exception as e:
         print(f"FAIL  entry(): {type(e).__name__}: {e}")
         failures += 1
-    ray.shutdown()
+    if shutdown:
+        ray.shutdown()
     return failures
 
 

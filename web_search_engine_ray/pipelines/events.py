@@ -136,10 +136,21 @@ def sessionize_ds(sf_dir: str, gap_s: int = SESSION_GAP_S):
         order = np.lexsort((eid, epoch, user))
         user, epoch = user[order], epoch[order]
         n = user.size
+        if n == 0:
+            # empty hash partition (few distinct users): np.append(first
+            # [1:], 0) would yield [0], not [] — return the empty relation
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_epoch": pa.array([], pa.int64()),
+                    "end_epoch": pa.array([], pa.int64()),
+                }
+            )
         brk = np.ones(n, dtype=bool)
-        if n:
-            new_user = user[1:] != user[:-1]
-            brk[1:] = new_user | ((epoch[1:] - epoch[:-1]) > gap_s)
+        new_user = user[1:] != user[:-1]
+        brk[1:] = new_user | ((epoch[1:] - epoch[:-1]) > gap_s)
         first = np.flatnonzero(brk)  # first event index of each session
         ends = np.append(first[1:], n)  # one past each session's last event
         s_user = user[first]

@@ -407,11 +407,19 @@ def ann_recall_bound_table(
 
     exact = knn_cosine(sf_dir, n_queries, topk).to_pandas()
     exact_pairs = set(zip(exact["query_id"], exact["vec_id"]))
+    # tie-aware recall: the exact top-k breaks score ties by vec_id, so on
+    # tie-heavy corpora (duplicate / orthogonal / zero vectors — the
+    # adversarial gate) an ANN return scoring EXACTLY the k-th cosine is a
+    # correct answer even when its vec_id differs from the exact set's
+    # arbitrary tie-winner
+    kth_cos = exact.groupby("query_id")["cos"].min().to_dict()
 
     def recall(approx) -> float:
         a = approx.to_pandas()
         hits = sum(
-            1 for q, v in zip(a["query_id"], a["vec_id"]) if (q, v) in exact_pairs
+            1
+            for q, v, c in zip(a["query_id"], a["vec_id"], a["cos"])
+            if (q, v) in exact_pairs or c >= kth_cos.get(q, np.inf) - 1e-9
         )
         return hits / max(1, len(exact_pairs))
 

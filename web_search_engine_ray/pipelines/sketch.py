@@ -454,13 +454,16 @@ def value_quantile_bound_table(
 ) -> pa.Table:
     """(q, n, within_bound): the sketch's rank-error contract, made
     driver-checkable. ``value_est`` comes from the mergeable summary
-    (:func:`value_quantile_sketch_ds`); its EXACT rank is then counted by a
-    second distributed pass (a broadcast of len(qs) thresholds — each batch
-    emits one count row), and ``within_bound`` asserts
-    ``|rank(value_est)/n - q| <= tol`` (same normalized tolerance the pytest
-    contract pins). The SQL twin contributes the exact ``n`` and expects
-    every bound to hold — a sketch regression or a count divergence both
-    hash-mismatch in the gate."""
+    (:func:`value_quantile_sketch_ds`); its EXACT rank INTERVAL is then
+    counted by a second distributed pass (a broadcast of len(qs)
+    thresholds — each batch emits one count row), and ``within_bound``
+    asserts ``count(< est)/n - tol <= q <= count(<= est)/n + tol``. The
+    interval form matters with tied values: a returned value's <=-rank is
+    the END of its tie run, so a point check ``|le/n - q| <= tol`` fails
+    on a rank-CORRECT estimate whose tie run is wider than tol (caught by
+    tools/adversarial_gate.py's planted tie blocks). The SQL twin
+    contributes the exact ``n`` and expects every bound to hold — a sketch
+    regression or a count divergence both hash-mismatch in the gate."""
     from web_search_engine_ray.pipelines.events import _read_events
 
     est = value_quantile_sketch_ds(sf_dir, qs, k)
@@ -471,10 +474,12 @@ def value_quantile_bound_table(
         vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
         vals = vals[~np.isnan(vals)].astype(np.float64)
         le = (vals[None, :] <= thr[:, None]).sum(axis=1).astype(np.int64)
+        lt = (vals[None, :] < thr[:, None]).sum(axis=1).astype(np.int64)
         return pa.table(
             {
                 "qi": pa.array(np.arange(thr.size), pa.int64()),
                 "le": pa.array(le, pa.int64()),
+                "lt": pa.array(lt, pa.int64()),
                 "n": pa.array(np.full(thr.size, vals.size), pa.int64()),
             }
         )
@@ -490,12 +495,16 @@ def value_quantile_bound_table(
                 "within_bound": pa.array([], pa.bool_()),
             }
         )
-    g = parts.groupby("qi")[["le", "n"]].sum()
+    g = parts.groupby("qi")[["le", "lt", "n"]].sum()
     n = int(g["n"].iloc[0])  # every qi row carries the same per-batch n sum
     # n == 0 (all-null value column): report the bound as failed rather
     # than dividing by zero — degenerate data should gate-mismatch, not error
     ok = [
-        bool(n > 0 and abs(int(g["le"].loc[i]) / n - float(qs_arr[i])) <= tol)
+        bool(
+            n > 0
+            and int(g["lt"].loc[i]) / n - tol <= float(qs_arr[i])
+            and float(qs_arr[i]) <= int(g["le"].loc[i]) / n + tol
+        )
         for i in range(thr.size)
     ]
     return pa.table(
