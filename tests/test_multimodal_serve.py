@@ -85,6 +85,14 @@ def test_flask_search_api(served_index):
     assert client.post("/search", json={"query": ""}).status_code == 400
     assert client.post("/search", json={"query": "x", "mode": "XOR"}).status_code == 400
 
+    # valid-JSON-but-not-an-object bodies must 400 (handler validation),
+    # never 500 (.get() on a list/str)
+    for bad in (b'"notadict"', b"[1,2]", b"{{{not json"):
+        r = client.post("/search", data=bad, content_type="application/json")
+        assert r.status_code == 400, (bad, r.status_code)
+    r = client.post("/complete", data=b"[1]", content_type="application/json")
+    assert r.status_code == 400
+
 
 def test_flask_frontend_roundtrip(served_index):
     """GET / serves the bundled search page (reference HW2/app.py:51-54) and

@@ -62,6 +62,13 @@ def create_app(
 
     spell_index = SpellIndex.from_searcher(searcher)
 
+    def _json_body() -> dict:
+        # get_json(silent=True) returns ANY valid JSON value; a top-level
+        # string/list body would 500 on .get() — treat non-dict as empty so
+        # the handlers' own validation returns the 400
+        data = request.get_json(silent=True)
+        return data if isinstance(data, dict) else {}
+
     @app.route("/")
     def index():
         """Static search frontend (reference parity: ``HW2/app.py:51-54``
@@ -75,7 +82,7 @@ def create_app(
     def search():
         from web_search_engine_ray.state.docstore import create_snippet
 
-        data = request.get_json(silent=True) or {}
+        data = _json_body()
         query = (data.get("query") or "").strip()
         mode = (data.get("mode") or "AND").upper()
         topk = int(data.get("topk") or 10)
@@ -187,7 +194,7 @@ def create_app(
         (df desc, term) — ``Searcher.complete`` over the index's own sorted
         lexicon shard term lists (a surface the reference has no index
         structure for: its lexicon is one hash dict)."""
-        data = request.get_json(silent=True) or {}
+        data = _json_body()
         prefix = (data.get("prefix") or "").strip().lower()
         k = int(data.get("k") or 10)
         if not prefix:
@@ -213,7 +220,7 @@ def create_app(
 
         if grep_index_dir is None or corpus_dir is None:
             return jsonify({"error": "No grep index loaded"}), 400
-        data = request.get_json(silent=True) or {}
+        data = _json_body()
         pattern = (data.get("pattern") or "").strip()
         if not pattern:
             return jsonify({"error": "Empty pattern"}), 400
