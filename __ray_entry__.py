@@ -24,7 +24,18 @@ from typing import Any
 # regex (polars) and CPython `re` agree on it — property-tested in
 # tests/test_tokenizer.py.
 PAT = "[a-z0-9]+(?:[.-][a-z0-9]+)*"
-TOK = f"regexp_extract_all(lower(text), '{PAT}')"
+# The engine's clean_text html.unescape, mirrored for the bounded entity set
+# tools/adversarial_gate.py plants ('&amp;' replaced LAST — Python's unescape
+# is single-pass, so '&amp;lt;' must yield '&lt;', never '<'). Real corpora
+# contain no '&', where the chain is a no-op; the full html.unescape behavior
+# stays pinned by the tokenizer pytest suite. Parity over every planted text
+# is asserted by tests/test_adversarial_gate.py::test_tokenizer_twin_parity.
+UNESC = (
+    "replace(replace(replace(replace(replace(replace(text, "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+    "'&nbsp;', chr(160)), '&amp;', '&')"
+)
+TOK = f"regexp_extract_all(lower({UNESC}), '{PAT}')"
 
 STOP_SQL = "('the','a','and','of','to','in','is')"
 
@@ -1551,7 +1562,12 @@ WITH {tok_cte},
             JOIN nrm dn ON dn.doc_id = d.docid)
 SELECT query_id, docid, ROUND(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, docid) AS rn
+                                   -- round-before-rank: identical-token-
+                                   -- multiset docs tie exactly in math but
+                                   -- epsilon-apart in floats; both sides
+                                   -- rank the ROUNDED score so ties fall to
+                                   -- docid (engine vsm_topk_table note)
+                                   ORDER BY ROUND(score, 6) DESC, docid) AS rn
       FROM scored)
 WHERE rn <= {TOPK}
 """,
@@ -1584,13 +1600,16 @@ WHERE rn <= {TOPK}
    JOIN dl ON dl.doc_id = c.doc_id
    CROSS JOIN statsq s
    GROUP BY c.query_id, c.doc_id),
+ -- pool rank + cut on the ROUNDED score (engine rrf_fusion_table note):
+ -- RRF is rank-sensitive and sum() float order is nondeterministic, so
+ -- tied docs must fall to the docid tie-break identically on both sides
  pb AS (SELECT query_id, docid, r FROM (
           SELECT query_id, docid, row_number() OVER (
-            PARTITION BY query_id ORDER BY score DESC, docid) AS r
+            PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, docid) AS r
           FROM scored) WHERE r <= {serving_mod.RRF_DEPTH}),
  pq AS (SELECT query_id, docid, r FROM (
           SELECT query_id, docid, row_number() OVER (
-            PARTITION BY query_id ORDER BY score DESC, docid) AS r
+            PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, docid) AS r
           FROM scoredq) WHERE r <= {serving_mod.RRF_DEPTH}),
  fused AS (SELECT coalesce(pb.query_id, pq.query_id) AS query_id,
                   coalesce(pb.docid, pq.docid) AS docid,
@@ -1992,7 +2011,9 @@ SELECT doc_id AS docid,
        CASE WHEN len(toks) = 0 THEN 0.0
             ELSE ROUND(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
                        / len(toks), 6) END AS mean_token_len,
-       md5(array_to_string(toks, ' ')) AS fingerprint
+       -- array_to_string([]) is NULL in DuckDB; the engine fingerprints the
+       -- empty token stream as md5('') (zero-token docs, adversarial gate)
+       md5(coalesce(array_to_string(toks, ' '), '')) AS fingerprint
 FROM (SELECT doc_id, text, {TOK} AS toks FROM documents)
 """,
         "lm_score": f"""
@@ -2461,7 +2482,8 @@ WITH {tok_cte},
             JOIN nrm nb ON nb.doc_id = d.docid)
 SELECT query_id, docid, ROUND(score, 6) AS score
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score DESC, docid) AS rn
+                                   -- round-before-rank (vsm_topk note)
+                                   ORDER BY ROUND(score, 6) DESC, docid) AS rn
       FROM scored)
 WHERE rn <= {serving_mod.MLT_TOPK}
 """,

@@ -1,17 +1,23 @@
 """Engine-vs-twin equality on the ADVERSARIAL corpus (tools/
 adversarial_gate.py): handcrafted events where event_id order, second-
 resolution order, and microsecond order all disagree around session
-breaks, plus embeddings with zero vectors, duplicates, and negations.
+breaks; embeddings with zero vectors, duplicates, and negations; and
+documents with empty texts, exact-dup groups, identical-token-multiset
+tie blocks, HTML entities, unicode, and ``[.-]`` token-shape stress.
 
 The driver's generators assign event_id in ts order and draw continuous
-values, so an engine/twin pair that disagrees on tie ordering still
-hashes green there — this corpus exists to make that class FAIL (it
-caught the zero-vector cosine divergence in the knn_cosine and
-hybrid_rerank twins: DuckDB's list_cosine_similarity returns -1.0 for a
-zero vector, the engine's zero-stays-zero normalization gives 0.0).
+values/texts, so an engine/twin pair that disagrees on tie ordering still
+hashes green there — this corpus exists to make that class FAIL. It
+caught: the zero-vector cosine divergence in the knn_cosine/hybrid_rerank
+twins (DuckDB list_cosine_similarity returns -1.0, the engine's zero-
+stays-zero gives 0.0); raw-float ranking of exactly-tied tf-idf cosines
+in vsm_topk/more_like_this (now round-before-rank both sides); rank-
+sensitive RRF pools shifting on nondeterministic SQL sum() float order
+(pools now rank+cut on the rounded score); and NULL fingerprints for
+zero-token docs in the text_stats twin.
 
 Default run covers the highest-risk entries; WSE_SLOW=1 runs the whole
-events + embeddings families.
+events + embeddings + text families.
 """
 
 import os
@@ -28,6 +34,12 @@ FAST_ENTRIES = [
     "conversion_lags",
     "knn_cosine",
     "hybrid_rerank",
+    # text-family round-before-rank / zero-token pins (the documents plants
+    # caught vsm_topk, more_like_this, rrf_fusion, ranker_agreement and
+    # text_stats diverging on exact score ties and empty docs)
+    "text_stats",
+    "vsm_topk",
+    "rrf_fusion",
 ]
 
 SLOW_ENTRIES = [
@@ -51,6 +63,25 @@ SLOW_ENTRIES = [
     "embedding_dups",
     "kmeans",
     "value_quantiles_bound",
+    # text/dedup families over the planted documents table
+    "more_like_this",
+    "ranker_agreement",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "simhash_dups",
+    "containment_dups",
+    "dup_spans",
+    "quality",
+    "repetition_stats",
+    "term_burstiness",
+    "zipf_slope",
+    "dl_quantiles",
+    "chunk_docs",
+    "pii_redact",
+    "bm25_topk_or",
+    "ql_topk",
+    "postings",
+    "doc_lengths",
 ]
 
 
@@ -59,6 +90,28 @@ def adversarial_dir(ray_session):
     from tools.adversarial_gate import build_corpus
 
     return build_corpus()
+
+
+def test_tokenizer_twin_parity():
+    """Python engine tokenizer == the twins' SQL tokenization (lower + UNESC
+    entity chain + regex) over EVERY planted adversarial text — entities,
+    unicode, [.-] token chains, empties. No Ray needed."""
+    import duckdb
+
+    from __ray_entry__ import PAT, UNESC
+    from tools.adversarial_gate import build_documents
+    from web_search_engine_ray.functions.tokenize import tokenize
+
+    t = build_documents()
+    con = duckdb.connect()
+    con.register("documents", t)
+    rows = con.execute(
+        f"SELECT doc_id, regexp_extract_all(lower({UNESC}), '{PAT}')"
+        " FROM documents ORDER BY doc_id"
+    ).fetchall()
+    texts = t["text"].to_pylist()
+    for doc_id, toks in rows:
+        assert tokenize(texts[doc_id]) == toks, (doc_id, texts[doc_id][:80])
 
 
 def test_adversarial_fast_entries(adversarial_dir):

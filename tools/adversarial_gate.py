@@ -26,6 +26,13 @@ embeddings (same schema, 120 rows): duplicate vectors (exact cosine
 ties -> the (cos desc, vec_id) contract decides), a zero vector, negated
 pairs, and axis-aligned one-hots; labels cycle 0..3.
 
+documents (same schema, 500 rows): empty/whitespace docs, exact-duplicate
+groups, near-dups (one-word edit / reorder / containment), repeated-token
+and all-stopword docs, ``[.-]``-chained token shapes, unicode, HTML
+entities from the bounded set the twins' UNESC chain mirrors, identical
+token-multiset tie blocks, a 1500-token doc, PII shapes, deterministic
+small-vocab filler.
+
 Usage: python tools/adversarial_gate.py [entry ...]
 (no args = full gate; exit code is check_driver's)
 """
@@ -178,6 +185,118 @@ def build_embeddings(dim: int = 64, n: int = 120) -> pa.Table:
     )
 
 
+VOCAB = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark dup group query row data slow filter customer line "
+    "value agg column big vector a to in is of and"
+).split()
+
+
+def build_documents() -> pa.Table:
+    """~500 docs of planted text pathology: empty/whitespace docs, exact-dup
+    groups, near-dups (edit / reorder / containment), token-shape stress
+    (``[.-]`` runs, digits), unicode, HTML entities from the bounded set the
+    SQL twins' UNESC chain mirrors, identical-score tie blocks, a long doc
+    for chunking, PII shapes, and deterministic small-vocab filler."""
+    texts: list[str] = []
+
+    def add(t: str) -> None:
+        texts.append(t)
+
+    # A: empty / degenerate (empty-doc rule: docid kept, dl=0, counts in N)
+    for t in ["", " ", "\n\t  ", "the", "z", "0"]:
+        add(t)
+    # B: exact-duplicate groups (identical text across sources/langs) plus a
+    # case variant — NOT an exact dup, but token-identical (near-dup bait)
+    dup1 = "spark join merge sort the data table scan window filter"
+    dup2 = "query row batch stream value agg column hash part key"
+    dup3 = "big vector small line customer group dup slow fast order"
+    for _ in range(5):
+        add(dup1)
+    for _ in range(3):
+        add(dup2)
+    for _ in range(2):
+        add(dup3)
+    add(dup1.upper())
+    add(" " + dup1)  # leading-space variant: same tokens, different text
+    # C: near-dups of a 30-word base — one-word edit, bag-preserving
+    # reorder, 10-word prefix/suffix containment, concatenation
+    base = " ".join(VOCAB[i % len(VOCAB)] for i in range(30))
+    words = base.split()
+    edit = words.copy()
+    edit[7] = "zebra"
+    add(base)
+    add(" ".join(edit))
+    add(" ".join(words[::-1]))
+    add(" ".join(words[:10]))
+    add(" ".join(words[-10:]))
+    add(base + " " + dup1)
+    # D: repetition / skew (burstiness, zipf, lm_score, repetition_stats)
+    add(("spark " * 300).strip())
+    add(("data base " * 50).strip())
+    add(" ".join(["a"] * 100 + ["b"] * 50 + ["c"] * 25 + ["d"] * 12))
+    add(("the a of to in is and " * 6).strip())  # all stopwords
+    # E: token-shape pathologies for [a-z0-9]+(?:[.-][a-z0-9]+)*
+    add("state-of-the-art 3.14 a-1.b-2 a. .b -- .. -a a- 1-2-3.4-5 x")
+    add("A.B.C a.b.c FOO-BAR foo--bar foo..bar")
+    add("0001 007 42 9.9.9 v1.2.3-rc4 2024-01-01")
+    add("x" + "-y" * 40)  # one long chained token
+    # F: unicode (non-ASCII never enters [a-z0-9] tokens; lower() parity)
+    add("café résumé naïve data")
+    add("CAFÉ DATA Straße GROSS")
+    add("中文数据 spark 引擎 merge")
+    add("🚀 rocket 🚀 launch pad")
+    add("data中心spark edge")
+    add("ｆｕｌｌｗｉｄｔｈ latin test")
+    # G: HTML entities — strictly from the UNESC-mirrored set
+    add("&amp; spark &lt;join&gt; done")
+    add('a&quot;b&quot;c term')
+    add("&#39;quoted&#39; value here")
+    add("&amp;lt; tricky double escape")
+    add("r&amp;d data pipeline")
+    add("&nbsp;gap&nbsp;words here")
+    add("plain & ampersand && run")
+    # H: tie blocks — 12 docs, identical token multiset, different order
+    # (BM25/TAAT score ties -> docid tie-break contracts); 8 docs with
+    # identical dl but disjoint-ish tokens (dl-quantile tie runs)
+    tie = ["merge", "sort", "spark", "table", "scan", "row"]
+    for i in range(12):
+        r = tie[i % 6 :] + tie[: i % 6]
+        add(" ".join(r if i < 6 else r[::-1]))
+    for i in range(8):
+        add(" ".join(VOCAB[(i * 5 + j) % len(VOCAB)] for j in range(15)))
+    # I: long doc (chunk boundaries) + one exactly-64-token doc
+    add(" ".join(VOCAB[(i * 7) % len(VOCAB)] for i in range(1500)))
+    add(" ".join(VOCAB[i % len(VOCAB)] for i in range(64)))
+    # J: PII shapes (also `-`-chained tokens: 555-123-4567 is ONE token)
+    add("contact bob@example.com or alice.smith@test.org now")
+    add("call 555-123-4567 or 555.987.6543 today")
+    add("ssn 123-45-6789 leaked in the data dump")
+    add("server 192.168.1.1 and 10.0.0.255 down")
+    add("see https://x.example/path?a=1&amp;b=2 for details")
+    # filler to ~500: deterministic small-vocab sentences, varying length
+    while len(texts) < 500:
+        i = len(texts)
+        L = 5 + (i * 13) % 76
+        add(" ".join(VOCAB[(i * 11 + j * (1 + i % 5)) % len(VOCAB)] for j in range(L)))
+
+    n = len(texts)
+    langs = ["en", "es", "zh", "de", "fr"]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([langs[(i * 3) % 5] for i in range(n)], pa.string()),
+            # src_rare appears exactly once (per-source sampling edge)
+            "source": pa.array(
+                ["src_rare" if i == 119 else f"src{i % 7}" for i in range(n)],
+                pa.string(),
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
 def build_corpus() -> str:
     os.makedirs(DST, exist_ok=True)
     for f in os.listdir(SRC):
@@ -185,6 +304,7 @@ def build_corpus() -> str:
             shutil.copy(os.path.join(SRC, f), os.path.join(DST, f))
     pq.write_table(build_events(), os.path.join(DST, "events.parquet"))
     pq.write_table(build_embeddings(), os.path.join(DST, "embeddings.parquet"))
+    pq.write_table(build_documents(), os.path.join(DST, "documents.parquet"))
     return DST
 
 

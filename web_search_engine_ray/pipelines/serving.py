@@ -851,11 +851,14 @@ def more_like_this_table(
             dots[np.searchsorted(cand, d_arr)] += ws * wb
         keep = cand != sdoc
         cand, dots = cand[keep], dots[keep]
-        scores = dots / (norms[sdoc] * norms[cand])
+        # round BEFORE ranking (vsm_topk_table note): token-identical docs
+        # tie exactly in math, epsilon-apart in float accumulation — both
+        # sides rank the rounded score so ties fall to docid
+        scores = np.round(dots / (norms[sdoc] * norms[cand]), round_to)
         order = np.lexsort((cand, -scores))[:topk]
         q_l.append(np.full(order.size, qid, np.int64))
         d_l.append(cand[order])
-        s_l.append(np.round(scores[order], round_to))
+        s_l.append(scores[order])
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
@@ -955,10 +958,24 @@ def rrf_fusion_table(
     queries = queries if queries is not None else FIXED_QUERIES
     q_l, d_l, s_l = [], [], []
     for qid, q in enumerate(queries):
-        pools = [
-            s.bm25_topk(q, topk=depth, mode="OR", tie_semantics="sorted"),
-            s.ql_topk(q, topk=depth),
-        ]
+        # pools ranked AND depth-cut by (ROUND(score, 6) desc, docid): RRF
+        # is rank-SENSITIVE, so float-epsilon ties inside a pool (identical-
+        # token docs; SQL sum() order is nondeterministic) would silently
+        # shift 1/(k+r) contributions — rounding first makes the pool order
+        # and the cut boundary the same deterministic rule as the twin's
+        # ROUND(...)-ordered row_number (adversarial-gate tie blocks)
+        pools = []
+        for raw in (
+            s.bm25_topk(q, topk=None, mode="OR", tie_semantics="sorted"),
+            s.ql_topk(q, topk=None),
+        ):
+            if not raw:
+                pools.append([])
+                continue
+            docs_p = np.array([d for d, _ in raw], np.int64)
+            sc_p = np.round(np.array([x for _, x in raw], np.float64), 6)
+            o = np.lexsort((docs_p, -sc_p))[:depth]
+            pools.append([(int(docs_p[i]), float(sc_p[i])) for i in o])
         fused: dict[int, float] = {}
         for pool in pools:
             for rank, (docid, _sc) in enumerate(pool, start=1):
@@ -1029,11 +1046,16 @@ def vsm_topk_table(
         for d_arr, f_arr, wq, idf in per_term:
             wd = f_arr.astype(np.float64) * idf
             dots[np.searchsorted(cand, d_arr)] += wq * wd
-        scores = dots / (qnorm * norms[cand])
+        # round BEFORE ranking: identical-token-multiset docs have exactly
+        # equal cosines in math but epsilon-apart floats under different
+        # accumulation orders (engine per-term += vs SQL sum) — ranking the
+        # rounded score makes both sides fall through to the docid tie-break
+        # (adversarial-gate tie blocks)
+        scores = np.round(dots / (qnorm * norms[cand]), round_to)
         order = np.lexsort((cand, -scores))[:topk]
         q_l.append(np.full(order.size, qid, np.int64))
         d_l.append(cand[order])
-        s_l.append(np.round(scores[order], round_to))
+        s_l.append(scores[order])
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(q_l) if q_l else [], pa.int64()),
