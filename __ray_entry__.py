@@ -1213,7 +1213,7 @@ WITH t AS (SELECT doc_id, {TOK} AS ws FROM documents),
             ON d.query_id = a.query_id AND d.chunk_uid = a.chunk_uid)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS rn FROM sims)
+                                   ORDER BY ROUND(cos, 6) DESC, vec_id) AS rn FROM sims)
 WHERE rn <= 5
 """
 
@@ -1707,7 +1707,12 @@ WHERE rn <= {TOPK}
                     JOIN e ed ON ed.vec_id = c.docid)
 SELECT query_id, docid, ROUND(cos, 6) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, docid) AS rn2 FROM rr)
+                                   -- round-before-rank: orthogonal int
+                                   -- vectors dot to exact 0 here but to
+                                   -- float cancellation noise after the
+                                   -- engine's normalize-then-dot (fuzz gate)
+                                   ORDER BY ROUND(cos, 6) DESC, docid) AS rn2
+      FROM rr)
 WHERE rn2 <= {RERANK_K2}
 """,
         "boolean_and_not": _boolean_not_sql(),
@@ -1997,7 +2002,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
           FROM q JOIN e ON e.vec_id != q.query_id)
 SELECT query_id, vec_id, ROUND(cos, 6) AS cos
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS rn FROM sims)
+                                   ORDER BY ROUND(cos, 6) DESC, vec_id) AS rn FROM sims)
 WHERE rn <= {TOPK}
 """,
         "text_stats": f"""
@@ -2674,7 +2679,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  exact AS (
    SELECT query_id, vec_id
    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, vec_id) AS rn FROM sims)
+                                      ORDER BY ROUND(cos, 6) DESC, vec_id) AS rn FROM sims)
    WHERE rn <= {TOPK})
 SELECT m.method, (SELECT count(*) FROM exact)::BIGINT AS n_exact,
        true AS contract_ok

@@ -127,3 +127,21 @@ def test_adversarial_full_families(adversarial_dir):
     from tools.check_driver import main
 
     assert main(adversarial_dir, SLOW_ENTRIES, shutdown=False) == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("WSE_SLOW"), reason="fuzz gate: set WSE_SLOW=1"
+)
+def test_fuzz_gate_seed1(ray_session):
+    """Seeded RANDOM tie-forcing corpus (tools/adversarial_gate.py --fuzz):
+    every distribution collides — scrambled event_ids over coarse
+    timestamps, 6-value `value` set, 12-word vocabulary with clones and
+    empties, small-integer embeddings. Seed 1 caught hybrid_rerank ranking
+    raw cosine where orthogonal int vectors dot to exact 0 in SQL but to
+    float cancellation noise after normalize-then-dot."""
+    from tools.adversarial_gate import build_fuzz_corpus
+    from tools.check_driver import main
+
+    d = build_fuzz_corpus(1)
+    assert main(d, FAST_ENTRIES + ["rag_topk", "ann_recall_bounds"],
+                shutdown=False) == 0

@@ -308,12 +308,121 @@ def build_corpus() -> str:
     return DST
 
 
+# -- seeded fuzz mode ---------------------------------------------------------
+
+FUZZ_VOCAB = (
+    "spark merge sort join data table scan row window the a of".split()
+)
+
+
+def build_fuzz_corpus(seed: int) -> str:
+    """Randomized tie-forcing corpus: same schemas, but every distribution
+    is chosen to COLLIDE — second-granular timestamps with only {0, .5s}
+    microsecond offsets, fully scrambled event_ids, a 6-value `value` set,
+    a 12-word vocabulary, 10% empty / 10% cloned docs, and small-integer
+    embeddings ({-1,0,1,2} entries -> duplicate/zero/tied vectors by
+    chance). Each seed is a fresh draw over the tie classes the planted
+    corpus encodes by hand."""
+    rng = np.random.default_rng(seed)
+    dst = f"/tmp/wse_fuzz_sf_{seed}"
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+
+    # events: 400 rows over 12 users / 3 days; coarse time + tied values
+    n = 400
+    ts = (
+        BASE
+        + rng.integers(0, 3 * 86400, n) * US
+        + rng.integers(0, 2, n) * 500_000
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+            "event_type": pa.array(
+                [["view", "click", "signup", "purchase", "error"][i]
+                 for i in rng.integers(0, 5, n)],
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.array([0.0, 5.0, 5.0, 7.5, 50.0, 100.0])[rng.integers(0, 6, n)]
+            ),
+            "props": pa.array(
+                ['{"k": %d}' % k for k in rng.integers(0, 8, n)], pa.string()
+            ),
+        }
+    )
+    pq.write_table(ev, os.path.join(dst, "events.parquet"))
+
+    # embeddings: small-integer vectors -> exact dups / zeros / ties
+    ne, dim = 100, 32
+    V = rng.integers(-1, 3, (ne, dim)).astype(np.float32)
+    V[rng.integers(0, ne, 5)] = 0.0  # a few guaranteed zero vectors
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(ne, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in V], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.integers(0, 4, ne).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(emb, os.path.join(dst, "embeddings.parquet"))
+
+    # documents: tiny vocab -> massive tf/score collisions
+    nd = 300
+    texts = []
+    for i in range(nd):
+        r = rng.random()
+        if r < 0.10:
+            texts.append("")
+        elif r < 0.20 and texts:
+            texts.append(texts[int(rng.integers(0, len(texts)))])  # clone
+        else:
+            L = int(rng.integers(1, 40))
+            words = [FUZZ_VOCAB[j] for j in rng.integers(0, len(FUZZ_VOCAB), L)]
+            if rng.random() < 0.05:
+                words.insert(
+                    int(rng.integers(0, len(words) + 1)), "&amp;"
+                )  # safe entity
+            texts.append(" ".join(words))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(nd, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [["en", "es", "zh", "de", "fr"][i] for i in rng.integers(0, 5, nd)],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [f"src{i}" for i in rng.integers(0, 7, nd)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(dst, "documents.parquet"))
+    return dst
+
+
 def main() -> None:
-    dst = build_corpus()
-    print(f"adversarial corpus at {dst}")
+    args = sys.argv[1:]
+    if args and args[0] == "--fuzz":
+        seed = int(args[1])
+        dst = build_fuzz_corpus(seed)
+        rest = args[2:]
+        print(f"fuzz corpus (seed {seed}) at {dst}")
+    else:
+        dst = build_corpus()
+        rest = args
+        print(f"adversarial corpus at {dst}")
     rc = subprocess.call(
         [sys.executable, os.path.join(os.path.dirname(__file__), "check_driver.py"), dst]
-        + sys.argv[1:]
+        + rest
     )
     sys.exit(rc)
 

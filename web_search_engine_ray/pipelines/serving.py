@@ -471,13 +471,18 @@ def hybrid_rerank_table(
         rows = np.array([row_of[d] for d in cand[qid] if d in row_of], dtype=np.int64)
         if rows.size == 0:
             continue
-        cos = M[row_of[qid]] @ M[rows].T  # one GEMV per query
+        # round BEFORE ranking (vsm_topk_table note): mathematically-
+        # orthogonal int vectors dot to EXACT 0 in the twin's raw-integer
+        # sum but to ±1e-17 cancellation noise after the engine's
+        # normalize-then-dot — the k2 cut must fall to the docid tie-break
+        # identically on both sides (fuzz gate, seed 1)
+        cos = np.round(M[row_of[qid]] @ M[rows].T, round_to)
         docs = ids[rows]
         order = np.lexsort((docs, -cos))[:k2]
         for i in order:
             q_l.append(qid)
             d_l.append(int(docs[i]))
-            c_l.append(round(float(cos[i]), round_to))
+            c_l.append(float(cos[i]))
     return pa.table(
         {
             "query_id": pa.array(q_l, pa.int64()),

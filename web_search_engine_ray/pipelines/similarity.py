@@ -41,7 +41,13 @@ def _topk_det(s: np.ndarray, vid: np.ndarray, k: int) -> np.ndarray:
     """Indices of the deterministic (-cos, vec_id) top-k cut: O(n)
     argpartition to the score threshold, then a lexsort over the (small)
     boundary-tie candidate set — exact-cosine ties at the k boundary resolve
-    to the smallest vec_id, matching the oracle's ORDER BY cos DESC, vec_id."""
+    to the smallest vec_id, matching the oracle's ORDER BY ROUND(cos, 6)
+    DESC, vec_id. The cut ranks the ROUNDED score: mathematically-tied
+    cosines (orthogonal/duplicate vectors) sit epsilon apart between the
+    engine's normalize-then-dot floats and SQL's raw-value sums, so only the
+    rounded rule makes the docid tie-break engage identically on both sides
+    (fuzz gate)."""
+    s = np.round(s, 6)
     part = np.argpartition(-s, k - 1)[:k]
     thresh = s[part].min()
     cand = np.flatnonzero(s >= thresh)
@@ -78,12 +84,14 @@ def _merge_query_topk(partials, topk: int) -> pa.Table:
     import pandas as pd
 
     out = []
+    # round BEFORE the sort (the _topk_det contract): the per-batch cuts
+    # already rank rounded scores, and the final cut must use the same rule
+    partials = partials.assign(cos=partials["cos"].round(6))
     for qid, grp in partials.groupby("query_id"):
         out.append(grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(topk))
     if not out:
         return _empty_knn_table()
     merged = pd.concat(out).reset_index(drop=True)
-    merged["cos"] = merged["cos"].round(6)
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
