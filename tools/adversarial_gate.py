@@ -322,7 +322,9 @@ def build_fuzz_corpus(seed: int) -> str:
     a 12-word vocabulary, 10% empty / 10% cloned docs, and small-integer
     embeddings ({-1,0,1,2} entries -> duplicate/zero/tied vectors by
     chance). Each seed is a fresh draw over the tie classes the planted
-    corpus encodes by hand."""
+    corpus encodes by hand, and the events user-cardinality SHAPE cycles
+    with the seed (12 / 2 / 300 users) to hit degenerate-partition regimes
+    as well."""
     rng = np.random.default_rng(seed)
     dst = f"/tmp/wse_fuzz_sf_{seed}"
     os.makedirs(dst, exist_ok=True)
@@ -330,8 +332,12 @@ def build_fuzz_corpus(seed: int) -> str:
         if f.endswith(".parquet"):
             shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
 
-    # events: 400 rows over 12 users / 3 days; coarse time + tied values
+    # events: 400 rows; the USER-CARDINALITY SHAPE cycles with the seed —
+    # 12 users (ordinary), 2 users (deep per-user histories, the empty-
+    # hash-partition regime that crashed sessionize), or 300 users (mostly
+    # single-event users; retention/funnel/session edges everywhere)
     n = 400
+    n_users = [12, 2, 300][seed % 3]
     ts = (
         BASE
         + rng.integers(0, 3 * 86400, n) * US
@@ -341,7 +347,7 @@ def build_fuzz_corpus(seed: int) -> str:
         {
             "event_id": pa.array(rng.permutation(n).astype(np.int64)),
             "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
-            "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+            "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
             "event_type": pa.array(
                 [["view", "click", "signup", "purchase", "error"][i]
                  for i in rng.integers(0, 5, n)],
