@@ -2426,7 +2426,17 @@ ORDER BY r.bucket
 """,
         "json_props_agg": """
 WITH k AS (SELECT event_type,
-                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  -- mirror polars' json_path_match + STRICT Int64 cast:
+                  -- json_valid guards malformed props (DuckDB json_extract
+                  -- THROWS where polars yields null), and the digits-only
+                  -- regexp rejects floats ('5.7' -> null in polars, 6 via
+                  -- bare TRY_CAST) and padded strings ('  7 ') the same way
+                  -- polars does (probe in tests/test_adversarial_gate.py)
+                  TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(
+                                  coalesce(json_extract_string(props, '$.k'),
+                                           ''), '^[+-]?[0-9]+$')
+                                THEN json_extract_string(props, '$.k')
+                           END AS BIGINT) AS k
            FROM events)
 SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
        min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,

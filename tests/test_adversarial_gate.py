@@ -129,6 +129,42 @@ def test_adversarial_full_families(adversarial_dir):
     assert main(adversarial_dir, SLOW_ENTRIES, shutdown=False) == 0
 
 
+def test_json_props_twin_parity():
+    """polars json_path_match + strict Int64 cast (the engine's parse in
+    json_props_agg_ds) == the twin's guarded json_valid / digits-regexp /
+    TRY_CAST chain, over every pathological props shape the adversarial
+    corpora plant: floats round under a bare TRY_CAST (5.7 -> 6), DuckDB's
+    json_extract THROWS on malformed JSON where polars yields null, and
+    TRY_CAST trims padded strings polars rejects. No Ray needed."""
+    import duckdb
+    import polars as pl
+
+    cases = [
+        '{"k": 5}', '{"k": "5"}', '{"k": 5.7}', '{"k": true}', '{"k": null}',
+        '{"k": [1]}', '{"k": {"a":1}}', '{}', '', 'not json', '{"k": 5',
+        '{"K": 5}', '{"k": -3}', '{"k": 99999999999999999999}', '[1,2]',
+        'null', '{"k": "  7 "}', '{"k": "-0"}', '{"k": 0}', '{"k": "+5"}',
+        '{"k": "5e2"}',
+    ]
+    eng = (
+        pl.DataFrame({"props": cases})
+        .with_columns(
+            pl.col("props")
+            .str.json_path_match("$.k")
+            .cast(pl.Int64, strict=False)
+            .alias("k")
+        )["k"]
+        .to_list()
+    )
+    con = duckdb.connect()
+    expr = """TRY_CAST(CASE WHEN json_valid(?) AND regexp_matches(
+      coalesce(json_extract_string(?, '$.k'), ''), '^[+-]?[0-9]+$')
+      THEN json_extract_string(?, '$.k') END AS BIGINT)"""
+    for c, a in zip(cases, eng):
+        b = con.execute(f"SELECT {expr}", [c, c, c]).fetchone()[0]
+        assert a == b, (c, a, b)
+
+
 @pytest.mark.skipif(
     not os.environ.get("WSE_SLOW"), reason="fuzz gate: set WSE_SLOW=1"
 )

@@ -147,6 +147,18 @@ def build_events() -> pa.Table:
     order = np.argsort(ids, kind="stable")
     rows = [rows[i] for i in order]  # table rows in event_id order
 
+    # props pathology on every 17th row: floats, strings, malformed JSON,
+    # wrong-case keys, nested values — the engine's strict polars parse
+    # (json_path_match + Int64 cast) and the twin's guarded
+    # json_valid/regexp/TRY_CAST chain must drop them IDENTICALLY
+    props = ['{"k": %d}' % r[4] for r in rows]
+    patho = [
+        '{"k": 5.7}', '{"k": "  7 "}', 'not json', '{"k": 5', '',
+        '{"K": 9}', '{"k": true}', '{"k": [1]}', '{"k": "5e2"}',
+        '{"k": "+5"}', '{"k": null}', 'null',
+    ]
+    for j, i in enumerate(range(0, n, 17)):
+        props[i] = patho[j % len(patho)]
     return pa.table(
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -154,7 +166,7 @@ def build_events() -> pa.Table:
             "user_id": pa.array([r[1] for r in rows], pa.int64()),
             "event_type": pa.array([r[2] for r in rows], pa.string()),
             "value": pa.array([r[3] for r in rows], pa.float64()),
-            "props": pa.array(['{"k": %d}' % r[4] for r in rows], pa.string()),
+            "props": pa.array(props, pa.string()),
         }
     )
 
@@ -357,7 +369,16 @@ def build_fuzz_corpus(seed: int) -> str:
                 np.array([0.0, 5.0, 5.0, 7.5, 50.0, 100.0])[rng.integers(0, 6, n)]
             ),
             "props": pa.array(
-                ['{"k": %d}' % k for k in rng.integers(0, 8, n)], pa.string()
+                [
+                    # ~15% pathological props (floats / malformed / padded
+                    # strings); the rest plain integer k
+                    ['{"k": 5.7}', 'not json', '{"k": "  7 "}', '{"k": 5',
+                     '{"k": true}', '{"k": "+%d"}' % k][k % 6]
+                    if rng.random() < 0.15
+                    else '{"k": %d}' % k
+                    for k in rng.integers(0, 8, n)
+                ],
+                pa.string(),
             ),
         }
     )
