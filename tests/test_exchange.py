@@ -283,3 +283,18 @@ def test_exchange_auto_shrink_invariance(ray_session):
             with_index=True,
             auto_shrink=True,
         )
+
+
+def test_pool_size_caps_to_cluster(ray_session):
+    """A fixed actor-pool concurrency >= cluster CPUs starves the upstream
+    task operators and deadlocks the stream (observed live: the full gate at
+    num_cpus=2 hung in bpe_encode_stats with concurrency=4). pool_size caps
+    the request to CPUs-1 and never raises it."""
+    import ray
+
+    from web_search_engine_ray.stages.exchange import pool_size
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert pool_size(cpus + 2) == max(1, cpus - 1)
+    assert pool_size(1) == 1
+    assert pool_size(max(1, cpus - 1)) == max(1, cpus - 1)

@@ -9,6 +9,7 @@ everything)
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -52,7 +53,14 @@ def main(
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False)
+        # WSE_GATE_CPUS varies the partition/parallelism regime — every
+        # entry must produce identical results at any CPU count (the
+        # empty-hash-partition class is parallelism-dependent)
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("WSE_GATE_CPUS", "8")),
+            include_dashboard=False,
+        )
     sys.path.insert(0, ".")
     import __ray_entry__ as entrymod
 

@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from web_search_engine_ray.functions.tokenize import token_lists
 from web_search_engine_ray.sources.documents import read_docs as _read_docs
+from web_search_engine_ray.stages.exchange import pool_size
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -138,7 +139,7 @@ class LangIdStage:
 
 def langid_ds(sf_dir: str, concurrency: int = 2):
     return _read_docs(sf_dir).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=concurrency
+        LangIdStage, batch_format="pyarrow", concurrency=pool_size(concurrency)
     )
 
 
@@ -720,7 +721,7 @@ def langid_confusion_ds(sf_dir: str, concurrency: int = 2):
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
-    ).map_batches(LangIdConfusionStage, batch_format="pyarrow", concurrency=concurrency)
+    ).map_batches(LangIdConfusionStage, batch_format="pyarrow", concurrency=pool_size(concurrency))
 
     def route(t: pa.Table) -> np.ndarray:
         return (

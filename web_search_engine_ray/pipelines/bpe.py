@@ -38,6 +38,8 @@ from web_search_engine_ray.functions.tokenize import token_lists
 from web_search_engine_ray.pipelines.corpus import term_stats_ds
 from web_search_engine_ray.sources.documents import read_docs as _read_docs
 
+from web_search_engine_ray.stages.exchange import pool_size
+
 END = "</w>"  # end-of-word sentinel (distinct from any corpus token char)
 
 
@@ -234,7 +236,7 @@ def bpe_encode_stats_ds(
         _BpeEncoder,
         fn_constructor_args=(merges,),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 

@@ -423,7 +423,19 @@ class PartitionedSearcher:
             self.manifest = json.load(f)
         self.N = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
-        actor = ray.remote(num_cpus=num_cpus_per_actor)(RangeSearcher)
+        # pack the per-range serving actors onto whatever the cluster has:
+        # at 1.0 CPU each, n_ranges > cluster CPUs leaves actors pending
+        # forever and the coordinator's ray.get over ALL handles deadlocks
+        # (observed live: the 2-CPU gate hung here). Serving actors are
+        # call-driven and mostly idle, so fractional CPUs are the idiomatic
+        # Ray packing; at real cluster sizes the cap is a no-op.
+        n_ranges = max(1, len(self.manifest["ranges"]))
+        try:
+            cpus = float(ray.cluster_resources().get("CPU", n_ranges))
+        except Exception:  # pragma: no cover - resource probe best-effort
+            cpus = float(n_ranges)
+        per = min(num_cpus_per_actor, max(0.05, cpus / (n_ranges + 1)))
+        actor = ray.remote(num_cpus=per)(RangeSearcher)
         self.actors = [actor.remote(r["dir"]) for r in self.manifest["ranges"]]
         # pending tombstones, routed to their owning range
         pend = load_deletes(out_dir)

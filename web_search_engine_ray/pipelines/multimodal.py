@@ -28,6 +28,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from web_search_engine_ray.stages.exchange import pool_size
+
 try:  # pragma: no cover - not installed here
     from PIL import Image  # noqa: F401
 
@@ -394,11 +396,11 @@ def audio_features(audio_table: pa.Table, concurrency: int = 2):
     ds = ray.data.from_arrow(audio_table)
     ds = ds.map_batches(
         AudioDecodeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
     return ds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
 
@@ -409,13 +411,13 @@ def media_features(media_table: pa.Table, concurrency: int = 2):
 
     ds = ray.data.from_arrow(media_table)
     ds = ds.map_batches(
-        DecodeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+        DecodeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=pool_size(concurrency)
     )
     ds = ds.map_batches(
-        ResizeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+        ResizeStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=pool_size(concurrency)
     )
     return ds.map_batches(
-        FeatureStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency
+        FeatureStage, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE, concurrency=pool_size(concurrency)
     )
 
 

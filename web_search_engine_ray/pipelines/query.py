@@ -39,6 +39,8 @@ from web_search_engine_ray.state.docstats import DocLengths
 from web_search_engine_ray.state.lexicon import LexiconShard, term_shard
 from web_search_engine_ray.state.listio import PostingsShardReader
 
+from web_search_engine_ray.stages.exchange import pool_size
+
 K1 = 1.2
 B = 0.75
 
@@ -817,5 +819,5 @@ def run_queries(
         fn_constructor_args=(index_dir, topk, mode),
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )

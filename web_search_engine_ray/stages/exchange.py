@@ -195,3 +195,29 @@ def cluster_parts(min_parts: int = 64, per_cpu: int = 2) -> int:
     except Exception:  # pragma: no cover - resource query is best-effort
         pass
     return min_parts
+
+
+def pool_size(requested: int) -> int:
+    """Cap a FIXED actor-pool size to the cluster's CPU count minus one.
+
+    A ``map_batches(Cls, concurrency=N)`` pool whose N >= cluster CPUs takes
+    every slot, and the upstream task operators (``ReadParquet`` etc.) can
+    never schedule — the stream deadlocks, silently, with the pool actors
+    idle-waiting for input. Found live: the full gate at ``num_cpus=2``
+    hung forever inside ``bpe_encode_stats`` (concurrency=4). At real
+    cluster sizes the cap is a no-op; at tiny/test sizes it keeps one CPU
+    free for the feeding tasks. Callers pass their tuned N; the helper
+    never raises it."""
+    try:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 0))
+            if ray.is_initialized()
+            else 0
+        )
+    except Exception:  # pragma: no cover - resource probe best-effort
+        cpus = 0
+    if cpus <= 0:
+        return max(1, requested)
+    return max(1, min(requested, cpus - 1))
